@@ -1,0 +1,85 @@
+"""TPC-H-style end-to-end plans over the catalog tables.
+
+Flagship = TPC-H Q3 "Shipping Priority", the one query the reference
+implements five ways (canonical SQL:
+`/root/reference/src/main/java/org/example/TPCHQuery3SQL_Batch.java:100-119`).
+
+Scale notes (100 TB stance):
+- customer is the smallest side after its segment filter; orders after
+  its date filter is next. Catalyst+AQE broadcast them when they fit;
+  the join order (customer⋈orders first, lineitem last) matches both
+  the reference's hand-built plan and what CBO picks.
+- The final ORDER BY ... LIMIT 20 plans as TakeOrderedAndProject — a
+  per-partition top-k + driver merge of 20-row heaps, NOT a global
+  sort. That is the scalable form of the reference's single-task TopN
+  (`TPCHQuery3_StreamProcessor.java:983-1062`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from query_processing_over_streaming_data_using_flink_spark.functions.scalar import revenue, ts_lit
+from query_processing_over_streaming_data_using_flink_spark.registry import register
+from query_processing_over_streaming_data_using_flink_spark.sources.catalog import load_table
+
+Q3_CUTOFF = "1995-03-15"
+Q3_SEGMENT = "BUILDING"
+
+
+def q3_shipping_priority(
+    spark: SparkSession,
+    sf_dir: str,
+    segment: str = Q3_SEGMENT,
+    cutoff: str = Q3_CUTOFF,
+    limit: int = 20,
+) -> DataFrame:
+    """TPC-H Q3 over the driver tables.
+
+    Driver `orders` lacks `o_shippriority` (FIXTURES.md §B), so the
+    reference's GROUP BY (l_orderkey, o_orderdate, o_shippriority)
+    degrades to (l_orderkey, o_orderdate) with a constant-0 priority
+    column preserving the output shape. Revenue is rounded to 2
+    decimals (testdata uses double, not DECIMAL(10,2) — SURVEY.md §7
+    hard-part 4) and ordering is made total with the l_orderkey
+    tie-break so the top-`limit` set is deterministic vs the oracle.
+    """
+    cut = ts_lit(cutoff)
+    customer = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == segment)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
+
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(revenue()), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            "o_orderdate",
+            F.lit(0).alias("o_shippriority"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(limit)
+    )
+
+
+Q3_ORACLE_SQL = f"""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate,
+       0 AS o_shippriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 20
+"""
+
+register("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE_SQL)

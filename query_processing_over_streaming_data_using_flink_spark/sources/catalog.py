@@ -1,0 +1,175 @@
+"""Table catalog: declared schemas + loaders for the engine's tables.
+
+Mirrors the reference's schema registry — the SQL DDL blocks at
+`/root/reference/src/main/java/org/example/TPCHQuery3SQL_Batch.java:32-95`
+declare customer/orders/lineitem; the driver testdata adds the rest of
+the TPC-H-ish star schema plus `events`, `documents`, `embeddings`
+(schemas verified in FIXTURES.md §B).
+
+Explicit schemas (never inferSchema) keep scans cheap and deterministic:
+a declared schema means the parquet reader prunes columns and pushes
+filters without a sampling pass — at 100 TB an inference pass is a
+full extra scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# Driver parquet schemas (FIXTURES.md §B). Parquet files embed their own
+# schema; we keep these declared for CSV/JSON ingestion parity and for
+# schema assertions in tests.
+_SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+TABLES: tuple[str, ...] = tuple(_SCHEMAS)
+
+# Small dimension tables: always broadcast-join these. At any scale
+# factor region/nation are constant-size and supplier/part/customer grow
+# far slower than the fact tables.
+BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier"})
+
+
+def table_schema(name: str) -> T.StructType:
+    return _SCHEMAS[name]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one catalog table from the scale-factor directory.
+
+    Parquet scan — Catalyst handles column pruning and predicate
+    pushdown from whatever query sits on top.
+    """
+    if name not in _SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register every catalog table as a temp view (for spark.sql use)."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_csv_table(spark: SparkSession, path: str, name: str, **options: str) -> DataFrame:
+    """CSV ingestion with the reference's source semantics.
+
+    Mirrors the filesystem CSV connector DDL
+    (`TPCHQuery3SQL_Batch.java:32-95`: csv.ignore-parse-errors,
+    csv.allow-comments) via DROPMALFORMED + comment='#', and the custom
+    quote-aware parser (`TPCHQuery3_BatchProcessor.java:428-446`) via
+    the built-in quote handling — no hand-rolled parsing needed.
+    """
+    opts = {
+        "header": "true",
+        "quote": '"',
+        "escape": '"',
+        "comment": "#",
+        "mode": "DROPMALFORMED",
+        **options,
+    }
+    return spark.read.schema(_SCHEMAS[name]).options(**opts).csv(path)
+
+
+def load_tbl_table(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Pipe-delimited TPC-H ``.tbl`` ingestion (reference exporter format,
+    `load_duckdb.ipynb`: DELIMITER '|', HEADER FALSE)."""
+    return (
+        spark.read.schema(_SCHEMAS[name])
+        .options(header="false", sep="|", mode="DROPMALFORMED")
+        .csv(path)
+    )

@@ -1,0 +1,43 @@
+"""Driver-contract smoke tests: entry() runs, queries()/oracle_sql()
+are consistent, and every oracle-backed query hash-matches DuckDB at
+sf0.01 — the same check the driver runs (CORRECTNESS gate).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.conftest import SF_ORACLE, assert_matches_oracle
+
+_spec = importlib.util.spec_from_file_location(
+    "__spark_entry__", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py")
+)
+_entry_mod = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_entry_mod)
+
+
+def test_entry_smoke(spark):
+    df = _entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["l_orderkey", "revenue", "o_orderdate", "o_shippriority"]
+
+
+def test_oracle_keys_subset_of_queries():
+    q = _entry_mod.queries()
+    o = _entry_mod.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) > 0
+
+
+@pytest.mark.parametrize("name", sorted(_entry_mod.oracle_sql()))
+def test_query_matches_oracle(spark, duck, name):
+    fn = _entry_mod.queries()[name]
+    sql = _entry_mod.oracle_sql()[name]
+    assert_matches_oracle(fn(spark, SF_ORACLE), duck, sql)
