@@ -28,6 +28,36 @@ def ts_lit(date_str: str) -> Column:
     return F.lit(date_str).cast("timestamp")
 
 
+def exact_sum(col: Column, scale: int) -> Column:
+    """Cross-engine-exact SUM of a fixed-point double column.
+
+    Money/quantity columns in the testdata are doubles carrying a fixed
+    number of decimals (2dp for prices, 4dp for price*(1-discount)
+    products). A plain float SUM is order-dependent, so Spark and the
+    DuckDB oracle can disagree in the last ulp — and post-hoc round()
+    then diverges at exact .xx5 boundaries (Spark HALF_UP vs DuckDB
+    half-even). Quantizing each row to integer units first makes the
+    aggregation exact: round(x*scale) is unambiguous (inputs sit within
+    ~1e-9 of an integer), the long SUM is associative, and the final
+    rescale is a single deterministic IEEE division — bit-identical in
+    both engines. SQL oracle form: `exact_sum_sql`.
+    """
+    return F.sum(F.round(col * scale, 0).cast("long")) / F.lit(float(scale))
+
+
+def exact_sum_sql(expr: str, scale: int) -> str:
+    return f"CAST(sum(CAST(round(({expr}) * {scale}) AS BIGINT)) AS BIGINT) / {float(scale)}"
+
+
+def exact_avg(col: Column, scale: int) -> Column:
+    """Cross-engine-exact AVG via the same quantized-sum trick."""
+    return F.sum(F.round(col * scale, 0).cast("long")) / (F.lit(float(scale)) * F.count(F.lit(1)))
+
+
+def exact_avg_sql(expr: str, scale: int) -> str:
+    return f"CAST(sum(CAST(round(({expr}) * {scale}) AS BIGINT)) AS BIGINT) / ({float(scale)} * count(*))"
+
+
 def md5_hash64(col: Column) -> Column:
     """Deterministic 60-bit non-negative hash of a string, identical in
     Spark and DuckDB.

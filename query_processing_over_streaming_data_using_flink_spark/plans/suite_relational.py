@@ -1,1 +1,559 @@
-"""Relational operator micro-suite — filled in Milestone 1."""
+"""Relational operator micro-suite — one oracle-checked query per
+operator class from SURVEY.md §2 (scans, filters, projections, joins,
+aggregations, sort/limit, window functions, set ops, scalar functions),
+generalized beyond the reference's single Q3 to the full driver star
+schema.
+
+Every query here is a pure DataFrame composition (JVM-side, codegen'd)
+with a DuckDB oracle. Determinism rules shared with the oracle side:
+  - computed columns aliased identically in Spark and SQL,
+  - fixed-point (money/quantity) SUM/AVG via the exact quantized form
+    (`functions.scalar.exact_sum` — testdata uses double, SURVEY §7
+    hard-part 4; float sums are order-dependent across engines),
+  - free-form doubles (events.value) are quantized to cents at the
+    input, making their aggregates exact as well,
+  - per-row products rounded at 4dp (inputs have ≤4 true decimals, so
+    no value sits on a rounding boundary),
+  - every LIMIT preceded by a total-order ORDER BY (unique tie-break).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from query_processing_over_streaming_data_using_flink_spark.functions.scalar import (
+    exact_avg,
+    exact_sum,
+    revenue,
+    ts_lit,
+)
+from query_processing_over_streaming_data_using_flink_spark.operators.relational import (
+    equi_join,
+    top_k,
+    top_k_per_group,
+)
+from query_processing_over_streaming_data_using_flink_spark.registry import register
+from query_processing_over_streaming_data_using_flink_spark.sources.catalog import load_table
+
+
+# --- §2.2 projections / filters / predicates --------------------------------
+
+
+def filter_project_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality predicate + projection (reference: CustomerFilter,
+    `TPCHQuery3_StreamProcessor.java:347-355`; parse-time projection
+    `:313-316`). Catalyst pushes both into the parquet scan."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+def filter_dates_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-range predicates (reference: OrderFilter/LineItemFilter,
+    `TPCHQuery3_StreamProcessor.java:357-387`) plus conjunction."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= ts_lit("1995-01-01"))
+            & (F.col("o_orderdate") < ts_lit("1995-03-15"))
+            & (F.col("o_orderstatus") != "F")
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    )
+
+
+# --- §2.3 joins ---------------------------------------------------------------
+
+
+def join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer⋈orders equi-join keyed by custkey (reference:
+    CustomerOrderJoinFunction, `TPCHQuery3_StreamProcessor.java:390-449`,
+    batch semantics)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return equi_join(c, o, F.col("c_custkey") == F.col("o_custkey")).select(
+        "c_custkey", "c_mktsegment", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+
+def join_orders_lineitem_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders⋈lineitem keyed by orderkey with the revenue expression
+    (reference: OrderLineItemJoinFunction,
+    `TPCHQuery3_StreamProcessor.java:451-513`)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return equi_join(o, li, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "o_orderkey",
+        "l_linenumber",
+        "o_orderdate",
+        F.round(revenue(), 4).alias("line_revenue"),
+    )
+
+
+def join_snowflake_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer⋈nation⋈region snowflake rollup — broadcast-joins the
+    constant-size dims (no reference counterpart table-wise; operator
+    class = the same equi-join). At 100 TB nation/region must never be
+    the build side of a shuffle join — hence explicit broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        equi_join(c, n, F.col("c_nationkey") == F.col("n_nationkey"), broadcast_right=True)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            exact_sum(F.col("c_acctbal"), 100).alias("total_acctbal"),
+        )
+    )
+
+
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins (EXISTS / NOT EXISTS): customers with
+    at least one 'O'-status order but no 'F'-status order. Operator
+    class beyond the reference's inner joins; required engine surface."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    open_o = o.filter(F.col("o_orderstatus") == "O")
+    filled_o = o.filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(open_o, F.col("c_custkey") == open_o["o_custkey"], "left_semi")
+        .join(filled_o, F.col("c_custkey") == filled_o["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def join_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join + count (customers with zero orders kept) —
+    outer-join surface the reference lacks (SURVEY §2.3 'no other join
+    kinds')."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# --- §2.4 aggregations ---------------------------------------------------------
+
+
+def agg_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped hash aggregate on the events stream table: count / sum /
+    avg / min / max (reference operator class:
+    `TPCHQuery3SQL_Batch.java:102,112-115`). sum/avg are over the
+    cent-quantized value (exact across engines); min/max are raw
+    (no arithmetic → bit-identical)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value"), 100).alias("sum_value"),
+            exact_avg(F.col("value"), 100).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def agg_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregate (tumbling day) — the batch shape of a
+    streaming windowed agg; date_trunc keeps it JVM-side."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), exact_sum(F.col("value"), 100).alias("sum_value"))
+    )
+
+
+def agg_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary — the classic multi-aggregate
+    groupBy; exercises map-side partial aggregation at scale."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= ts_lit("1998-09-02")
+    )
+    disc_price = revenue()
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        exact_sum(F.col("l_quantity"), 100).alias("sum_qty"),
+        exact_sum(F.col("l_extendedprice"), 100).alias("sum_base_price"),
+        exact_sum(disc_price, 10000).alias("sum_disc_price"),
+        exact_sum(charge, 1000000).alias("sum_charge"),
+        exact_avg(F.col("l_quantity"), 100).alias("avg_qty"),
+        exact_avg(F.col("l_extendedprice"), 100).alias("avg_price"),
+        exact_avg(F.col("l_discount"), 100).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchical aggregate (orderstatus → orderpriority) —
+    grouping-set surface absent from the reference (SURVEY §2.4)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), exact_sum(F.col("o_totalprice"), 100).alias("sum_price"))
+    )
+
+
+# --- §2.5 sort / limit / top-k -------------------------------------------------
+
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (reference: ORDER BY ... LIMIT 20 / TopNFunction).
+    Plans as TakeOrderedAndProject — bounded heaps, no global sort."""
+    return top_k(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderdate"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        15,
+    )
+
+
+def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per market segment — row_number window top-k, the
+    correct form of the reference's 'latest per key then rank'
+    (SURVEY §2.5 staleness-bug note)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = equi_join(o, c, F.col("o_custkey") == F.col("c_custkey")).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    return top_k_per_group(
+        joined,
+        ["c_mktsegment"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        3,
+        rank_col="rank_in_segment",
+        keep_rank=True,
+    )
+
+
+# --- §2.6 window functions -----------------------------------------------------
+
+
+def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window frame: per-customer running order total + lag —
+    window-function surface the reference lacks (SURVEY §2.6 'none')."""
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            (
+                F.sum(cents).over(w.rowsBetween(Window.unboundedPreceding, 0)) / F.lit(100.0)
+            ).alias("running_total"),
+            F.row_number().over(w).alias("order_seq"),
+            F.lag("o_totalprice", 1, 0.0).over(w).alias("prev_price"),
+        )
+    )
+
+
+# --- §2.7 set operations --------------------------------------------------------
+
+
+def set_ops_active_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over key sets (reference has none —
+    SURVEY §2.7; the stream split/merge maps to filter+union)."""
+    o = load_table(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 400000).select(F.col("o_custkey").alias("custkey"))
+    recent = o.filter(F.col("o_orderdate") >= ts_lit("1997-01-01")).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return hi.intersect(recent).union(urgent.exceptAll(hi).distinct()).distinct()
+
+
+# --- §2.8 scalar functions -----------------------------------------------------
+
+
+def scalar_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's scalar-function surface in one projection:
+    arithmetic revenue (`TPCHQuery3SQL_Batch.java:102`), date
+    compare/extract (`TPCHQuery3_BatchProcessor.java:164-170`), string
+    substring/split/concat (`TPCHQuery3_StreamProcessor.java:306-307`),
+    numeric cast, CASE, and JSON construction (`:1036-1052`)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(revenue(), 4).alias("line_revenue"),
+        (F.col("l_shipdate") > ts_lit("1995-03-15")).cast("int").alias("ships_after_cutoff"),
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+        F.substring("l_returnflag", 1, 1).alias("flag_initial"),
+        F.concat_ws("-", "l_returnflag", "l_linestatus").alias("flag_status"),
+        F.split(F.concat_ws("-", "l_returnflag", "l_linestatus"), "-").getItem(1).alias("status_part"),
+        F.col("l_quantity").cast("long").alias("qty_int"),
+        F.when(F.col("l_discount") >= 0.05, "HIGH").otherwise("LOW").alias("discount_band"),
+        F.length("l_comment").alias("comment_len") if "l_comment" in li.columns else F.lit(None).cast("int").alias("comment_len"),
+    )
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events props payload — maps the
+    reference's string-built JSON sink format
+    (`TPCHQuery3_StreamProcessor.java:1036-1052`) to a proper JSON
+    function surface."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .filter(F.col("k") > 90)
+    )
+
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per event_type holding per-user counts —
+    reshaping surface (conditional aggregation at the oracle)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+
+
+# --- registration ---------------------------------------------------------------
+
+register(
+    "filter_project_customer",
+    filter_project_customer,
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+
+register(
+    "filter_dates_orders",
+    filter_dates_orders,
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND o_orderstatus <> 'F'
+    """,
+)
+
+register(
+    "join_customer_orders",
+    join_customer_orders,
+    """
+    SELECT c_custkey, c_mktsegment, o_orderkey, o_orderdate, o_totalprice
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    """,
+)
+
+register(
+    "join_orders_lineitem_revenue",
+    join_orders_lineitem_revenue,
+    """
+    SELECT o_orderkey, l_linenumber, o_orderdate,
+           round(l_extendedprice * (1 - l_discount), 4) AS line_revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    """,
+)
+
+register(
+    "join_snowflake_dims",
+    join_snowflake_dims,
+    """
+    SELECT r_name, n_name, count(*) AS n_customers,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+
+register(
+    "join_semi_anti",
+    join_semi_anti,
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+
+register(
+    "join_outer_order_counts",
+    join_outer_order_counts,
+    """
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+
+register(
+    "agg_events_by_type",
+    agg_events_by_type,
+    """
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / (100.0 * count(*)) AS avg_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+
+register(
+    "agg_events_daily",
+    agg_events_daily,
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+register(
+    "agg_lineitem_pricing_summary",
+    agg_lineitem_pricing_summary,
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_disc_price,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_charge,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / (100.0 * count(*)) AS avg_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / (100.0 * count(*)) AS avg_price,
+           CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) / (100.0 * count(*)) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+register(
+    "agg_rollup_orders",
+    agg_rollup_orders,
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+
+register(
+    "topk_orders",
+    topk_orders,
+    """
+    SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+    """,
+)
+
+register(
+    "topk_orders_per_segment",
+    topk_orders_per_segment,
+    """
+    SELECT * FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_segment
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rank_in_segment <= 3
+    """,
+)
+
+register(
+    "window_running_totals",
+    window_running_totals,
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) / 100.0 AS running_total,
+           row_number() OVER w AS order_seq,
+           coalesce(lag(o_totalprice, 1) OVER w, 0.0) AS prev_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+
+register(
+    "set_ops_active_keys",
+    set_ops_active_keys,
+    """
+    SELECT DISTINCT custkey FROM (
+      SELECT custkey FROM (
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      )
+      UNION
+      SELECT custkey FROM (
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+      )
+    )
+    """,
+)
+
+register(
+    "scalar_expressions",
+    scalar_expressions,
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS line_revenue,
+           CAST(l_shipdate > TIMESTAMP '1995-03-15' AS INT) AS ships_after_cutoff,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(month(l_shipdate) AS INT) AS ship_month,
+           substr(l_returnflag, 1, 1) AS flag_initial,
+           l_returnflag || '-' || l_linestatus AS flag_status,
+           string_split(l_returnflag || '-' || l_linestatus, '-')[2] AS status_part,
+           CAST(l_quantity AS BIGINT) AS qty_int,
+           CASE WHEN l_discount >= 0.05 THEN 'HIGH' ELSE 'LOW' END AS discount_band,
+           CAST(NULL AS INT) AS comment_len
+    FROM lineitem WHERE l_orderkey <= 1000
+    """,
+)
+
+register(
+    "events_json_extract",
+    events_json_extract,
+    """
+    SELECT event_id, event_type, CAST(props ->> '$.k' AS INT) AS k
+    FROM events WHERE CAST(props ->> '$.k' AS INT) > 90
+    """,
+)
+
+register(
+    "pivot_event_counts",
+    pivot_event_counts,
+    """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'view')     AS view,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'error')    AS error
+    FROM events GROUP BY user_id
+    """,
+)

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from query_processing_over_streaming_data_using_flink_spark.functions.scalar import revenue, ts_lit
+from query_processing_over_streaming_data_using_flink_spark.functions.scalar import exact_sum, revenue, ts_lit
 from query_processing_over_streaming_data_using_flink_spark.registry import register
 from query_processing_over_streaming_data_using_flink_spark.sources.catalog import load_table
 
@@ -40,10 +40,11 @@ def q3_shipping_priority(
     Driver `orders` lacks `o_shippriority` (FIXTURES.md §B), so the
     reference's GROUP BY (l_orderkey, o_orderdate, o_shippriority)
     degrades to (l_orderkey, o_orderdate) with a constant-0 priority
-    column preserving the output shape. Revenue is rounded to 2
-    decimals (testdata uses double, not DECIMAL(10,2) — SURVEY.md §7
-    hard-part 4) and ordering is made total with the l_orderkey
-    tie-break so the top-`limit` set is deterministic vs the oracle.
+    column preserving the output shape. Revenue uses the exact
+    fixed-point SUM (testdata money is double, not DECIMAL(10,2) —
+    SURVEY.md §7 hard-part 4; see `functions.scalar.exact_sum`) and
+    ordering is made total with the l_orderkey tie-break so the
+    top-`limit` set is deterministic vs the oracle.
     """
     cut = ts_lit(cutoff)
     customer = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == segment)
@@ -54,7 +55,7 @@ def q3_shipping_priority(
         customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
         .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(revenue()), 2).alias("revenue"))
+        .agg(exact_sum(revenue(), 10000).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -68,7 +69,7 @@ def q3_shipping_priority(
 
 Q3_ORACLE_SQL = f"""
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
        o_orderdate,
        0 AS o_shippriority
 FROM customer, orders, lineitem

@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Driver parquet schemas (FIXTURES.md §B). Parquet files embed their own
@@ -133,9 +134,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Parquet scan — Catalyst handles column pruning and predicate
     pushdown from whatever query sits on top.
+
+    `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    reader rejects; we read it as long (nanosAsLong) and rebuild a
+    microsecond TIMESTAMP_NTZ with *integer* arithmetic — `ts div 1000`
+    (float division corrupts the low microseconds: epoch-nanos exceed
+    the 2^53 double mantissa) — matching DuckDB's own ns→µs truncation.
     """
     if name not in _SCHEMAS:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    if name == "events":
+        # Runtime SQL conf; set defensively for foreign sessions (the
+        # driver calls queries() with its own SparkSession).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        return df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -1,0 +1,94 @@
+"""Drive the driver contract end-to-end, exactly as the round driver does:
+load __spark_entry__ by path, smoke entry(), then run every queries()
+entry at sf0.01 against its oracle_sql() in DuckDB (row count + sorted
+column names + order-insensitive normalized rows).
+
+Usage: python scripts/verify_contract.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import math
+import os
+import sys
+import time
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(v):
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()[:26]
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main() -> int:
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    df = mod.entry(spark)
+    rows = df.collect()
+    print(f"SMOKE entry(): {len(rows)} rows, schema={df.columns}")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs, oracles = mod.queries(), mod.oracle_sql()
+    failures = []
+    for name, fn in sorted(qs.items()):
+        t0 = time.time()
+        sdf = fn(spark, SF_DIR)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            print(f"  {name}: rows-only, {len(srows)} rows ({time.time()-t0:.1f}s)")
+            continue
+        rel = con.sql(oracles[name])
+        dcols, drows = list(rel.columns), rel.fetchall()
+        so = sorted(range(len(scols)), key=lambda i: scols[i])
+        do = sorted(range(len(dcols)), key=lambda i: dcols[i])
+        sn = sorted([tuple(norm(r[i]) for i in so) for r in srows], key=repr)
+        dn = sorted([tuple(norm(r[i]) for i in do) for r in drows], key=repr)
+        ok = len(sn) == len(dn) and sorted(scols) == sorted(dcols) and sn == dn
+        print(f"  {name}: {'MATCH' if ok else 'MISMATCH'} ({len(sn)} rows, {time.time()-t0:.1f}s)")
+        if not ok:
+            failures.append(name)
+            if sorted(scols) != sorted(dcols):
+                print(f"    cols: spark={sorted(scols)} duck={sorted(dcols)}")
+            for a, b in list(zip(sn, dn))[:3]:
+                if a != b:
+                    print(f"    spark={a}\n    duck ={b}")
+    print(f"{'FAIL: ' + ','.join(failures) if failures else 'ALL MATCH'} "
+          f"({len(qs)} queries, {len(oracles)} with oracles)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
