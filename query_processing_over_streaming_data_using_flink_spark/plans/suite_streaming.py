@@ -1,1 +1,137 @@
-"""Changelog / streaming semantics suite — filled in Milestone 2."""
+"""Changelog / retraction semantics suite — the batch-expressible faces
+of the streaming engine, oracle-checked against DuckDB.
+
+Three registered queries:
+  * changelog_build          — the generator itself (sliding-window
+                               insert/delete event stream)
+  * changelog_state_counts   — net live-row counts after consuming a
+                               prefix of the stream
+  * changelog_q3_current_state — Q3 on the stream's current state via
+                               the signed-weight algebra
+
+The *incremental* evaluation of the same semantics (micro-batch IVM
+pipeline, `streaming/ivm.py`) is verified in tests/test_streaming.py by
+stream-batch equivalence — the reference's own convergence criterion
+(`README.md:154-159`).
+
+Window/prefix parameters derive from the dataset size by integer
+arithmetic so the suite scales with sf: W = ⌊2N/3⌋ (deletes begin while
+inserts still flow), K = N + ⌊N/2⌋ (stream truncated mid-drain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from query_processing_over_streaming_data_using_flink_spark.registry import register
+from query_processing_over_streaming_data_using_flink_spark.streaming.changelog import (
+    build_changelog,
+    changelog_sql,
+)
+from query_processing_over_streaming_data_using_flink_spark.streaming.retraction import q3_on_state
+
+# SQL forms of the size-derived parameters (DuckDB `//` = floor div on
+# positives, matching Python's // used on the Spark side).
+_N_SQL = "((SELECT count(*) FROM customer) + (SELECT count(*) FROM orders) + (SELECT count(*) FROM lineitem))"
+_W_SQL = f"(({_N_SQL} * 2) // 3)"
+_K_SQL = f"({_N_SQL} + {_N_SQL} // 2)"
+
+
+def _totals(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    from query_processing_over_streaming_data_using_flink_spark.sources.catalog import load_table
+
+    n = sum(load_table(spark, sf_dir, t).count() for t in ("customer", "orders", "lineitem"))
+    return (n * 2) // 3, n + n // 2
+
+
+def changelog_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generator output itself (reference:
+    `StreamDataProcessor.py:122-260`): ratio-interleaved inserts +
+    sliding-window deletes, truncated to the first K events to keep the
+    comparison bounded."""
+    w, k = _totals(spark, sf_dir)
+    return build_changelog(spark, sf_dir, window=w).filter(F.col("seq") <= k)
+
+
+def changelog_state_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net state sizes after consuming the first K events — verifies
+    insert/delete bookkeeping per relation."""
+    w, k = _totals(spark, sf_dir)
+    log = build_changelog(spark, sf_dir, window=w).filter(F.col("seq") <= k)
+    return log.groupBy("relation").agg(
+        F.count("*").alias("n_events"),
+        F.sum("op").alias("net_rows"),
+        F.sum(F.when(F.col("op") == 1, 1).otherwise(0)).alias("n_inserts"),
+        F.sum(F.when(F.col("op") == -1, 1).otherwise(0)).alias("n_deletes"),
+    )
+
+
+def changelog_q3_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 over the surviving sliding window at event K — what the
+    reference's dashboard shows mid-stream, computed by signed-weight
+    retraction (SURVEY §7 milestone 2c)."""
+    w, k = _totals(spark, sf_dir)
+    log = build_changelog(spark, sf_dir, window=w).filter(F.col("seq") <= k)
+    return q3_on_state(log)
+
+
+def _events_prefix_sql() -> str:
+    return f"SELECT * FROM ({changelog_sql(window=_W_SQL)}) WHERE seq <= {_K_SQL}"
+
+
+register(
+    "changelog_build",
+    changelog_build,
+    _events_prefix_sql(),
+)
+
+register(
+    "changelog_state_counts",
+    changelog_state_counts,
+    f"""
+    SELECT relation, count(*) AS n_events, sum(op) AS net_rows,
+           sum(CASE WHEN op = 1 THEN 1 ELSE 0 END) AS n_inserts,
+           sum(CASE WHEN op = -1 THEN 1 ELSE 0 END) AS n_deletes
+    FROM ({_events_prefix_sql()})
+    GROUP BY relation
+    """,
+)
+
+register(
+    "changelog_q3_current_state",
+    changelog_q3_current_state,
+    f"""
+    WITH events AS ({_events_prefix_sql()}),
+    cust_state AS (
+      SELECT custkey, sum(op) AS w_c FROM events
+      WHERE relation = 'customer' AND mktsegment = 'BUILDING'
+      GROUP BY custkey, mktsegment HAVING sum(op) > 0
+    ),
+    ord_state AS (
+      SELECT orderkey, o_custkey, orderdate, sum(op) AS w_o FROM events
+      WHERE relation = 'orders' AND orderdate < TIMESTAMP '1995-03-15'
+      GROUP BY orderkey, o_custkey, orderdate HAVING sum(op) > 0
+    ),
+    li_state AS (
+      SELECT orderkey, linenumber, extendedprice, discount, sum(op) AS w_l
+      FROM events
+      WHERE relation = 'lineitem' AND shipdate > TIMESTAMP '1995-03-15'
+      GROUP BY orderkey, linenumber, extendedprice, discount, shipdate
+      HAVING sum(op) > 0
+    )
+    SELECT li.orderkey AS l_orderkey,
+           CAST(sum(w_c * w_o * w_l *
+                    CAST(round(extendedprice * (1 - discount) * 10000) AS BIGINT))
+                AS BIGINT) / 10000.0 AS revenue,
+           o.orderdate AS o_orderdate,
+           0 AS o_shippriority
+    FROM cust_state c
+    JOIN ord_state o ON c.custkey = o.o_custkey
+    JOIN li_state li ON li.orderkey = o.orderkey
+    GROUP BY li.orderkey, o.orderdate
+    HAVING revenue > 0
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 20
+    """,
+)

@@ -1,0 +1,211 @@
+"""Changelog (CDC event-stream) generator — the reference's
+`StreamDataProcessor.py:122-260` re-expressed as relational operators.
+
+The reference's Python generator merges the three TPC-H tables into one
+interleaved insert/delete event log:
+  * inserts preserve the table row-count ratios (6M:1.5M:150K —
+    `StreamDataProcessor.py:31-35,170-213`),
+  * once the sliding window (default = whole dataset,
+    `StreamDataProcessor.py:22`) is full, each new insert is preceded
+    by the deletion of the oldest still-live row (`:221-249` drains the
+    remaining deletes after the inserts are exhausted),
+  * each event carries only the columns the query needs (parse-time
+    projection, `TPCHQuery3_StreamProcessor.java:313-332`).
+
+Here the same stream is *declared*: per-relation insert index i →
+proportional position pos = (i * n_max) / n_rel → global insert rank g
+(row_number) → delete of insert g ordered right after insert g+W.
+Everything is exact integer arithmetic until one final IEEE division,
+so the DuckDB oracle reproduces the sequence bit-for-bit.
+
+Scale note: the global row_number() is a single-partition sort — fine
+for a data-prep job (the reference's generator is a sequential Python
+loop over 15.3M rows); at 100 TB assign seq per-partition and add
+cumulative partition offsets (two passes, no global sort). The
+*consumers* of the changelog never depend on a single partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from query_processing_over_streaming_data_using_flink_spark.sources.catalog import load_table
+
+# Unified projected payload schema (union of the reference's per-table
+# projections, `TPCHQuery3_StreamProcessor.java:313-332`).
+PAYLOAD_COLS = (
+    "custkey",
+    "mktsegment",
+    "orderkey",
+    "o_custkey",
+    "orderdate",
+    "linenumber",
+    "extendedprice",
+    "discount",
+    "shipdate",
+)
+
+_NULLS = {
+    "custkey": "CAST(NULL AS BIGINT)",
+    "mktsegment": "CAST(NULL AS STRING)",
+    "orderkey": "CAST(NULL AS BIGINT)",
+    "o_custkey": "CAST(NULL AS BIGINT)",
+    "orderdate": "CAST(NULL AS TIMESTAMP_NTZ)",
+    "linenumber": "CAST(NULL AS INT)",
+    "extendedprice": "CAST(NULL AS DOUBLE)",
+    "discount": "CAST(NULL AS DOUBLE)",
+    "shipdate": "CAST(NULL AS TIMESTAMP_NTZ)",
+}
+
+
+def _projected(spark: SparkSession, sf_dir: str, relation: str) -> DataFrame:
+    """Per-relation projection + deterministic insert index i."""
+    if relation == "customer":
+        df = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        order_cols, rel_rank = ["custkey"], 0
+    elif relation == "orders":
+        df = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_custkey").alias("o_custkey"),
+            F.col("o_orderdate").alias("orderdate"),
+        )
+        order_cols, rel_rank = ["orderkey"], 1
+    elif relation == "lineitem":
+        df = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            F.col("l_extendedprice").alias("extendedprice"),
+            F.col("l_discount").alias("discount"),
+            F.col("l_shipdate").alias("shipdate"),
+        )
+        order_cols, rel_rank = ["orderkey", "linenumber"], 2
+    else:
+        raise ValueError(relation)
+
+    w = Window.orderBy(*[F.asc(c) for c in order_cols])
+    df = df.withColumn("i", F.row_number().over(w))
+    for col in PAYLOAD_COLS:
+        if col not in df.columns:
+            df = df.withColumn(col, F.expr(_NULLS[col]))
+    return df.select(
+        F.lit(relation).alias("relation"),
+        F.lit(rel_rank).alias("rel_rank"),
+        "i",
+        *PAYLOAD_COLS,
+    )
+
+
+def build_changelog(spark: SparkSession, sf_dir: str, window: int | None = None) -> DataFrame:
+    """Build the interleaved insert/delete event stream.
+
+    Returns schema: (seq BIGINT, op INT {+1,-1}, relation STRING,
+    <PAYLOAD_COLS...>).  `window` = sliding-window capacity in rows
+    (None → insert-only changelog; reference default = dataset size →
+    all inserts then a full drain of deletes).
+    """
+    ins = (
+        _projected(spark, sf_dir, "customer")
+        .unionByName(_projected(spark, sf_dir, "orders"))
+        .unionByName(_projected(spark, sf_dir, "lineitem"))
+    )
+    counts = ins.groupBy("relation").agg(F.count("*").alias("n_rel"))
+    n_max = counts.agg(F.max("n_rel")).collect()[0][0]
+    n_total = counts.agg(F.sum("n_rel")).collect()[0][0]
+
+    # Proportional position: exact integer product, one IEEE division —
+    # bit-identical in DuckDB (see module docstring).
+    # i is row_number (int32); the product needs 64-bit room (ANSI mode
+    # raises on overflow rather than wrapping).
+    ins = ins.join(F.broadcast(counts), "relation").withColumn(
+        "pos", (F.col("i").cast("long") * F.lit(int(n_max))) / F.col("n_rel")
+    )
+    g_w = Window.orderBy(F.asc("pos"), F.asc("rel_rank"), F.asc("i"))
+    ordered = ins.withColumn("g", F.row_number().over(g_w))
+
+    inserts = ordered.select(
+        F.lit(1).alias("op"),
+        "relation",
+        *PAYLOAD_COLS,
+        F.col("g").alias("k1"),
+        F.lit(0).alias("k2"),
+        F.col("g").alias("k3"),
+    )
+    if window is None:
+        events = inserts
+    else:
+        # Delete of insert g is emitted right after insert g+window;
+        # once inserts are exhausted the remaining deletes drain in
+        # insertion order (reference phase 2, StreamDataProcessor.py:221-249).
+        deletes = ordered.select(
+            F.lit(-1).alias("op"),
+            "relation",
+            *PAYLOAD_COLS,
+            F.least(F.col("g") + F.lit(int(window)), F.lit(int(n_total))).alias("k1"),
+            F.lit(1).alias("k2"),
+            F.col("g").alias("k3"),
+        )
+        events = inserts.unionByName(deletes)
+
+    seq_w = Window.orderBy(F.asc("k1"), F.asc("k2"), F.asc("k3"))
+    return events.withColumn("seq", F.row_number().over(seq_w)).select(
+        "seq", "op", "relation", *PAYLOAD_COLS
+    )
+
+
+def changelog_sql(window: int | None = None, prefix: str = "") -> str:
+    """DuckDB oracle SQL mirroring `build_changelog` exactly (same
+    integer arithmetic, same orderings). `prefix` prefixes the base
+    table view names (e.g. 'smoke_')."""
+    w_ins = "row_number() OVER (ORDER BY pos, rel_rank, i)"
+    deletes = (
+        ""
+        if window is None
+        else f"""
+    UNION ALL
+    SELECT -1 AS op, relation, custkey, mktsegment, orderkey, o_custkey,
+           orderdate, linenumber, extendedprice, discount, shipdate,
+           least(g + {window}, (SELECT count(*) FROM ins)) AS k1, 1 AS k2, g AS k3
+    FROM ordered"""
+    )
+    return f"""
+WITH ins AS (
+  SELECT 'customer' AS relation, 0 AS rel_rank,
+         row_number() OVER (ORDER BY c_custkey) AS i,
+         c_custkey AS custkey, c_mktsegment AS mktsegment,
+         CAST(NULL AS BIGINT) AS orderkey, CAST(NULL AS BIGINT) AS o_custkey,
+         CAST(NULL AS TIMESTAMP) AS orderdate, CAST(NULL AS INT) AS linenumber,
+         CAST(NULL AS DOUBLE) AS extendedprice, CAST(NULL AS DOUBLE) AS discount,
+         CAST(NULL AS TIMESTAMP) AS shipdate
+  FROM {prefix}customer
+  UNION ALL
+  SELECT 'orders', 1, row_number() OVER (ORDER BY o_orderkey),
+         NULL, NULL, o_orderkey, o_custkey, o_orderdate, NULL, NULL, NULL, NULL
+  FROM {prefix}orders
+  UNION ALL
+  SELECT 'lineitem', 2, row_number() OVER (ORDER BY l_orderkey, l_linenumber),
+         NULL, NULL, l_orderkey, NULL, NULL, l_linenumber,
+         l_extendedprice, l_discount, l_shipdate
+  FROM {prefix}lineitem
+),
+counts AS (SELECT relation, count(*) AS n_rel FROM ins GROUP BY relation),
+positioned AS (
+  SELECT ins.*, (i * (SELECT max(n_rel) FROM counts)) / n_rel AS pos
+  FROM ins JOIN counts USING (relation)
+),
+ordered AS (SELECT *, {w_ins} AS g FROM positioned),
+events AS (
+  SELECT 1 AS op, relation, custkey, mktsegment, orderkey, o_custkey,
+         orderdate, linenumber, extendedprice, discount, shipdate,
+         g AS k1, 0 AS k2, g AS k3
+  FROM ordered{deletes}
+)
+SELECT row_number() OVER (ORDER BY k1, k2, k3) AS seq, op, relation,
+       custkey, mktsegment, orderkey, o_custkey, orderdate, linenumber,
+       extendedprice, discount, shipdate
+FROM events
+"""

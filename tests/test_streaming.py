@@ -1,0 +1,148 @@
+"""Streaming-core tests: changelog generation invariants, signed-weight
+retraction, IVM stream-batch equivalence (the reference's convergence
+criterion, README.md:154-159), and native Structured Streaming
+windowed aggregation.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.conftest import SF_SMOKE
+from query_processing_over_streaming_data_using_flink_spark.plans.tpch import q3_shipping_priority
+from query_processing_over_streaming_data_using_flink_spark.sources.catalog import load_table
+from query_processing_over_streaming_data_using_flink_spark.streaming.changelog import build_changelog
+from query_processing_over_streaming_data_using_flink_spark.streaming.ivm import run_streaming_q3
+from query_processing_over_streaming_data_using_flink_spark.streaming.retraction import (
+    changelog_state,
+    q3_on_state,
+)
+
+
+def _rows(df):
+    return sorted([tuple(r) for r in df.collect()], key=repr)
+
+
+def test_changelog_insert_only_counts(spark):
+    log = build_changelog(spark, SF_SMOKE)
+    n = {t: load_table(spark, SF_SMOKE, t).count() for t in ("customer", "orders", "lineitem")}
+    per_rel = {r["relation"]: r["n"] for r in log.groupBy("relation").agg(F.count("*").alias("n")).collect()}
+    assert per_rel == n
+    total = sum(n.values())
+    seqs = log.agg(F.min("seq"), F.max("seq"), F.countDistinct("seq")).collect()[0]
+    assert tuple(seqs) == (1, total, total)
+
+
+def test_changelog_ratio_interleave(spark):
+    """Within any prefix, table proportions track the global ratios
+    (reference StreamDataProcessor.py:170-213)."""
+    log = build_changelog(spark, SF_SMOKE)
+    total = log.count()
+    prefix = log.filter(F.col("seq") <= total // 10)
+    counts = {r["relation"]: r["n"] for r in prefix.groupBy("relation").agg(F.count("*").alias("n")).collect()}
+    # sf0.001: 6000:1500:150 → a 765-event prefix holds ~600:150:15
+    assert abs(counts["lineitem"] - 40 * counts["customer"]) <= 41
+    assert abs(counts["orders"] - 10 * counts["customer"]) <= 11
+
+
+def test_full_cycle_drains_to_empty(spark):
+    """Insert+delete of every row → empty state (window = dataset)."""
+    n_total = sum(
+        load_table(spark, SF_SMOKE, t).count() for t in ("customer", "orders", "lineitem")
+    )
+    log = build_changelog(spark, SF_SMOKE, window=n_total)
+    assert log.count() == 2 * n_total
+    for rel in ("customer", "orders", "lineitem"):
+        assert changelog_state(log, rel, []).count() == 0
+    assert q3_on_state(log).count() == 0
+
+
+def test_insert_only_state_equals_batch_q3(spark):
+    """Signed-weight Q3 on an insert-only changelog == batch Q3."""
+    log = build_changelog(spark, SF_SMOKE)
+    assert _rows(q3_on_state(log)) == _rows(q3_shipping_priority(spark, SF_SMOKE))
+
+
+def test_ivm_stream_matches_batch_state(spark, tmp_path):
+    """Micro-batched IVM over the full windowed changelog converges to
+    the same Top-20 as the one-shot signed-weight evaluation."""
+    n_total = sum(
+        load_table(spark, SF_SMOKE, t).count() for t in ("customer", "orders", "lineitem")
+    )
+    w = (n_total * 2) // 3
+    k = n_total + n_total // 2
+    log = build_changelog(spark, SF_SMOKE, window=w).filter(F.col("seq") <= k)
+
+    changelog_dir = str(tmp_path / "changelog")
+    # Many files → many micro-batches, deliberately unordered vs seq.
+    log.repartition(8).write.parquet(changelog_dir)
+
+    emissions = []
+    result = run_streaming_q3(
+        spark,
+        changelog_dir,
+        str(tmp_path / "state"),
+        files_per_trigger=2,
+        on_progress=lambda e, df: emissions.append(e),
+    )
+    assert len(emissions) >= 3, "expected multiple micro-batches"
+    assert _rows(result) == _rows(q3_on_state(log))
+
+
+def test_native_streaming_windowed_agg(spark, tmp_path):
+    """Structured Streaming tumbling-window aggregation with watermark
+    over the events table == its batch equivalent (idiomatic-Spark
+    upgrade of the reference's processing-time-only semantics,
+    SURVEY §2.9)."""
+    events = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "events_src")
+    # One file per ~week, written in chronological order (increasing
+    # mtime) so micro-batches advance event time monotonically — a
+    # realistic stream; random file order would legitimately drop
+    # whole out-of-order chunks past the watermark.
+    for lo, hi in (("2024-01-01", "2024-01-08"), ("2024-01-08", "2024-01-15"),
+                   ("2024-01-15", "2024-01-22"), ("2024-01-22", "2024-02-01")):
+        (events.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+         .coalesce(1).write.mode("append").parquet(src))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        # Watermarks require TIMESTAMP (with local tz); session tz is UTC.
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .select(F.col("window.start").alias("day"), "event_type", "n", "v")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_agg")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT day, event_type, n, round(v, 4) AS v FROM win_agg")
+    want = (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("v"))
+    )
+    # Watermark in append mode withholds the final (unclosed) window;
+    # compare on the windows the stream emitted.
+    got_rows = {tuple(r[:2]): tuple(r) for r in got.collect()}
+    want_rows = {tuple(r[:2]): tuple(r) for r in want.collect()}
+    assert got_rows, "stream emitted nothing"
+    for key, row in got_rows.items():
+        assert row == want_rows[key]
+    # The final day's windows stay open at the last watermark (5 event
+    # types × 1 day) — correct append-mode behavior.
+    assert len(got_rows) >= len(want_rows) - 5
