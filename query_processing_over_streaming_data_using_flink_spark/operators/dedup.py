@@ -1,0 +1,230 @@
+"""Deduplication operators for LLM training-data pipelines (driver
+mandate, SURVEY.md §2.11): exact, MinHash+LSH, SimHash, and n-gram
+Jaccard — all as DataFrame compositions with shared deterministic
+hashing (`functions.scalar.md5_hash64`), so every one of them is
+oracle-checkable in DuckDB.
+
+Scale design (100 TB stance):
+  * exact dedup — hash-groupBy: one shuffle on a 16-byte digest, no
+    text comparison; canonical row = min doc_id.
+  * MinHash+LSH — per-doc signature is a pure projection (no shuffle);
+    the only shuffle is the equi-join on (band, band_key), whose
+    output is ~candidate pairs, not O(n²). Verification re-computes
+    true Jaccard only on candidates.
+  * SimHash — projection to a 16-bit key + self-join on the key
+    (optionally on rotations for hamming>0), again near-linear.
+  * n-gram Jaccard — the O(n²)-within-block baseline; blocked by a
+    cheap key (lang) to bound the quadratic term. The oracle for the
+    others and the fallback for small blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from query_processing_over_streaming_data_using_flink_spark.operators.text import (
+    doc_fingerprint,
+    shingle_hashes,
+    tokens,
+)
+from query_processing_over_streaming_data_using_flink_spark.functions.scalar import md5_hash64
+
+# MinHash parameters — shared verbatim with the SQL oracle builder.
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+MINHASH_PERMS: tuple[tuple[int, int], ...] = (
+    (1610612741, 12345), (805306457, 67890), (402653189, 24680),
+    (201326611, 13579), (100663319, 97531), (50331653, 86420),
+    (25165843, 11111), (12582917, 22222), (6291469, 33333),
+    (3145739, 44444), (1572869, 55555), (786433, 66666),
+)
+MINHASH_BANDS = 4  # 4 bands × 3 rows
+MINHASH_ROWS = 3
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content fingerprint: every doc labeled with its
+    group's canonical (min) doc_id — `is_canonical = keep`."""
+    fp = docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("group_size"))
+    return (
+        fp.join(canon, "fp")
+        .select(
+            "doc_id",
+            "canonical_id",
+            "group_size",
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )
+
+
+def _perm_expr(h: Column, a: int, b: int) -> Column:
+    return (F.lit(a) * (h % MINHASH_P) + F.lit(b)) % MINHASH_P
+
+
+def minhash_signature(text: Column) -> Column:
+    """Array of MinHash values, one per permutation, over distinct
+    3-gram shingle hashes."""
+    hashes = shingle_hashes(text)
+
+    def perm(a: int, b: int):
+        return lambda h: _perm_expr(h, a, b)
+
+    return F.array(
+        *[F.array_min(F.transform(hashes, perm(a, b))) for a, b in MINHASH_PERMS]
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """MinHash + banded LSH candidate generation, then exact Jaccard
+    verification on candidates only.
+
+    Signature: 12 perms → 4 bands × 3 rows. Docs sharing any band key
+    become candidates; candidates are verified with true shingle-set
+    Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard)."""
+    sigs = docs.select(
+        "doc_id",
+        shingle_hashes(F.col("text")).alias("shingles"),
+        minhash_signature(F.col("text")).alias("sig"),
+    ).filter(F.size("shingles") > 0)
+
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        md5_hash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[band * MINHASH_ROWS + r].cast("string")
+                                    for r in range(MINHASH_ROWS)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for band in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
+
+    left = bands.alias("x")
+    right = bands.alias("y")
+    candidates = (
+        left.join(
+            right,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float, block_col: str = "lang") -> DataFrame:
+    """All-pairs n-gram Jaccard within blocks — exact near-dup baseline
+    (quadratic within a block; use MinHash-LSH at scale)."""
+    sh = docs.select(
+        F.col(block_col).alias("blk"), "doc_id", shingle_hashes(F.col("text")).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = sh.select(F.col("blk"), F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("blk"), F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(b, ["blk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+SIMHASH_BITS = 16
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over token hashes: per bit, sum +1/-1 across
+    tokens (with multiplicity); bit set iff the sum is positive."""
+    toks = tokens(text)
+    th = F.transform(toks, lambda t: md5_hash64(t))
+
+    def bit_step(i: int):
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(1 << i)) > 0, 1
+        ).otherwise(-1)
+
+    out = F.lit(0)
+    for i in range(SIMHASH_BITS):
+        bit_sum = F.aggregate(th, F.lit(0), bit_step(i))
+        out = out + F.when(bit_sum > 0, F.lit(1 << i)).otherwise(0)
+    return out
+
+
+# Band boundaries: 16 bits → 3 bands (6+5+5). Two keys within
+# hamming ≤ 2 must agree exactly on at least one band (pigeonhole).
+SIMHASH_BAND_SHIFTS = ((0, 0x3F), (6, 0x1F), (11, 0x1F))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """SimHash near-dup pairs via banded self-join: by pigeonhole, any
+    pair within hamming ≤ 2 matches exactly on ≥1 of 3 bands, so the
+    join is on (band, band_value) — near-linear, no all-pairs scan —
+    then verified with bit_count(xor)."""
+    sh = docs.select("doc_id", simhash16(F.col("text")).alias("sh"))
+    bands = sh.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("sh", shift).bitwiseAND(F.lit(mask)).alias("bval"),
+                    )
+                    for i, (shift, mask) in enumerate(SIMHASH_BAND_SHIFTS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sh", "bk.band", "bk.bval")
+    a = bands.alias("x")
+    b = bands.alias("y")
+    return (
+        a.join(
+            b,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bval") == F.col("y.bval"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.sh").alias("sh_a"),
+            F.col("y.sh").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,129 @@
+"""Text-analysis operators for LLM training-data pipelines (driver
+mandate, SURVEY.md §2.11 — no reference counterpart).
+
+All operators are pure Catalyst column expressions over a tokenized
+`documents.text` — JVM-side, codegen'd, no Python in the hot path, and
+each has an exact DuckDB oracle (the SQL builders live in
+`plans/suite_llm_data.py`, sharing the constants below).
+
+At 100 TB these are embarrassingly parallel scans: no shuffle at all
+until an aggregate sits on top, so they run at full read bandwidth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from query_processing_over_streaming_data_using_flink_spark.functions.scalar import md5_hash64
+
+TOKEN_SPLIT_RE = r"\s+"
+
+# Tiny per-language stopword lists for the heuristic language-ID.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ein"),
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "los", "las", "y", "una"),
+    "fr": ("le", "les", "et", "une", "du"),
+    "zh": ("的", "是", "在", "了", "和"),
+}
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, TOKEN_SPLIT_RE)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (the 'token counting' primitive; a BPE-ish
+    subword estimate is chars/4 — provided as `token_estimate_bpe`)."""
+    return F.size(tokens(text))
+
+
+def token_estimate_bpe(text: Column) -> Column:
+    """Deterministic BPE-ish token estimate: ceil(chars / 4) — the
+    standard rule-of-thumb proxy when no tokenizer is available."""
+    return F.ceil(F.length(text) / F.lit(4.0)).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Share of characters that are not alphanumeric/whitespace."""
+    stripped = F.regexp_replace(text, r"[^a-zA-Z0-9\s]", "")
+    return (F.length(text) - F.length(stripped)) / F.length(text)
+
+
+def stopword_count(toks: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(text)
+    return stopword_count(toks, lang) / F.size(toks)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: rewards reasonable length,
+    penalizes punctuation noise, rewards natural stopword density.
+    Deterministic double arithmetic (same expression tree as the SQL
+    oracle)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    length_part = F.least(F.lit(1.0), n / F.lit(50.0))
+    punct_part = F.lit(1.0) - punct_ratio(text)
+    stop_part = F.least(F.lit(1.0), (stopword_count(toks, "en") / n) * F.lit(5.0))
+    return length_part * F.lit(0.4) + punct_part * F.lit(0.3) + stop_part * F.lit(0.3)
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language-ID: argmax stopword hits across the known
+    languages, ties broken by language code order — the n-gram
+    heuristic class of classifier, exact in SQL."""
+    toks = tokens(text)
+    scored = F.array(
+        *[
+            F.struct(
+                stopword_count(toks, lang).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    # array_max on struct compares fieldwise: (hits, lang); to prefer
+    # the *lowest* lang code on ties we invert: take max hits, then min
+    # lang among maxima.
+    max_hits = F.array_max(F.transform(scored, lambda s: s["hits"]))
+    return F.array_min(
+        F.filter(scored, lambda s: s["hits"] == max_hits).getField("lang")
+    )
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed
+    whitespace, trimmed."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Exact content fingerprint: md5 of the normalized text."""
+    return F.md5(normalized_text(text))
+
+
+def shingles(toks: Column, k: int = 3) -> Column:
+    """Word k-gram shingles — the near-dup unit. Token-level sets are
+    useless on small vocabularies; k-grams explode the space so random
+    docs share few."""
+    # sequence(0, n) flips to descending when n < 0 — guard short docs.
+    return F.when(F.size(toks) < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+        )
+    )
+
+
+def shingle_hashes(text: Column, k: int = 3) -> Column:
+    """Distinct 60-bit hashes of the k-gram shingles (shared md5-based
+    hash — DuckDB-reproducible)."""
+    return F.array_distinct(
+        F.transform(shingles(tokens(text), k), lambda s: md5_hash64(s))
+    )

@@ -1,1 +1,392 @@
-"""LLM-data-pipeline operator suite — filled in Milestone 3."""
+"""LLM-training-data operator suite (driver mandate, SURVEY.md §2.11):
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+cosine), similarity search (brute-force + LSH ANN), text analysis
+(tokens, quality, lang-ID, fingerprints) and multimodal metadata —
+each with an exact DuckDB oracle.
+
+The oracle SQL is *generated from the same constants* as the Spark
+operators (hash construction, MinHash permutations, band layout,
+stopword lists), so the check is semantic, not coincidental. The only
+shared primitives are md5 (bit-identical in both engines) and IEEE
+double arithmetic in matching expression order (verified: list_reduce
+sums ≡ F.aggregate folds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from query_processing_over_streaming_data_using_flink_spark.operators import dedup as dd
+from query_processing_over_streaming_data_using_flink_spark.operators import multimodal as mm
+from query_processing_over_streaming_data_using_flink_spark.operators import similarity as sim
+from query_processing_over_streaming_data_using_flink_spark.operators import text as tx
+from query_processing_over_streaming_data_using_flink_spark.registry import register
+from query_processing_over_streaming_data_using_flink_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# SQL fragment builders (DuckDB dialect), mirroring operators/* expressions.
+# ---------------------------------------------------------------------------
+
+_TOKENS = r"regexp_split_to_array(text, '\s+')"
+_H64 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"  # == md5_hash64
+
+
+def _shingles_sql(tokens_expr: str, k: int = 3) -> str:
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return (
+        f"[{parts} for i in range(1, greatest(len(t) - {k - 1}, 0) + 1)]"
+        .replace("t[", f"{tokens_expr}[")
+        .replace("len(t)", f"len({tokens_expr})")
+    )
+
+
+def _shingle_hashes_sql() -> str:
+    sh = _shingles_sql("toks")
+    return f"list_distinct(list_transform({sh}, s -> {_H64.format(x='s')}))"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce([{x}[i] * {y}[i] for i in range(1, len({x}) + 1)], (p, q) -> p + q)"
+        )
+
+    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+
+def _sig_sql(v: str, bits: int = sim.SIG_BITS, offset: int = 0) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {v}[{offset + i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    return f"({terms})"
+
+
+def _lsh_tables_sql(src: str, id_alias: str) -> str:
+    """UNION ALL of per-table (tbl, sig) rows mirroring sim._lsh_tables."""
+    return " UNION ALL ".join(
+        f"SELECT vec_id AS {id_alias}, vec, {t} AS tbl, "
+        f"{_sig_sql('vec', sim.LSH_BITS, t * sim.LSH_BITS)} AS sig FROM {src}"
+        for t in range(sim.LSH_TABLES)
+    )
+
+
+def _simhash_sql(tokens_expr: str) -> str:
+    th = f"list_transform({tokens_expr}, s -> {_H64.format(x='s')})"
+    terms = []
+    for i in range(dd.SIMHASH_BITS):
+        bit_sum = (
+            f"list_reduce(list_transform(th, h -> CASE WHEN (h & {1 << i}) > 0 "
+            f"THEN 1 ELSE -1 END), (p, q) -> p + q)"
+        ).replace("th", th)
+        terms.append(f"(CASE WHEN {bit_sum} > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _stop_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in tx.STOPWORDS[lang])
+    return f"len(list_filter(toks, s -> s IN ({words})))"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text metrics: token counts (whitespace + BPE-ish
+    estimate), punctuation ratio, stopword ratio, composite quality
+    score. One scan, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        tx.token_count(text).alias("n_tokens"),
+        tx.token_estimate_bpe(text).alias("n_tokens_bpe"),
+        F.round(tx.punct_ratio(text), 6).alias("punct_ratio"),
+        F.round(tx.stopword_ratio(text, "en"), 6).alias("stop_ratio_en"),
+        F.round(tx.quality_score(text), 6).alias("quality"),
+    )
+
+
+_TEXT_STATS_SQL = f"""
+SELECT doc_id, lang,
+       len(toks) AS n_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe,
+       round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / length(text), 6) AS punct_ratio,
+       round({_stop_hits_sql('en')} / len(toks), 6) AS stop_ratio_en,
+       round(least(1.0, len(toks) / 50.0) * 0.4
+             + (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / length(text)) * 0.3
+             + least(1.0, ({_stop_hits_sql('en')} / len(toks)) * 5.0) * 0.3, 6) AS quality
+FROM (SELECT *, {_TOKENS} AS toks FROM documents)
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID (stopword argmax) vs the labeled lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        tx.lang_id(F.col("text")).alias("lang_pred"),
+    ).withColumn("is_match", (F.col("lang") == F.col("lang_pred")).cast("int"))
+
+
+_LANG_CASES = " ".join(
+    f"WHEN {_stop_hits_sql(lang)} = m THEN '{lang}'" for lang in sorted(tx.STOPWORDS)
+)
+_LANG_MAX = "greatest(" + ", ".join(_stop_hits_sql(lang) for lang in sorted(tx.STOPWORDS)) + ")"
+_TEXT_LANG_SQL = f"""
+SELECT doc_id, lang, lang_pred, CAST(lang = lang_pred AS INT) AS is_match
+FROM (
+  SELECT doc_id, lang, CASE {_LANG_CASES} END AS lang_pred
+  FROM (SELECT *, {_TOKENS} AS toks, {_LANG_MAX} AS m FROM documents)
+)
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: exact md5 of normalized text + 16-bit
+    SimHash (near-dup sketch)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.doc_fingerprint(F.col("text")).alias("fingerprint"),
+        dd.simhash16(F.col("text")).alias("simhash"),
+    )
+
+
+_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       {_simhash_sql(_TOKENS)} AS simhash
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+_DEDUP_EXACT_SQL = """
+WITH fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+canon AS (SELECT fp, min(doc_id) AS canonical_id, count(*) AS group_size FROM fp GROUP BY fp)
+SELECT doc_id, canonical_id, group_size, doc_id = canonical_id AS is_canonical
+FROM fp JOIN canon USING (fp)
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.35)
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT lang AS blk, doc_id, {_shingle_hashes_sql()} AS sh
+  FROM (SELECT *, {_TOKENS} AS toks FROM documents)
+  WHERE len({_shingles_sql('toks')}) > 0
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sh, b.sh))
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.35)
+
+
+def _minhash_sql() -> str:
+    perms = ", ".join(
+        f"list_min(list_transform(sh, h -> ({a} * (h % {dd.MINHASH_P}) + {b}) % {dd.MINHASH_P}))"
+        for a, b in dd.MINHASH_PERMS
+    )
+    band_rows = []
+    for band in range(dd.MINHASH_BANDS):
+        concat = " || ',' || ".join(
+            f"CAST(sig[{band * dd.MINHASH_ROWS + r + 1}] AS VARCHAR)"
+            for r in range(dd.MINHASH_ROWS)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {band} AS band, "
+            f"{_H64.format(x=concat)} AS band_key FROM sigs"
+        )
+    bands_union = " UNION ALL ".join(band_rows)
+    return f"""
+WITH docs_sh AS (
+  SELECT doc_id, {_shingle_hashes_sql()} AS sh
+  FROM (SELECT *, {_TOKENS} AS toks FROM documents)
+),
+sigs AS (
+  SELECT doc_id, sh, [{perms}] AS sig FROM docs_sh WHERE len(sh) > 0
+),
+bands AS ({bands_union}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(a.sh, b.sh))
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+FROM cand JOIN sigs a ON cand.doc_a = a.doc_id JOIN sigs b ON cand.doc_b = b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=2)
+
+
+def _simhash_pairs_sql() -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, sh, {i} AS band, (sh >> {shift}) & {mask} AS bval FROM sh"
+        for i, (shift, mask) in enumerate(dd.SIMHASH_BAND_SHIFTS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_simhash_sql(_TOKENS)} AS sh FROM documents
+),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sh AS sh_a, y.sh AS sh_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, sh_a, sh_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 2
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.2)
+
+
+def _cosine_pairs_sql(threshold: float) -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         {_sig_sql('(embedding::DOUBLE[])')} AS sig
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_cosine_sql('a.vec', 'b.vec')}, 6) AS sim
+FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id
+WHERE {_cosine_sql('a.vec', 'b.vec')} >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_N_QUERIES = 20
+
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _N_QUERIES)
+
+
+def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.knn_bruteforce(e, _queries_df(spark, sf_dir), k=5)
+
+
+_ANN_BF_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         {_cosine_sql('q.vec', 'c.vec')} AS sim
+  FROM (SELECT * FROM e WHERE vec_id < {_N_QUERIES}) q
+  JOIN e c ON q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 5
+"""
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.knn_lsh(e, _queries_df(spark, sf_dir), k=5)
+
+
+_ANN_LSH_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+eq AS (SELECT * FROM e WHERE vec_id < {_N_QUERIES}),
+qt AS ({_lsh_tables_sql('eq', 'q_id')}),
+ct AS ({_lsh_tables_sql('e', 'n_id')}),
+cand AS (
+  SELECT DISTINCT q.q_id, q.vec AS q_vec, c.n_id, c.vec AS n_vec
+  FROM ct c JOIN qt q ON c.tbl = q.tbl AND c.sig = q.sig AND q.q_id <> c.n_id
+),
+scored AS (
+  SELECT q_id, n_id, {_cosine_sql('q_vec', 'n_vec')} AS sim FROM cand
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media plumbing: attach a binary content column, extract
+    typed metadata via the Arrow-batched mapInPandas decoder (fake
+    decode — see operators/multimodal.py). The oracle reproduces the
+    fake decoder's hash arithmetic in SQL, so even the Pandas-UDF path
+    is value-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.attach_binary_content(docs)
+    return mm.decode_image_meta(media).select(
+        "doc_id", "media_type", "width", "height", "n_bytes", "content_md5"
+    )
+
+
+_MULTIMODAL_SQL = """
+SELECT doc_id,
+       'application/octet-stream' AS media_type,
+       CAST(64 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 1920 AS INT) AS width,
+       CAST(64 + (CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) >> 12) % 1080 AS INT) AS height,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# registration
+# ---------------------------------------------------------------------------
+
+register("text_stats", text_stats, _TEXT_STATS_SQL)
+register("text_lang_id", text_lang_id, _TEXT_LANG_SQL)
+register("doc_fingerprints", doc_fingerprints, _FINGERPRINT_SQL)
+register("dedup_exact", dedup_exact, _DEDUP_EXACT_SQL)
+register("dedup_ngram_jaccard", dedup_ngram_jaccard, _NGRAM_JACCARD_SQL)
+register("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_sql())
+register("dedup_simhash", dedup_simhash, _simhash_pairs_sql())
+register("dedup_embedding_cosine", dedup_embedding_cosine, _cosine_pairs_sql(0.2))
+register("ann_bruteforce", ann_bruteforce, _ANN_BF_SQL)
+register("ann_lsh", ann_lsh, _ANN_LSH_SQL)
+register("multimodal_meta", multimodal_meta, _MULTIMODAL_SQL)
