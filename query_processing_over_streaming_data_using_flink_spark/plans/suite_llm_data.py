@@ -148,12 +148,11 @@ FROM (
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: exact md5 of normalized text + 16-bit
-    SimHash (near-dup sketch)."""
+    SimHash (near-dup sketch; scalable explode-aggregate form)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        tx.doc_fingerprint(F.col("text")).alias("fingerprint"),
-        dd.simhash16(F.col("text")).alias("simhash"),
+    exact = docs.select("doc_id", tx.doc_fingerprint(F.col("text")).alias("fingerprint"))
+    return exact.join(
+        dd.simhash_df(docs).withColumnRenamed("sh", "simhash"), "doc_id"
     )
 
 
