@@ -194,6 +194,42 @@ def agg_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — all grouping-set
+    combinations (absent from the reference, SURVEY §2.4)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_items"), exact_sum(F.col("l_quantity"), 100).alias("sum_qty"))
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user sessions split at >30-minute gaps —
+    lag() to detect gaps, running sum of gap flags as the session id,
+    then per-session aggregates. The batch form of streaming
+    session_window (SURVEY §2.9: reference has no session semantics)."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    # tz-independent epoch seconds (ts is TIMESTAMP_NTZ; a direct long
+    # cast is unsupported and a via-ltz cast would depend on session tz)
+    secs = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    gap = F.when(secs - F.lag(secs, 1).over(w) > 1800, 1).otherwise(0)
+    sessions = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("new_session", gap)
+        .withColumn(
+            "session_no",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        exact_sum(F.col("value"), 100).alias("session_value"),
+    )
+
+
 def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchical aggregate (orderstatus → orderpriority) —
     grouping-set surface absent from the reference (SURVEY §2.4)."""
@@ -447,6 +483,41 @@ register(
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+register(
+    "agg_cube_lineitem",
+    agg_cube_lineitem,
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+
+register(
+    "sessionize_events",
+    sessionize_events,
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, session_no, count(*) AS n_events,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) AS TIMESTAMP) AS session_end,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS session_value
+    FROM sessions GROUP BY user_id, session_no
     """,
 )
 

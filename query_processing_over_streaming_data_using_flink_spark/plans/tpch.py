@@ -83,4 +83,32 @@ ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT 20
 """
 
+def q3_shipping_priority_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same flagship query through the SQL API (the reference's
+    oracle path is Flink SQL, `TPCHQuery3SQL_Batch.java:100-124`) —
+    Catalyst produces the same plan either way; registered separately
+    to cover the `spark.sql` entry surface."""
+    from query_processing_over_streaming_data_using_flink_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(
+        f"""
+        SELECT l_orderkey,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) / CAST(10000 AS DOUBLE) AS revenue,
+               o_orderdate,
+               0 AS o_shippriority
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = '{Q3_SEGMENT}'
+          AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+          AND l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 20
+        """
+    )
+
+
 register("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE_SQL)
+register("q3_shipping_priority_sql", q3_shipping_priority_sql, Q3_ORACLE_SQL)

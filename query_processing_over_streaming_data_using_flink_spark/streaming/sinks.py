@@ -1,0 +1,82 @@
+"""Output sinks — the reference's emission surface re-expressed as
+foreachBatch writers:
+
+  * console Top-N table   ← `outputTopN` printf loop
+    (`TPCHQuery3_StreamProcessor_no_websocket.java:627-649`)
+  * JSON-lines Top-N feed ← the WebSocket broadcast payload
+    `{"timestamp": ..., "data": [{rank, orderkey, revenue, orderdate,
+    shippriority}]}` (`TPCHQuery3_StreamProcessor.java:1036-1055`)
+
+The hand-rolled RFC-6455 server itself (`:584-974`) is infrastructure,
+not a query capability (SURVEY §7 non-goals); any process can tail the
+JSON-lines file or wrap it in a socket. The payload format is kept
+byte-compatible in spirit: rank/orderkey/revenue/orderdate/priority.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame
+
+
+def format_topn_console(top: DataFrame, n: int | None = None) -> str:
+    """Fixed-width console rendering of a Top-N result (the reference's
+    console sink format)."""
+    rows = top.collect() if n is None else top.limit(n).collect()
+    lines = [
+        f"{'rank':>4} | {'orderkey':>10} | {'revenue':>14} | {'orderdate':>10} | pri",
+        "-" * 55,
+    ]
+    for i, r in enumerate(rows, 1):
+        od = r["o_orderdate"]
+        lines.append(
+            f"{i:>4} | {r['l_orderkey']:>10} | {r['revenue']:>14.4f} | "
+            f"{od.date() if od is not None else '':>10} | {r['o_shippriority']}"
+        )
+    return "\n".join(lines)
+
+
+def topn_json_payload(top: DataFrame, ts: float | None = None) -> str:
+    """One JSON document per emission — the WebSocket broadcast payload
+    shape (`TPCHQuery3_StreamProcessor.java:1036-1052`)."""
+    rows = top.collect()
+    return json.dumps(
+        {
+            "timestamp": int((time.time() if ts is None else ts) * 1000),
+            "data": [
+                {
+                    "rank": i,
+                    "orderkey": r["l_orderkey"],
+                    "revenue": round(r["revenue"], 4),
+                    "orderdate": str(r["o_orderdate"].date()) if r["o_orderdate"] else None,
+                    "shippriority": r["o_shippriority"],
+                }
+                for i, r in enumerate(rows, 1)
+            ],
+        }
+    )
+
+
+class JsonLinesTopNSink:
+    """foreachBatch progress hook appending one JSON payload per
+    emission — pair with `IncrementalQ3` via run_streaming_q3's
+    on_progress."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def __call__(self, epoch_id: int, top: DataFrame) -> None:
+        with open(self.path, "a", encoding="utf-8") as fh:
+            fh.write(topn_json_payload(top) + "\n")
+
+
+class ConsoleTopNSink:
+    """foreachBatch progress hook printing the formatted table."""
+
+    def __call__(self, epoch_id: int, top: DataFrame) -> None:
+        print(f"=== epoch {epoch_id} ===")
+        print(format_topn_console(top))
