@@ -320,6 +320,14 @@ SELECT q_id, n_id, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 5
 """
 
 
+def ann_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact-kNN semantics through the vectorized pandas_udf path
+    (§2.10 UDF surface) — checked against the identical oracle as the
+    Catalyst-lambda version."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.knn_bruteforce_pandas(e, _queries_df(spark, sf_dir), k=5)
+
+
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return sim.knn_lsh(e, _queries_df(spark, sf_dir), k=5)
@@ -387,5 +395,6 @@ register("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_sql())
 register("dedup_simhash", dedup_simhash, _simhash_pairs_sql())
 register("dedup_embedding_cosine", dedup_embedding_cosine, _cosine_pairs_sql(0.2))
 register("ann_bruteforce", ann_bruteforce, _ANN_BF_SQL)
+register("ann_bruteforce_pandas", ann_bruteforce_pandas, _ANN_BF_SQL)
 register("ann_lsh", ann_lsh, _ANN_LSH_SQL)
 register("multimodal_meta", multimodal_meta, _MULTIMODAL_SQL)

@@ -354,6 +354,21 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON construction — the reference builds its sink payloads by
+    string concatenation (`TPCHQuery3_StreamProcessor.java:1036-1052`);
+    the engine surface is to_json(struct(...)), byte-identical to
+    DuckDB's to_json for int/string fields."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.to_json(F.struct("event_id", "event_type", "user_id")).alias("payload"),
+        )
+    )
+
+
 def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: one column per event_type holding per-user counts —
     reshaping surface (conditional aggregation at the oracle)."""
@@ -612,6 +627,18 @@ register(
     """
     SELECT event_id, event_type, CAST(props ->> '$.k' AS INT) AS k
     FROM events WHERE CAST(props ->> '$.k' AS INT) > 90
+    """,
+)
+
+register(
+    "events_to_json",
+    events_to_json,
+    """
+    SELECT event_id,
+           CAST(to_json(struct_pack(event_id := event_id,
+                                    event_type := event_type,
+                                    user_id := user_id)) AS VARCHAR) AS payload
+    FROM events WHERE event_type = 'purchase'
     """,
 )
 
