@@ -34,7 +34,7 @@ def format_topn_console(top: DataFrame, n: int | None = None) -> str:
         od = r["o_orderdate"]
         lines.append(
             f"{i:>4} | {r['l_orderkey']:>10} | {r['revenue']:>14.4f} | "
-            f"{od.date() if od is not None else '':>10} | {r['o_shippriority']}"
+            f"{str(od.date()) if od is not None else '':>10} | {r['o_shippriority']}"
         )
     return "\n".join(lines)
 

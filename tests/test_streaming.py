@@ -146,3 +146,52 @@ def test_native_streaming_windowed_agg(spark, tmp_path):
     # The final day's windows stay open at the last watermark (5 event
     # types × 1 day) — correct append-mode behavior.
     assert len(got_rows) >= len(want_rows) - 5
+
+
+def test_native_streaming_session_window(spark, tmp_path):
+    """session_window(ts, gap) streaming aggregation == the batch
+    sessionization operator (suite_relational.sessionize_events) on
+    session counts per user."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_relational import (
+        sessionize_events,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    # A far-future sentinel event (excluded below) pushes the final
+    # watermark past every real session so append mode closes them all;
+    # everything ships as ONE file/batch so nothing is ever late.
+    sentinel = spark.createDataFrame(
+        [(-1, "2024-06-01 00:00:00", -1, "click", 0.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    src = str(tmp_path / "sess_src")
+    events.unionByName(sentinel).coalesce(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_win")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events "
+        "FROM sess_win WHERE user_id >= 0 GROUP BY user_id"
+    )
+    want = (
+        sessionize_events(spark, SF_SMOKE)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events"))
+    )
+    g = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in got.collect()}
+    e = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in want.collect()}
+    assert g == e
