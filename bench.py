@@ -99,16 +99,19 @@ def main() -> None:
     bench("ann_bruteforce", lambda: _run(llm.ann_bruteforce(spark, sf_dir)))
     bench("text_stats", lambda: _run(llm.text_stats(spark, sf_dir)))
 
-    total = round(sum(timings.values()), 3)
+    # Headline value = the reference-comparable workload (BASELINE.md
+    # measures exactly this: consume the full insert+delete changelog
+    # and maintain Q3). The full suite wall-clock rides along in extra.
     print(
         json.dumps(
             {
-                "metric": "headline_suite_wall_clock",
-                "value": total,
+                "metric": "changelog_stream_q3_wall_clock (reference-comparable: "
+                "full insert+delete cycle incl. generation; suite details in queries)",
+                "value": timings["changelog_stream_q3"],
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "extra": extra,
+                "extra": {**extra, "suite_total_sec": round(sum(timings.values()), 3)},
             }
         )
     )

@@ -22,10 +22,12 @@ def revenue(extendedprice: str | Column = "l_extendedprice", discount: str | Col
 
 
 def ts_lit(date_str: str) -> Column:
-    """Date literal as timestamp — driver testdata stores DATE columns as
-    timestamp[ms] (FIXTURES.md §B), so comparisons use timestamp
-    literals; DuckDB oracle side uses ``TIMESTAMP 'yyyy-mm-dd'``."""
-    return F.lit(date_str).cast("timestamp")
+    """Date literal as TIMESTAMP_NTZ — driver testdata stores DATE
+    columns as naive timestamps (FIXTURES.md §B), which Spark reads as
+    TIMESTAMP_NTZ. An ntz literal keeps every comparison free of the
+    session timezone (an ltz literal would be coerced through it);
+    DuckDB oracle side uses ``TIMESTAMP 'yyyy-mm-dd'`` (also naive)."""
+    return F.lit(date_str).cast("timestamp_ntz")
 
 
 def exact_sum(col: Column, scale: int) -> Column:

@@ -166,10 +166,13 @@ def agg_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def agg_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregate (tumbling day) — the batch shape of a
-    streaming windowed agg; date_trunc keeps it JVM-side."""
+    streaming windowed agg. Truncation via to_date on the NTZ column
+    (date_trunc would round-trip through the session timezone)."""
     return (
         load_table(spark, sf_dir, "events")
-        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type"))
+        .groupBy(
+            F.to_date(F.col("ts")).cast("timestamp_ntz").alias("day"), F.col("event_type")
+        )
         .agg(F.count("*").alias("n_events"), exact_sum(F.col("value"), 100).alias("sum_value"))
     )
 
