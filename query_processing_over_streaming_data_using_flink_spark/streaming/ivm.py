@@ -19,6 +19,15 @@ cluster the same pipeline runs with Delta/Iceberg MERGE for the state
 tables and `foreachBatch` exactly-once semantics; state size is bounded
 by the live window, and every join key is hash-partitioned by Spark —
 no single-task bottleneck like the reference's keyBy(0) TopN.
+
+Throughput shape (measured, local[32], sf0.1 = 1.53M events): the state
+merge re-aggregates old∪delta each epoch, so per-epoch cost is
+O(state), amortized by batch size — 74K events/s at 4 emissions, 420K/s
+evaluated in one pass (bench.py), vs the reference's 215K/s. With a
+MERGE-capable state table (Delta) the merge becomes O(delta) and epoch
+cadence decouples from state size; parquet snapshots were also measured
+faster locally than localCheckpoint-based in-memory state (columnar
+compression beats block-manager row storage here).
 """
 
 from __future__ import annotations
