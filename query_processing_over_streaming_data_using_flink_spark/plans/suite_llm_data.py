@@ -382,6 +382,54 @@ FROM documents
 """
 
 
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation — the composite pipeline these
+    operators exist for: exact-dedup to canonical docs, then keep docs
+    passing token-count and quality gates; emit per-doc metrics plus
+    the dedup group size. One scan + one fingerprint shuffle; every
+    stage is a column expression, so the whole pipeline fuses."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    stats = docs.select(
+        "doc_id",
+        "lang",
+        tx.token_count(text).alias("n_tokens"),
+        F.round(tx.quality_score(text), 6).alias("quality"),
+    )
+    dedup = dd.exact_dedup(docs).select("doc_id", "group_size", "is_canonical")
+    return (
+        stats.join(dedup, "doc_id")
+        .filter(
+            F.col("is_canonical")
+            & (F.col("n_tokens") >= 20)
+            & (F.col("n_tokens") <= 500)
+            & (F.col("quality") >= 0.5)
+        )
+        .select("doc_id", "lang", "n_tokens", "quality", "group_size")
+    )
+
+
+_CURATION_SQL = f"""
+WITH stats AS (
+  SELECT doc_id, lang, len(toks) AS n_tokens,
+         round(least(1.0, len(toks) / 50.0) * 0.4
+               + (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / length(text)) * 0.3
+               + least(1.0, ({_stop_hits_sql('en')} / len(toks)) * 5.0) * 0.3, 6) AS quality
+  FROM (SELECT *, {_TOKENS} AS toks FROM documents)
+),
+fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+canon AS (SELECT fp, min(doc_id) AS canonical_id, count(*) AS group_size FROM fp GROUP BY fp)
+SELECT doc_id, lang, n_tokens, quality, group_size
+FROM stats
+JOIN fp USING (doc_id)
+JOIN canon USING (fp)
+WHERE doc_id = canonical_id AND n_tokens BETWEEN 20 AND 500 AND quality >= 0.5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
@@ -398,3 +446,4 @@ register("ann_bruteforce", ann_bruteforce, _ANN_BF_SQL)
 register("ann_bruteforce_pandas", ann_bruteforce_pandas, _ANN_BF_SQL)
 register("ann_lsh", ann_lsh, _ANN_LSH_SQL)
 register("multimodal_meta", multimodal_meta, _MULTIMODAL_SQL)
+register("curation_pipeline", curation_pipeline, _CURATION_SQL)

@@ -246,6 +246,37 @@ def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- §2.5 sort / limit / top-k -------------------------------------------------
 
 
+def agg_median_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median (order-statistics aggregate) — Spark's
+    percentile() matches DuckDB's quantile_cont bit-for-bit on doubles."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("median"),
+            F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def agg_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): per-type, per-user,
+    and grand-total aggregates in one pass."""
+    from query_processing_over_streaming_data_using_flink_spark.sources.catalog import load_table as _lt
+
+    _lt(spark, sf_dir, "events").createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT event_type, user_id, count(*) AS n,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / CAST(100 AS DOUBLE) AS sum_value
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (user_id), ())
+        """
+    )
+
+
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k (reference: ORDER BY ... LIMIT 20 / TopNFunction).
     Plans as TakeOrderedAndProject — bounded heaps, no global sort."""
@@ -546,6 +577,30 @@ register(
     SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
     FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+
+register(
+    "agg_median_order_price",
+    agg_median_order_price,
+    """
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.5) AS median,
+           quantile_cont(o_totalprice, 0.75) AS p75,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+
+register(
+    "agg_grouping_sets_events",
+    agg_grouping_sets_events,
+    """
+    SELECT event_type, user_id, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id), ())
     """,
 )
 
