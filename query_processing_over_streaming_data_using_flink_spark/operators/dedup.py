@@ -245,6 +245,63 @@ def simhash_df(docs: DataFrame) -> DataFrame:
     return sums.select("doc_id", sh.alias("sh"))
 
 
+def dedup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Near-duplicate *clusters*: connected components over a pair
+    relation (doc_a, doc_b), labeled by the component's min doc_id.
+
+    Iterative min-label propagation as pure DataFrame ops: each round,
+    every doc takes the min of its own label and its neighbors' labels;
+    converges in O(component diameter) rounds — tiny for dedup graphs,
+    which are near-cliques. The driver-side loop iterates *rounds*, not
+    rows; every round is one distributed join+aggregate, so the
+    operator scales with the cluster, not the driver. (The classic
+    large-star/small-star optimization halves rounds on adversarial
+    graphs; unnecessary for near-clique dedup components.)
+
+    Returns (doc_id, cluster_id, cluster_size).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    out = labels.join(sizes, "label").select(
+        "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
+    )
+    edges.unpersist()
+    return out
+
+
 # Band boundaries: 16 bits → 3 bands (6+5+5). Two keys within
 # hamming ≤ 2 must agree exactly on at least one band (pigeonhole).
 SIMHASH_BAND_SHIFTS = ((0, 0x3F), (6, 0x1F), (11, 0x1F))

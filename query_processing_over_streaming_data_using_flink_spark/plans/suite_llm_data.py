@@ -382,6 +382,107 @@ FROM documents
 """
 
 
+def dedup_clusters_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components (min-label
+    propagation) over the n-gram-Jaccard pair graph — an iterative
+    DataFrame algorithm, oracle-checked against a DuckDB recursive-CTE
+    transitive closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.35)
+    return dd.dedup_clusters(docs, pairs)
+
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+sh AS (
+  SELECT lang AS blk, doc_id, {_shingle_hashes_sql()} AS sh
+  FROM (SELECT *, {_TOKENS} AS toks FROM documents)
+  WHERE len({_shingles_sql('toks')}) > 0
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT doc_id, doc_id AS label FROM documents
+  UNION
+  SELECT e.src AS doc_id, r.label FROM edges e JOIN reach r ON e.dst = r.doc_id
+),
+labels AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id)
+SELECT doc_id, cluster_id, cluster_size FROM labels JOIN sizes USING (cluster_id)
+"""
+
+
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency table (top-100): explode + count — the
+    Zipf-curve primitive behind vocabulary builders. At scale this is
+    one shuffle with map-side combine."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tx.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(100)
+    )
+
+
+_TOKEN_FREQ_SQL = f"""
+SELECT token, count(*) AS freq
+FROM (SELECT unnest({_TOKENS}) AS token FROM documents)
+GROUP BY token
+ORDER BY freq DESC, token
+LIMIT 100
+"""
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition ratio: 1 - distinct_3grams/total_3grams —
+    the standard repetitiousness signal for LLM-corpus filtering.
+    Computed relationally (one pass over shingle rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tx.tokens(F.col("text"))).alias("pos", "tok")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = toks.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)).alias(
+            "shingle"
+        ),
+        F.lead("tok", 2).over(w).alias("tail"),
+    ).filter(F.col("tail").isNotNull())
+    return sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.countDistinct("shingle").alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("shingle") / F.count(F.lit(1)), 6
+        ).alias("repetition_ratio"),
+    )
+
+
+_REPETITION_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_shingles_sql('toks')}) AS shingle
+  FROM (SELECT *, {_TOKENS} AS toks FROM documents)
+)
+SELECT doc_id, count(*) AS n_shingles,
+       count(DISTINCT shingle) AS n_distinct,
+       round(1.0 - count(DISTINCT shingle) / count(*), 6) AS repetition_ratio
+FROM sh GROUP BY doc_id
+"""
+
+
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation — the composite pipeline these
     operators exist for: exact-dedup to canonical docs, then keep docs
@@ -447,3 +548,6 @@ register("ann_bruteforce_pandas", ann_bruteforce_pandas, _ANN_BF_SQL)
 register("ann_lsh", ann_lsh, _ANN_LSH_SQL)
 register("multimodal_meta", multimodal_meta, _MULTIMODAL_SQL)
 register("curation_pipeline", curation_pipeline, _CURATION_SQL)
+register("token_frequencies", token_frequencies, _TOKEN_FREQ_SQL)
+register("text_repetition", text_repetition, _REPETITION_SQL)
+register("dedup_clusters_ngram", dedup_clusters_ngram, _CLUSTERS_SQL)

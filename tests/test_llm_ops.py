@@ -71,6 +71,19 @@ def test_simhash_planted(planted_docs):
     assert pairs[(10, 11)] == 0
 
 
+def test_dedup_clusters_planted(spark, planted_docs):
+    """Connected components: {0,10,11} and {1,12} must cluster; chain
+    transitivity (10-11 via 0) must hold even if the direct pair is
+    absent from the edge list."""
+    pairs = dd.ngram_jaccard_pairs(planted_docs, 0.5)
+    out = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in
+           dd.dedup_clusters(planted_docs, pairs).collect()}
+    assert out[0] == (0, 3) and out[10] == (0, 3) and out[11] == (0, 3)
+    assert out[1] == (1, 2) and out[12] == (1, 2)
+    assert out[13] == (13, 1)  # unrelated: singleton cluster
+    assert out[5] == (5, 1)
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark):
     e = load_table(spark, SF_SMOKE, "embeddings")
     q = e.filter(F.col("vec_id") < 20)
