@@ -302,6 +302,43 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     return out
 
 
+def decontaminate(docs: DataFrame, eval_pred: Column) -> DataFrame:
+    """Benchmark decontamination: find training documents that share
+    k-gram shingles with an eval/benchmark subset (`eval_pred` marks
+    eval docs). The standard pre-training hygiene step — eval overlap
+    silently inflates downstream benchmark scores.
+
+    Plan shape for 100 TB: shingle-hash both sides relationally (one
+    pass, `text.shingle_hash_rows`), then equi-join train shingles
+    against the eval shingle set. The eval side is orders of magnitude
+    smaller than the corpus (benchmarks are MBs, corpora are TBs), so
+    it is broadcast — the contamination check costs one corpus scan
+    and zero fact-table shuffles. If the eval set ever outgrows
+    broadcast range, drop the hint and it degrades to a hash join on
+    the shingle hash.
+
+    Returns (doc_id, n_shared_shingles, n_eval_docs) for contaminated
+    training docs only.
+    """
+    from query_processing_over_streaming_data_using_flink_spark.operators.text import shingle_hash_rows
+
+    rows = shingle_hash_rows(docs.select("doc_id", "text"))
+    eval_ids = docs.filter(eval_pred).select("doc_id")
+    eval_rows = (
+        rows.join(F.broadcast(eval_ids), "doc_id")
+        .select(F.col("doc_id").alias("eval_doc_id"), "h")
+    )
+    train_rows = rows.join(F.broadcast(eval_ids), "doc_id", "left_anti")
+    return (
+        train_rows.join(F.broadcast(eval_rows), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_shared_shingles"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+        )
+    )
+
+
 # Band boundaries: 16 bits → 3 bands (6+5+5). Two keys within
 # hamming ≤ 2 must agree exactly on at least one band (pigeonhole).
 SIMHASH_BAND_SHIFTS = ((0, 0x3F), (6, 0x1F), (11, 0x1F))

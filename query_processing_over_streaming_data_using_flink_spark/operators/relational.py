@@ -56,6 +56,70 @@ def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
     return df.orderBy(*order).limit(k)
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+    tiebreak: str,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """As-of (backward) join: for each left row, attach the payload of
+    the latest right row with the same key and ``right_ts <= left_ts``
+    (ties on timestamp broken by the largest ``tiebreak``, a right-side
+    column; left rows need none — right rows sort before left rows at
+    equal timestamps, and equal-ts left rows all observe the same
+    state). Left rows with no prior right row keep NULL payload
+    (left-join semantics).
+
+    No Spark built-in expresses this (it's not in the reference either
+    — SURVEY.md §2.3 'no as-of joins'), and the naive formulation
+    (range join + per-row max) explodes quadratically per key. This is
+    the scalable union-trick plan: tag both sides, union, and take
+    ``last(payload, ignorenulls)`` over a key-partitioned window
+    ordered by (ts, side, tiebreak) with right rows sorting before
+    left rows at equal timestamps. Exactly ONE shuffle (the window
+    partitionBy), no row explosion, no per-key state on the driver —
+    at 100 TB this is a single sort-based exchange, the same cost as
+    any keyed aggregation of both inputs.
+    """
+    r_struct = F.struct(*[F.col(c) for c in payload])
+    r_type = right.select(r_struct.alias("_r")).schema["_r"].dataType
+    tb_type = right.schema[tiebreak].dataType
+    lhs = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(None).cast(tb_type).alias("_tb"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(r_type).alias("_r"),
+    )
+    rhs = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.col(tiebreak).alias("_tb"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(lhs.schema["_l"].dataType).alias("_l"),
+        r_struct.alias("_r"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_is_left", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        lhs.unionByName(rhs)
+        .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_is_left") == 1)
+    )
+    return matched.select(
+        *[F.col("_l")[c].alias(c) for c in left.columns],
+        *[F.col("_m")[c].alias(f"{prefix}{c}") for c in payload],
+    )
+
+
 def salted_equi_join(
     left: DataFrame,
     right: DataFrame,

@@ -156,3 +156,34 @@ def shingle_hash_rows(docs, k: int = 3):
         F.lead("tok", k - 1).over(w).alias("tail"),
     ).filter(F.col("tail").isNotNull())
     return sh.select("doc_id", md5_hash64(F.col("shingle")).alias("h")).distinct()
+
+
+def sample_hash(id_col: Column, salt: str = "smp") -> Column:
+    """Deterministic per-row sampling hash in [0, 1000): md5-based, so
+    it is reproducible across runs, engines (DuckDB oracle shares the
+    md5 bits), cluster sizes, and partitionings — unlike `df.sample`,
+    whose output depends on partition layout. Salting the key decouples
+    this draw from any other hash use of the same id."""
+    return md5_hash64(F.concat(F.lit(salt + ":"), id_col.cast("string"))) % 1000
+
+
+def stratified_sample(docs, rates_permille: dict[str, int], strata_col: str = "lang"):
+    """Deterministic stratified sampling — corpus rebalancing (e.g.
+    downsample the dominant language, keep the rest). `rates_permille`
+    maps stratum → keep-rate in ‰.
+
+    The rates are joined in as a broadcast dimension rather than baked
+    into a CASE expression: with thousands of strata (domains, source
+    crawls) the dim stays a table, the scan stays one pass, and there
+    is no shuffle at all — filter only. Rows in strata missing from
+    the map are dropped (explicit policy beats silent pass-through)."""
+    spark = docs.sparkSession
+    rates = spark.createDataFrame(
+        [(k, v) for k, v in sorted(rates_permille.items())],
+        f"{strata_col} string, rate_permille int",
+    )
+    return (
+        docs.join(F.broadcast(rates), strata_col)
+        .filter(sample_hash(F.col("doc_id")) < F.col("rate_permille"))
+        .drop("rate_permille")
+    )

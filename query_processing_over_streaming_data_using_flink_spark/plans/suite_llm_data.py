@@ -551,3 +551,55 @@ register("curation_pipeline", curation_pipeline, _CURATION_SQL)
 register("token_frequencies", token_frequencies, _TOKEN_FREQ_SQL)
 register("text_repetition", text_repetition, _REPETITION_SQL)
 register("dedup_clusters_ngram", dedup_clusters_ngram, _CLUSTERS_SQL)
+
+
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any 3-gram
+    shingle with the eval subset (deterministically marked as
+    doc_id % 53 == 0). One corpus scan + broadcast of the (small) eval
+    shingle set — no fact-table shuffle (`operators/dedup.py:
+    decontaminate`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.decontaminate(docs, F.col("doc_id") % 53 == 0)
+
+
+_DECONTAM_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_shingle_hashes_sql()}) AS h
+  FROM (SELECT *, {_TOKENS} AS toks FROM documents)
+  WHERE len({_shingles_sql('toks')}) > 0
+)
+SELECT t.doc_id,
+       count(DISTINCT t.h) AS n_shared_shingles,
+       count(DISTINCT e.doc_id) AS n_eval_docs
+FROM sh t JOIN sh e ON t.h = e.h
+WHERE t.doc_id % 53 <> 0 AND e.doc_id % 53 = 0
+GROUP BY t.doc_id
+"""
+
+
+SAMPLE_RATES_PERMILLE = {"en": 300, "de": 800, "es": 800, "fr": 800, "zh": 800}
+
+
+def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: downsample dominant 'en' to
+    30%, keep other languages at 80% — corpus rebalancing with an
+    md5 draw that is reproducible across engines and partitionings
+    (`operators/text.py:stratified_sample`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.stratified_sample(docs.select("doc_id", "lang", "source"),
+                                SAMPLE_RATES_PERMILLE).select("doc_id", "lang", "source")
+
+
+_SAMPLE_SQL = """
+WITH rates(lang, rate_permille) AS (VALUES
+    ('de', 800), ('en', 300), ('es', 800), ('fr', 800), ('zh', 800))
+SELECT doc_id, documents.lang, source
+FROM documents JOIN rates ON documents.lang = rates.lang
+WHERE CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 1000 < rate_permille
+"""
+
+
+register("decontaminate_eval_overlap", decontaminate_eval_overlap, _DECONTAM_SQL)
+register("sample_stratified_lang", sample_stratified_lang, _SAMPLE_SQL)

@@ -26,10 +26,12 @@ from pyspark.sql.window import Window
 from query_processing_over_streaming_data_using_flink_spark.functions.scalar import (
     exact_avg,
     exact_sum,
+    exact_sum_sql,
     revenue,
     ts_lit,
 )
 from query_processing_over_streaming_data_using_flink_spark.operators.relational import (
+    asof_join,
     equi_join,
     top_k,
     top_k_per_group,
@@ -711,5 +713,91 @@ register(
            count(*) FILTER (event_type = 'signup')   AS signup,
            count(*) FILTER (event_type = 'error')    AS error
     FROM events GROUP BY user_id
+    """,
+)
+
+
+def join_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: each click event picks up the latest
+    prior purchase by the same user — the point-in-time-correct
+    feature-lookup pattern. Union-trick plan: one shuffle, no range
+    explosion (`operators/relational.py:asof_join`; oracle = DuckDB
+    LATERAL top-1, the O(n²) spec form)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=["event_id", "value"],
+        tiebreak="event_id",
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("last_purchase_id"),
+        F.col("asof_value").alias("last_purchase_value"),
+    )
+
+
+def join_range_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band/range join: orders against a price-tier dimension on
+    `lo <= o_totalprice < hi`. The tier dim is tiny → broadcast
+    nested-loop is the *correct* plan (k rows × n, k≈4); at no scale
+    does this shuffle the fact table."""
+    tiers = spark.createDataFrame(
+        [
+            ("budget", 0.0, 50_000.0),
+            ("mid", 50_000.0, 150_000.0),
+            ("high", 150_000.0, 300_000.0),
+            ("premium", 300_000.0, 600_000.0),
+        ],
+        "tier string, lo double, hi double",
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    joined = orders.join(
+        F.broadcast(tiers),
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+    )
+    return joined.groupBy("tier").agg(
+        F.count("*").alias("n_orders"),
+        exact_sum(F.col("o_totalprice"), 100).alias("sum_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+register(
+    "join_asof_purchase",
+    join_asof_purchase,
+    """
+    SELECT c.event_id, c.user_id,
+           p.event_id AS last_purchase_id, p.value AS last_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN LATERAL (
+        SELECT event_id, value FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = c.user_id AND p.ts <= c.ts
+        ORDER BY p.ts DESC, p.event_id DESC LIMIT 1
+    ) p ON TRUE
+    """,
+)
+
+register(
+    "join_range_price_tiers",
+    join_range_price_tiers,
+    f"""
+    WITH tiers(tier, lo, hi) AS (VALUES
+        ('budget', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+        ('high', 150000.0, 300000.0), ('premium', 300000.0, 600000.0))
+    SELECT tier, count(*) AS n_orders,
+           {exact_sum_sql('o_totalprice', 100)} AS sum_price,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY tier
     """,
 )

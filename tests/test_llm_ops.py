@@ -163,3 +163,27 @@ def test_lang_id_deterministic(spark):
         [(2, "der hund und die katze sind ein team")], "doc_id long, text string"
     )
     assert de.select(tx.lang_id(F.col("text"))).collect()[0][0] == "de"
+
+
+def test_decontaminate_planted(planted_docs):
+    """Eval set = {0}: its exact dups 10/11 must be flagged with full
+    shingle overlap; unrelated doc 13 must not appear."""
+    out = {r["doc_id"]: r for r in dd.decontaminate(planted_docs, F.col("doc_id") == 0).collect()}
+    assert 10 in out and 11 in out
+    assert out[10]["n_shared_shingles"] == 28  # 30 tokens -> 28 3-grams
+    assert out[10]["n_eval_docs"] == 1
+    assert 13 not in out
+    assert 0 not in out, "eval docs themselves are not reported"
+
+
+def test_stratified_sample_deterministic(planted_docs):
+    rates = {"en": 500}
+    a = sorted(r["doc_id"] for r in tx.stratified_sample(planted_docs, rates).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in tx.stratified_sample(planted_docs.repartition(7), rates).collect()
+    )
+    assert a == b, "sample must be independent of partitioning"
+    zero = tx.stratified_sample(planted_docs, {"en": 0}).count()
+    full = tx.stratified_sample(planted_docs, {"en": 1000}).count()
+    assert zero == 0 and full == planted_docs.count()

@@ -121,3 +121,43 @@ def test_no_cartesian_in_lsh_candidates(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     plan = _optimized(minhash_lsh_pairs(docs, 0.5))
     assert "CartesianProduct" not in plan and "cartesian" not in plan.lower()
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right at-or-before each left ts; ties on
+    ts resolved to the largest tiebreak; no prior right -> NULL."""
+    from query_processing_over_streaming_data_using_flink_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 25, 101), (2, 5, 102), (3, 30, 103)],
+        "k long, ts long, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 200, 1.0), (1, 10, 201, 2.0), (1, 20, 202, 3.0), (2, 6, 203, 4.0)],
+        "k long, ts long, rid long, v double",
+    )
+    out = {
+        r["lid"]: (r["asof_rid"], r["asof_v"])
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            payload=["rid", "v"], tiebreak="rid",
+        ).collect()
+    }
+    assert out[100] == (201, 2.0), "equal-ts right rows are visible; max tiebreak wins"
+    assert out[101] == (202, 3.0)
+    assert out[102] == (None, None), "right row at ts=6 is after left ts=5"
+    assert out[103] == (None, None), "no rows for key 3"
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union-trick plan must contain exactly one exchange (the
+    window partitionBy) — no join node, no range explosion."""
+    from query_processing_over_streaming_data_using_flink_spark.operators.relational import asof_join
+
+    left = spark.range(10).selectExpr("id as k", "id as ts", "id as lid")
+    right = spark.range(10).selectExpr("id as k", "id as ts", "id as rid")
+    plan = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", payload=["rid"], tiebreak="rid"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
