@@ -56,6 +56,51 @@ def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
     return df.orderBy(*order).limit(k)
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    rank_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense global rank (≡ ``row_number() OVER (ORDER BY order_cols)``
+    for a unique ordering key) WITHOUT a single-partition sort.
+
+    ``Window.orderBy`` with no partitionBy collapses to one task — the
+    classic scale killer. This is the two-pass form: range-repartition
+    on the ordering key (parallel sort), then rank = cumulative count
+    of the preceding partitions + position within the partition.
+    Within-partition positions come from `monotonically_increasing_id`,
+    which is contiguous per partition after `sortWithinPartitions`; the
+    per-partition offsets are a tiny (num_partitions)-row aggregate
+    broadcast back. Result is the deterministic global rank regardless
+    of how the range sampler draws boundaries.
+
+    Requires `order_cols` to be a unique key (ties could straddle a
+    range boundary and within-partition ids don't see across it).
+    One exchange + one persisted pass — the plan you want at 100 TB.
+    """
+    cols = list(order_cols)
+    part = df.repartitionByRange(*([num_partitions] if num_partitions else []), *cols)
+    part = (
+        part.sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .persist()
+    )
+    bounds = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        part.groupBy("_pid")
+        .agg(F.min("_mid").alias("_first"), F.count(F.lit(1)).alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(bounds), F.lit(0)))
+        .select("_pid", "_first", "_off")
+    )
+    return (
+        part.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, (F.col("_off") + F.col("_mid") - F.col("_first") + 1).cast("int"))
+        .drop("_pid", "_mid", "_first", "_off")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -18,20 +18,40 @@ proportional position pos = (i * n_max) / n_rel → global insert rank g
 Everything is exact integer arithmetic until one final IEEE division,
 so the DuckDB oracle reproduces the sequence bit-for-bit.
 
-Scale note: the global row_number() is a single-partition sort — fine
-for a data-prep job (the reference's generator is a sequential Python
-loop over 15.3M rows); at 100 TB assign seq per-partition and add
-cumulative partition offsets (two passes, no global sort). The
-*consumers* of the changelog never depend on a single partition.
+Scale note: every global rank here (`i`, `g`, `seq`) picks its plan
+by input size, the way Spark itself picks broadcast vs shuffle joins:
+below `RANK_SINGLE_TASK_MAX` rows a one-task `Window.orderBy`
+row_number wins (one sort, no persist/extra exchange); above it the
+rank switches to `operators/relational.py:global_rank` —
+range-repartitioned parallel sort + per-partition cumulative offsets —
+so no stage ever funnels 100 TB through one task. Both strategies emit
+the identical sequence (unique ordering keys); `global_rank` is
+equivalence-tested against row_number directly. (The reference's
+generator is a sequential Python loop over 15.3M rows,
+`StreamDataProcessor.py:122-260`.)
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
 from pyspark.sql.window import Window
 
+from query_processing_over_streaming_data_using_flink_spark.operators.relational import global_rank
 from query_processing_over_streaming_data_using_flink_spark.sources.catalog import load_table
+
+# Cost-based rank strategy cutover: a single-task sort of a few million
+# narrow rows beats the two-pass parallel rank (persist + extra
+# exchange + broadcast-back); beyond it, only the parallel form scales.
+RANK_SINGLE_TASK_MAX = 4_000_000
+
+
+def _rank(df: DataFrame, order_cols: list[str], name: str, n_rows: int) -> DataFrame:
+    if n_rows <= RANK_SINGLE_TASK_MAX:
+        w = Window.orderBy(*[F.asc(c) for c in order_cols])
+        return df.withColumn(name, F.row_number().over(w))
+    return global_rank(df, order_cols, name)
 
 # Unified projected payload schema (union of the reference's per-table
 # projections, `TPCHQuery3_StreamProcessor.java:313-332`).
@@ -60,7 +80,7 @@ _NULLS = {
 }
 
 
-def _projected(spark: SparkSession, sf_dir: str, relation: str) -> DataFrame:
+def _projected(spark: SparkSession, sf_dir: str, relation: str, n_rows: int) -> DataFrame:
     """Per-relation projection + deterministic insert index i."""
     if relation == "customer":
         df = load_table(spark, sf_dir, "customer").select(
@@ -87,8 +107,7 @@ def _projected(spark: SparkSession, sf_dir: str, relation: str) -> DataFrame:
     else:
         raise ValueError(relation)
 
-    w = Window.orderBy(*[F.asc(c) for c in order_cols])
-    df = df.withColumn("i", F.row_number().over(w))
+    df = _rank(df, order_cols, "i", n_rows)
     for col in PAYLOAD_COLS:
         if col not in df.columns:
             df = df.withColumn(col, F.expr(_NULLS[col]))
@@ -108,14 +127,22 @@ def build_changelog(spark: SparkSession, sf_dir: str, window: int | None = None)
     (None → insert-only changelog; reference default = dataset size →
     all inserts then a full drain of deletes).
     """
+    # Parquet row counts are metadata reads — one cheap job each, and
+    # they feed both the pos arithmetic and the rank-strategy choice.
+    sizes = {
+        rel: load_table(spark, sf_dir, rel).count()
+        for rel in ("customer", "orders", "lineitem")
+    }
+    n_max = max(sizes.values())
+    n_total = sum(sizes.values())
     ins = (
-        _projected(spark, sf_dir, "customer")
-        .unionByName(_projected(spark, sf_dir, "orders"))
-        .unionByName(_projected(spark, sf_dir, "lineitem"))
+        _projected(spark, sf_dir, "customer", sizes["customer"])
+        .unionByName(_projected(spark, sf_dir, "orders", sizes["orders"]))
+        .unionByName(_projected(spark, sf_dir, "lineitem", sizes["lineitem"]))
     )
-    counts = ins.groupBy("relation").agg(F.count("*").alias("n_rel"))
-    n_max = counts.agg(F.max("n_rel")).collect()[0][0]
-    n_total = counts.agg(F.sum("n_rel")).collect()[0][0]
+    counts = spark.createDataFrame(
+        [(k, v) for k, v in sizes.items()], "relation string, n_rel long"
+    )
 
     # Proportional position: exact integer product, one IEEE division —
     # bit-identical in DuckDB (see module docstring).
@@ -124,8 +151,7 @@ def build_changelog(spark: SparkSession, sf_dir: str, window: int | None = None)
     ins = ins.join(F.broadcast(counts), "relation").withColumn(
         "pos", (F.col("i").cast("long") * F.lit(int(n_max))) / F.col("n_rel")
     )
-    g_w = Window.orderBy(F.asc("pos"), F.asc("rel_rank"), F.asc("i"))
-    ordered = ins.withColumn("g", F.row_number().over(g_w))
+    ordered = _rank(ins, ["pos", "rel_rank", "i"], "g", n_total)
 
     inserts = ordered.select(
         F.lit(1).alias("op"),
@@ -151,8 +177,8 @@ def build_changelog(spark: SparkSession, sf_dir: str, window: int | None = None)
         )
         events = inserts.unionByName(deletes)
 
-    seq_w = Window.orderBy(F.asc("k1"), F.asc("k2"), F.asc("k3"))
-    return events.withColumn("seq", F.row_number().over(seq_w)).select(
+    n_events = n_total if window is None else 2 * n_total
+    return _rank(events, ["k1", "k2", "k3"], "seq", n_events).select(
         "seq", "op", "relation", *PAYLOAD_COLS
     )
 

@@ -161,3 +161,24 @@ def test_asof_join_single_shuffle(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_global_rank_matches_row_number(spark):
+    """global_rank must equal row_number over the total order, for any
+    input partitioning, and must not contain a single-partition sort."""
+    from pyspark.sql.window import Window
+    from query_processing_over_streaming_data_using_flink_spark.operators.relational import global_rank
+
+    df = (
+        spark.range(10007)
+        .selectExpr("(id * 2654435761) % 1000003 as k", "id as payload")
+        .repartition(13)
+    )
+    got = {r["k"]: r["rnk"] for r in global_rank(df, ["k"], "rnk").collect()}
+    want = {
+        r["k"]: r["rnk"]
+        for r in df.withColumn(
+            "rnk", __import__("pyspark").sql.functions.row_number().over(Window.orderBy("k"))
+        ).collect()
+    }
+    assert got == want
