@@ -195,3 +195,40 @@ def test_native_streaming_session_window(spark, tmp_path):
     g = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in got.collect()}
     e = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in want.collect()}
     assert g == e
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Duplicates split across micro-batches must still dedupe: the
+    watermarked fingerprint state survives between triggers, and the
+    survivor set equals the batch exact-dedup canonicals."""
+    from query_processing_over_streaming_data_using_flink_spark.streaming import dedup as sdd
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(200)
+    src = str(tmp_path / "docs_src")
+    # Same-content duplicates land in BOTH files; ts within one hour so
+    # the watermark horizon covers the whole replay.
+    half = docs.withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    (half.coalesce(1).write.mode("append").parquet(src))
+    (half.withColumn("ts", F.lit("2024-01-01 00:30:00").cast("timestamp"))
+         .coalesce(1).write.mode("append").parquet(src))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sdd.streaming_exact_dedup(stream, delay="2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT fingerprint, count(*) AS n FROM stream_dedup GROUP BY fingerprint")
+    assert got.filter(F.col("n") > 1).count() == 0, "a fingerprint was emitted twice"
+    n_distinct = (
+        sdd.with_fingerprint(docs).select("fingerprint").distinct().count()
+    )
+    assert got.count() == n_distinct, "survivor set != batch distinct fingerprints"
