@@ -603,3 +603,51 @@ WHERE CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BI
 
 register("decontaminate_eval_overlap", decontaminate_eval_overlap, _DECONTAM_SQL)
 register("sample_stratified_lang", sample_stratified_lang, _SAMPLE_SQL)
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (the index-structure scale path next to the LSH
+    one): deterministic quantized-integer centroids make the whole
+    index + search oracle-checkable (`operators/similarity.py:
+    knn_ivf`)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.knn_ivf(e, _queries_df(spark, sf_dir), k=5)
+
+
+_ANN_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+comp AS (
+  SELECT vec_id % {sim.IVF_CELLS} AS cell, t.i AS dim,
+         sum(CAST(floor(vec[t.i] * {sim.IVF_QUANT}) AS BIGINT)) AS s
+  FROM e, unnest(range(1, len(vec)+1)) AS t(i)
+  GROUP BY 1, 2
+),
+cents AS (SELECT cell, list(s::DOUBLE ORDER BY dim) AS cvec FROM comp GROUP BY cell),
+inv AS (
+  SELECT n_id, n_vec, cell FROM (
+    SELECT e.vec_id AS n_id, e.vec AS n_vec, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cosine_sql('e.vec', 'c.cvec')} DESC, c.cell) AS r
+    FROM e CROSS JOIN cents c) WHERE r = 1
+),
+probes AS (
+  SELECT q_id, q_vec, cell FROM (
+    SELECT q.vec_id AS q_id, q.vec AS q_vec, c.cell,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cosine_sql('q.vec', 'c.cvec')} DESC, c.cell) AS r
+    FROM (SELECT * FROM e WHERE vec_id < {_N_QUERIES}) q CROSS JOIN cents c)
+  WHERE r <= {sim.IVF_NPROBE}
+),
+scored AS (
+  SELECT q_id, n_id, {_cosine_sql('q_vec', 'n_vec')} AS sim
+  FROM inv JOIN probes USING (cell) WHERE q_id <> n_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 5
+"""
+
+
+register("ann_ivf", ann_ivf, _ANN_IVF_SQL)

@@ -187,3 +187,23 @@ def test_stratified_sample_deterministic(planted_docs):
     zero = tx.stratified_sample(planted_docs, {"en": 0}).count()
     full = tx.stratified_sample(planted_docs, {"en": 1000}).count()
     assert zero == 0 and full == planted_docs.count()
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF-flat probing 4/16 cells must recover a meaningful share of
+    the true top-5 (weakly clustered fixture data), and every reported
+    neighbor's similarity must be exact (it is scored, not estimated)."""
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    truth = {
+        (r["q_id"], r["n_id"]) for r in sim.knn_bruteforce(e, q, k=5).collect()
+    }
+    got_rows = sim.knn_ivf(e, q, k=5).collect()
+    got = {(r["q_id"], r["n_id"]) for r in got_rows}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.25, f"recall {recall}"
+    exact = {
+        (r["q_id"], r["n_id"]): r["sim"] for r in sim.knn_bruteforce(e, q, k=500).collect()
+    }
+    for r in got_rows:
+        assert abs(exact[(r["q_id"], r["n_id"])] - r["sim"]) < 1e-9
