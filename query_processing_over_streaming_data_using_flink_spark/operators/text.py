@@ -187,3 +187,74 @@ def stratified_sample(docs, rates_permille: dict[str, int], strata_col: str = "l
         .filter(sample_hash(F.col("doc_id")) < F.col("rate_permille"))
         .drop("rate_permille")
     )
+
+
+# PII scrubbing — RE2-safe patterns (no backrefs/lookaround) so Spark
+# (Java regex) and DuckDB (RE2) agree byte-for-byte.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?\d[\d() -]{7,}\d"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails then phone-number-shaped spans with typed tags —
+    the standard pre-training scrub. Order matters (emails contain
+    digit runs); applying email first makes the composition
+    deterministic."""
+    emails = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(emails, PII_PHONE_RE, "<PHONE>")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found by the same patterns `redact_pii`
+    replaces (phones counted after email removal, same as the scrub)."""
+    n_email = F.regexp_count(text, F.lit(PII_EMAIL_RE))
+    n_phone = F.regexp_count(
+        F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"), F.lit(PII_PHONE_RE)
+    )
+    return n_email, n_phone
+
+
+def quality_quartiles(docs, strata_col: str = "lang"):
+    """Corpus-relative quality gate: ntile(4) of `quality_score` within
+    each stratum (ties broken by doc_id so the assignment is total and
+    engine-independent). Downstream keeps quartile ≥ 2 or similar —
+    filtering against the corpus's own distribution rather than an
+    absolute threshold, which is how real curation pipelines gate.
+
+    One shuffle on the stratum; each stratum sorts in parallel."""
+    from pyspark.sql.window import Window
+
+    q = F.round(quality_score(F.col("text")), 6)
+    w = Window.partitionBy(strata_col).orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", strata_col, q.alias("quality"))
+        .withColumn("quartile", F.ntile(4).over(w))
+    )
+
+
+def pack_sequences(docs, budget_tokens: int = 2048, strata_col: str = "lang"):
+    """Concat-then-chunk sequence packing (the GPT-style pipeline step):
+    documents are laid out in deterministic order (doc_id) within each
+    stratum, token counts accumulate, and a document's sequence id is
+    its starting offset ÷ budget. Emits (doc_id, stratum, n_tokens,
+    seq_id, seq_offset).
+
+    Packing is per-stratum (monolingual sequences, parallel strata) —
+    the global-order variant would serialize on one task; if a single
+    stratum outgrows one task, sub-shard the stratum key the same way
+    the changelog's `global_rank` shards its sort."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id", strata_col, token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        toks.withColumn("seq_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn("seq_id", F.floor(F.col("seq_offset") / budget_tokens))
+        .withColumn("seq_offset", (F.col("seq_offset") % budget_tokens).cast("long"))
+    )

@@ -651,3 +651,83 @@ SELECT q_id, n_id, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 5
 
 
 register("ann_ivf", ann_ivf, _ANN_IVF_SQL)
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: per-doc email/phone counts + md5 of the redacted
+    text (RE2-safe patterns — Spark's Java regex and DuckDB's RE2
+    agree byte-for-byte; value-checked via the md5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_email, n_phone = tx.pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_phone.alias("n_phones"),
+        F.md5(tx.redact_pii(F.col("text"))).alias("redacted_md5"),
+    )
+
+
+_PII_SQL = (
+    "SELECT doc_id,\n"
+    "  len(regexp_extract_all(text, '" + tx.PII_EMAIL_RE + "')) AS n_emails,\n"
+    "  len(regexp_extract_all(regexp_replace(text, '" + tx.PII_EMAIL_RE
+    + "', '<EMAIL>', 'g'), '" + tx.PII_PHONE_RE + "')) AS n_phones,\n"
+    "  md5(regexp_replace(regexp_replace(text, '" + tx.PII_EMAIL_RE
+    + "', '<EMAIL>', 'g'), '" + tx.PII_PHONE_RE + "', '<PHONE>', 'g')) AS redacted_md5\n"
+    "FROM documents"
+)
+
+
+_QUALITY_EXPR = (
+    "round(least(1.0, len(toks) / 50.0) * 0.4"
+    " + (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / length(text)) * 0.3"
+    f" + least(1.0, ({_stop_hits_sql('en')} / len(toks)) * 5.0) * 0.3, 6)"
+)
+
+
+def text_quality_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality gate: per-language quality quartiles
+    (`operators/text.py:quality_quartiles`) — filter against the
+    corpus's own distribution, not an absolute threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.quality_quartiles(docs)
+
+
+_QUARTILES_SQL = f"""
+WITH q AS (
+  SELECT doc_id, lang, {_QUALITY_EXPR} AS quality
+  FROM (SELECT *, {_TOKENS} AS toks FROM documents)
+)
+SELECT doc_id, lang, quality,
+       ntile(4) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS quartile
+FROM q
+"""
+
+
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing into 2048-token budgets,
+    per-language (`operators/text.py:pack_sequences`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.pack_sequences(docs, budget_tokens=2048)
+
+
+_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, len({_TOKENS}) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(floor(cum / 2048) AS BIGINT) AS seq_id,
+       CAST(cum % 2048 AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
+register("text_pii_scrub", text_pii_scrub, _PII_SQL)
+register("text_quality_quartiles", text_quality_quartiles, _QUARTILES_SQL)
+register("pack_training_sequences", pack_training_sequences, _PACK_SQL)

@@ -207,3 +207,31 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     }
     for r in got_rows:
         assert abs(exact[(r["q_id"], r["n_id"])] - r["sim"]) < 1e-9
+
+
+def test_redact_pii_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org or call +1 (555) 123-4567 today"),
+         (2, "no pii here at all")],
+        "doc_id long, text string",
+    )
+    n_email, n_phone = tx.pii_counts(F.col("text"))
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", n_email.alias("e"), n_phone.alias("p"),
+        tx.redact_pii(F.col("text")).alias("red")).collect()}
+    assert out[1]["e"] == 1 and out[1]["p"] == 1
+    assert out[1]["red"] == "mail <EMAIL> or call <PHONE> today"
+    assert out[2]["e"] == 0 and out[2]["p"] == 0 and out[2]["red"] == "no pii here at all"
+
+
+def test_pack_sequences_invariants(spark):
+    """Offsets restart at each budget boundary; a document's sequence
+    id is its start offset / budget; layout is doc_id-ordered."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = tx.pack_sequences(docs, budget_tokens=256).collect()
+    by_lang = {}
+    for r in sorted(out, key=lambda r: (r["lang"], r["doc_id"])):
+        cum = by_lang.get(r["lang"], 0)
+        assert r["seq_id"] == cum // 256
+        assert r["seq_offset"] == cum % 256
+        by_lang[r["lang"]] = cum + r["n_tokens"]
