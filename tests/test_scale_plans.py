@@ -182,3 +182,37 @@ def test_global_rank_matches_row_number(spark):
         ).collect()
     }
     assert got == want
+
+
+# Queries where a BroadcastNestedLoopJoin is the *intended* plan: a
+# provably tiny broadcast side (query set / centroid table / tier dim)
+# against a non-equi or cross predicate. Everything else must stay free
+# of non-equi join fallbacks.
+_BNLJ_ALLOWED = {"ann_bruteforce", "ann_bruteforce_pandas", "ann_ivf", "join_range_price_tiers"}
+
+
+def test_all_registered_plans_free_of_red_flags(spark):
+    """Every registered query's executed plan must contain no
+    CartesianProduct (non-broadcast all-pairs), no row-at-a-time
+    Python UDF (BatchEvalPython), and BroadcastNestedLoopJoin only
+    where a tiny broadcast side makes it the right plan."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    bad = {}
+    for name, fn in sorted(mod.queries().items()):
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("CartesianProduct")
+        if "BatchEvalPython" in plan:
+            flags.append("row-at-a-time Python UDF")
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            flags.append("unexpected BroadcastNestedLoopJoin")
+        if flags:
+            bad[name] = flags
+    assert not bad, bad
