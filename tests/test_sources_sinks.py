@@ -75,3 +75,47 @@ def test_topn_sinks(spark, tmp_path):
     lines = open(out).read().strip().splitlines()
     assert len(lines) == 2
     assert json.loads(lines[1])["data"][0]["orderkey"] == payload["data"][0]["orderkey"]
+
+
+def test_wire_format_parse_reference_sample(spark):
+    """Parse lines in the reference's documented wire format
+    (SURVEY §1.3 / view_output.ipynb sample): positional projection
+    must match the Java parser (TPCHQuery3_StreamProcessor.java:301-338)."""
+    from query_processing_over_streaming_data_using_flink_spark.sources import wire
+
+    lines = spark.createDataFrame(
+        [
+            ("+LI1|155190|7706|1|17.00|21168.23|0.04|0.02|N|O|1996-03-13|1996-02-12|1996-03-22|DELIVER IN PERSON|TRUCK|x",),
+            ("+CU7|Customer#7|addr|15|25-989-741-2988|121.65|AUTOMOBILE|comment",),
+            ("-OR32|1301|O|218416.68|1995-07-16|2-HIGH|Clerk#616|0|c",),
+        ],
+        "value string",
+    )
+    rows = {r["relation"]: r for r in wire.parse_stream_lines(lines).collect()}
+    li = rows["lineitem"]
+    assert (li["op"], li["orderkey"], li["linenumber"]) == (1, 1, 1)
+    assert (li["extendedprice"], li["discount"]) == (21168.23, 0.04)
+    assert str(li["shipdate"]).startswith("1996-03-13")
+    cu = rows["customer"]
+    assert (cu["op"], cu["custkey"], cu["mktsegment"]) == (1, 7, "AUTOMOBILE")
+    orr = rows["orders"]
+    assert (orr["op"], orr["orderkey"], orr["o_custkey"]) == (-1, 32, 1301)
+    assert str(orr["orderdate"]).startswith("1995-07-16")
+
+
+def test_wire_format_roundtrip(spark, tmp_path):
+    """Engine changelog -> wire text -> parse must reproduce the exact
+    event multiset (op, relation, payload)."""
+    from query_processing_over_streaming_data_using_flink_spark.sources import wire
+    from query_processing_over_streaming_data_using_flink_spark.streaming.changelog import (
+        build_changelog,
+    )
+
+    log = build_changelog(spark, SF_SMOKE, window=1000)
+    path = str(tmp_path / "streamdata")
+    wire.format_stream_lines(log).write.text(path)
+    back = wire.read_streamdata(spark, path)
+    orig = log.drop("seq")
+    assert back.count() == orig.count()
+    assert back.exceptAll(orig).count() == 0
+    assert orig.exceptAll(back).count() == 0
