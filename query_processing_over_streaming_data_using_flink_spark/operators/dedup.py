@@ -105,24 +105,12 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """MinHash + banded LSH candidate generation, then exact Jaccard
-    verification on candidates only.
-
-    Signature: 12 perms → 4 bands × 3 rows. Docs sharing any band key
-    become candidates; candidates are verified with true shingle-set
-    Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard).
-
-    The signature table is cached: it feeds the band explode AND both
-    sides of the verification join, and recomputing shingle hashing
-    three times would dominate the runtime."""
-    sigs = (
-        minhash_signatures(docs)
-        .withColumnRenamed("sh", "shingles")
-        .persist()
-    )
-
-    bands = sigs.select(
+def band_keys(sigs: DataFrame) -> DataFrame:
+    """LSH band keys from a MinHash signature table (doc_id, sig):
+    one (doc_id, band, band_key) row per band, band_key = md5 of the
+    band's signature slice. Shared by the batch pair-finder and the
+    streaming near-dedup."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -144,6 +132,26 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.band_key")
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """MinHash + banded LSH candidate generation, then exact Jaccard
+    verification on candidates only.
+
+    Signature: 12 perms → 4 bands × 3 rows. Docs sharing any band key
+    become candidates; candidates are verified with true shingle-set
+    Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard).
+
+    The signature table is cached: it feeds the band explode AND both
+    sides of the verification join, and recomputing shingle hashing
+    three times would dominate the runtime."""
+    sigs = (
+        minhash_signatures(docs)
+        .withColumnRenamed("sh", "shingles")
+        .persist()
+    )
+
+    bands = band_keys(sigs)
 
     left = bands.alias("x")
     right = bands.alias("y")

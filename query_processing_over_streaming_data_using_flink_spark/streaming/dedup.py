@@ -17,10 +17,9 @@ whole design:
   state grows with the number of distinct documents. Correct for
   bounded backfills replayed as streams; documented footgun otherwise.
 
-Near-dup (MinHash) streaming dedup composes the same way: fingerprint
-→ band keys via `operators/dedup.py:minhash_signature`, then the same
-watermarked drop on the band key — kept out of here until a use case
-pins down the band-collision policy.
+Near-dup (MinHash-band) streaming dedup is `IncrementalNearDedup`
+below — a foreachBatch band-ownership state table with a deterministic
+first-wins/min-doc-id collision policy.
 """
 
 from __future__ import annotations
@@ -58,3 +57,85 @@ def streaming_exact_dedup_global(stream: DataFrame, text_col: str = "text") -> D
     """Unbounded-state exact dedup (first arrival ever wins). Only for
     bounded replays — state is O(distinct docs) with no eviction."""
     return with_fingerprint(stream, text_col).dropDuplicates(["fingerprint"])
+
+
+class IncrementalNearDedup:
+    """foreachBatch near-duplicate filter: MinHash-band ownership state
+    maintained across micro-batches (the streaming form of
+    `operators/dedup.py:minhash_lsh_pairs`, state-table pattern as in
+    `streaming/ivm.py`).
+
+    Policy (one pass per batch, deterministic for any batching):
+    * every band key has at most one owner doc — first epoch to claim
+      it wins; within an epoch the smallest doc_id wins,
+    * a doc is flagged `dup_of = min(owner)` over its bands owned by
+      another doc; docs with no foreign-owned band are admitted,
+    * unclaimed bands are claimed by the batch's min doc_id per band
+      (even if that doc was itself flagged — min-label spirit of
+      `dedup_clusters`; slight over-grouping, no order dependence).
+
+    Band collisions are *candidates*, not verified Jaccard matches —
+    the standard streaming tradeoff; run the batch verifier offline for
+    exact pairs. State is a (band_key, owner) table: parquet snapshots
+    here, Delta/Iceberg MERGE on a real cluster; the per-batch cost is
+    one equi-join of batch bands against state — hash-partitioned,
+    no single task ever sees the corpus.
+    """
+
+    def __init__(self, spark, state_dir: str) -> None:
+        import os
+
+        self.spark = spark
+        self.state_dir = state_dir
+        self.epoch = -1
+        self.verdicts: list = []
+        os.makedirs(state_dir, exist_ok=True)
+
+    def _state_path(self, epoch: int) -> str:
+        import os
+
+        return os.path.join(self.state_dir, f"bands_{epoch}")
+
+    def _state(self) -> DataFrame:
+        if self.epoch < 0:
+            return self.spark.createDataFrame([], "band_key long, owner long")
+        return self.spark.read.parquet(self._state_path(self.epoch))
+
+    def process_batch(self, batch: DataFrame, epoch: int) -> DataFrame:
+        """Apply one micro-batch of documents (doc_id, text). Returns
+        and records the verdict frame (doc_id, dup_of nullable)."""
+        from query_processing_over_streaming_data_using_flink_spark.operators import dedup as dd
+
+        bands = (
+            dd.band_keys(dd.minhash_signatures(batch.select("doc_id", "text")))
+            .select("doc_id", "band_key")
+            .distinct()
+            .persist()
+        )
+        state = self._state()
+        batch_owner = bands.groupBy("band_key").agg(F.min("doc_id").alias("batch_owner"))
+        owners = (
+            bands.join(state, "band_key", "left")
+            .join(batch_owner, "band_key")
+            .withColumn("eff_owner", F.coalesce(F.col("owner"), F.col("batch_owner")))
+        )
+        verdicts = (
+            owners.groupBy("doc_id")
+            .agg(
+                F.min(
+                    F.when(F.col("eff_owner") != F.col("doc_id"), F.col("eff_owner"))
+                ).alias("dup_of")
+            )
+        )
+        new_claims = (
+            owners.filter(F.col("owner").isNull())
+            .select("band_key", F.col("batch_owner").alias("owner"))
+            .distinct()
+        )
+        next_state = state.unionByName(new_claims)
+        next_state.write.mode("overwrite").parquet(self._state_path(epoch))
+        self.epoch = epoch
+        out = verdicts.select("doc_id", "dup_of")
+        self.verdicts.append(out.collect())
+        bands.unpersist()
+        return out

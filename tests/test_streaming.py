@@ -232,3 +232,30 @@ def test_streaming_exact_dedup(spark, tmp_path):
         sdd.with_fingerprint(docs).select("fingerprint").distinct().count()
     )
     assert got.count() == n_distinct, "survivor set != batch distinct fingerprints"
+
+
+def test_streaming_near_dedup_across_batches(spark, tmp_path):
+    """Band-ownership state must persist across micro-batches: exact
+    dups and a 1-word-changed near-dup arriving in a later batch get
+    flagged against their batch-1 canonicals; fresh docs are admitted."""
+    from query_processing_over_streaming_data_using_flink_spark.streaming.dedup import (
+        IncrementalNearDedup,
+    )
+
+    base = [" ".join(f"w{i}t{j}" for j in range(30)) for i in range(10)]
+    b1 = spark.createDataFrame(
+        [(i, base[i]) for i in range(10)], "doc_id long, text string"
+    )
+    near = base[1].replace("w1t15", "CHANGED")
+    b2 = spark.createDataFrame(
+        [(10, base[0]), (11, base[0]), (12, near),
+         (13, " ".join(f"zz{j}" for j in range(30)))],
+        "doc_id long, text string",
+    )
+    h = IncrementalNearDedup(spark, str(tmp_path / "state"))
+    v1 = {r["doc_id"]: r["dup_of"] for r in h.process_batch(b1, 0).collect()}
+    assert all(v is None for v in v1.values()), "batch 1 docs are all originals"
+    v2 = {r["doc_id"]: r["dup_of"] for r in h.process_batch(b2, 1).collect()}
+    assert v2[10] == 0 and v2[11] == 0, "exact dups flag their canonical"
+    assert v2[12] == 1, "near-dup flags its canonical"
+    assert v2[13] is None, "unrelated doc admitted"
