@@ -801,3 +801,87 @@ register(
     GROUP BY tier
     """,
 )
+
+
+_Q17_SQL = """
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0e0 / 7.0e0
+           AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#1'
+      AND l_quantity < (
+          SELECT 0.2 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery (per-part average
+    quantity threshold). One SQL string runs on BOTH engines: Spark
+    exercises Catalyst's subquery decorrelation (rewrites the
+    correlation into an aggregate + join — the scale-correct plan,
+    never a per-row probe), DuckDB is the oracle. Revenue sum is
+    cent-quantized (exact_sum form) for cross-engine determinism."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_Q17_SQL)
+
+
+def resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample: hourly event counts per type over the
+    complete hour spine (gaps -> 0) with forward-filled average value —
+    the gap-fill/ffill primitive of monitoring and feature pipelines.
+
+    The spine is generated (sequence over the observed bounds), the
+    type dim is broadcast (tiny × tiny grid), counts left-join in, and
+    the forward fill is one last(ignorenulls) window per type — a
+    single shuffle on event_type at any scale."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "hr", F.date_trunc("hour", F.col("ts"))
+    )
+    bounds = ev.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hr")
+    )
+    types = ev.select("event_type").distinct()
+    agg = ev.groupBy("hr", "event_type").agg(
+        F.count("*").alias("n"), exact_avg(F.col("value"), 100).alias("av")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(agg, ["hr", "event_type"], "left")
+        .select(
+            "hr",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.last(F.col("av"), ignorenulls=True).over(w).alias("avg_value_ffill"),
+        )
+    )
+
+
+register("q17_small_quantity_revenue", q17_small_quantity_revenue, _Q17_SQL)
+
+register(
+    "resample_gap_fill",
+    resample_gap_fill,
+    """
+    WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+               FROM events),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     / (100.0 * count(*)) AS av
+            FROM events GROUP BY 1, 2)
+    SELECT s.hr, t.event_type, coalesce(a.n, 0) AS n,
+           last_value(a.av IGNORE NULLS) OVER (
+               PARTITION BY t.event_type ORDER BY s.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value_ffill
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN agg a ON a.hr = s.hr AND a.event_type = t.event_type
+    """,
+)
