@@ -119,3 +119,42 @@ def test_wire_format_roundtrip(spark, tmp_path):
     assert back.count() == orig.count()
     assert back.exceptAll(orig).count() == 0
     assert orig.exceptAll(back).count() == 0
+
+
+def test_write_partitioned_layout(spark, tmp_path):
+    """Hive partitioning by lang with bounded file counts: partition
+    dirs exist, data round-trips, and no partition explodes into
+    per-task tiny files."""
+    import glob
+
+    from query_processing_over_streaming_data_using_flink_spark.operators import layout
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "corpus")
+    layout.write_partitioned(docs, path, ["lang"], sort_cols=["doc_id"],
+                             target_file_bytes=1 << 20)
+    dirs = {d.split("=")[-1] for d in glob.glob(path + "/lang=*")}
+    assert dirs == {r["lang"] for r in docs.select("lang").distinct().collect()}
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert back.exceptAll(docs.select(back.columns)).count() == 0
+    for d in glob.glob(path + "/lang=*"):
+        n = len(glob.glob(d + "/*.parquet"))
+        assert 1 <= n <= 4, f"{d} has {n} files"
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Many tiny files compact to few; data unchanged."""
+    import glob
+
+    from query_processing_over_streaming_data_using_flink_spark.operators import layout
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "frag")
+    docs.repartition(37).write.parquet(path)
+    assert len(glob.glob(path + "/*.parquet")) == 37
+    layout.compact_small_files(spark, path, target_file_bytes=256 << 20)
+    assert len(glob.glob(path + "/*.parquet")) <= 2
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert back.exceptAll(docs.select(back.columns)).count() == 0
