@@ -258,3 +258,21 @@ def pack_sequences(docs, budget_tokens: int = 2048, strata_col: str = "lang"):
         .withColumn("seq_id", F.floor(F.col("seq_offset") / budget_tokens))
         .withColumn("seq_offset", (F.col("seq_offset") % budget_tokens).cast("long"))
     )
+
+
+def sample_fixed_k_per_stratum(docs, k: int, strata_col: str = "lang"):
+    """Exactly min(k, |stratum|) rows per stratum, deterministically:
+    rank by the salted md5 draw (ties impossible on distinct doc_ids)
+    and keep the k smallest. The reservoir-sampling use case (fixed-
+    size eval subsets, per-domain probes) without reservoir state —
+    reproducible across runs, engines, and partitionings, one shuffle
+    on the stratum."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(strata_col).orderBy(sample_hash(F.col("doc_id"), "fixk"),
+                                               F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -731,3 +731,27 @@ FROM c
 register("text_pii_scrub", text_pii_scrub, _PII_SQL)
 register("text_quality_quartiles", text_quality_quartiles, _QUARTILES_SQL)
 register("pack_training_sequences", pack_training_sequences, _PACK_SQL)
+
+
+def sample_fixed_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-stratum sample: exactly 25 docs per
+    language via the salted md5 rank (`operators/text.py:
+    sample_fixed_k_per_stratum`) — reservoir-sample semantics with no
+    state and full reproducibility."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.sample_fixed_k_per_stratum(docs.select("doc_id", "lang"), k=25)
+
+
+_FIXK_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+             PARTITION BY lang
+             ORDER BY CAST(('0x' || substr(md5('fixk:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000,
+                      doc_id) AS rn
+  FROM documents)
+WHERE rn <= 25
+"""
+
+
+register("sample_fixed_k_per_lang", sample_fixed_k_per_lang, _FIXK_SQL)
