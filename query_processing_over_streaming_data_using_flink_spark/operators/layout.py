@@ -44,7 +44,14 @@ def write_partitioned(
     it holds. `sort_cols` sorts within files (min/max zone-map pruning
     for range predicates on those columns). Returns the task count.
     """
-    n_files = max(1, math.ceil(_estimated_bytes(df) / target_file_bytes))
+    # Catalyst's estimate for join-derived plans is a cardinality
+    # product that can blow past any real size (even past int64). When
+    # it's clearly bogus (> 1 PB), fall back to a counted estimate at
+    # ~512 B/row — one cheap aggregate beats 65k empty write tasks.
+    est = _estimated_bytes(df)
+    if est > 1 << 50:
+        est = df.count() * 512
+    n_files = int(max(1, min(math.ceil(est / target_file_bytes), 1 << 16)))
     salted = df.repartition(
         n_files, *[F.col(c) for c in partition_cols], (F.rand(seed=42) * n_files).cast("int")
     )

@@ -1,0 +1,76 @@
+"""End-to-end training-data curation run — the composite pipeline the
+LLM-data operators exist for, wired start to finish:
+
+    documents
+      → exact dedup (canonicals only)          operators/dedup.py
+      → PII scrub                              operators/text.py
+      → corpus-relative quality gate (ntile)   operators/text.py
+      → benchmark decontamination              operators/dedup.py
+      → sequence packing (2048-token budget)   operators/text.py
+      → partitioned parquet layout             operators/layout.py
+
+Every stage is a registered, oracle-checked operator; this script just
+composes them and reports the funnel. Run:
+
+    python scripts/curate_demo.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from query_processing_over_streaming_data_using_flink_spark.operators import dedup as dd
+from query_processing_over_streaming_data_using_flink_spark.operators import layout
+from query_processing_over_streaming_data_using_flink_spark.operators import text as tx
+from query_processing_over_streaming_data_using_flink_spark.session import get_spark
+from query_processing_over_streaming_data_using_flink_spark.sources.catalog import load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        tempfile.gettempdir(), "curated_corpus"
+    )
+    spark = get_spark("curate_demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    canon = dd.exact_dedup(docs).filter(F.col("is_canonical")).select("doc_id")
+    docs = docs.join(canon, "doc_id")
+    n1 = docs.count()
+
+    docs = docs.withColumn("text", tx.redact_pii(F.col("text")))
+
+    quart = tx.quality_quartiles(docs).filter(F.col("quartile") <= 3).select("doc_id")
+    docs = docs.join(quart, "doc_id")
+    n2 = docs.count()
+
+    contaminated = dd.decontaminate(docs, F.col("doc_id") % 53 == 0).select("doc_id")
+    docs = docs.join(contaminated, "doc_id", "left_anti")
+    n3 = docs.count()
+
+    packed = tx.pack_sequences(docs, budget_tokens=2048).join(
+        docs.select("doc_id", "text", "source"), "doc_id"
+    )
+    n_seqs = packed.select("lang", "seq_id").distinct().count()
+
+    n_files = layout.write_partitioned(
+        packed, out_dir, ["lang"], sort_cols=["seq_id", "doc_id"],
+        target_file_bytes=32 << 20,
+    )
+
+    print(
+        f"docs {n0} -> dedup {n1} -> quality {n2} -> decontam {n3}; "
+        f"{n_seqs} packed sequences; layout: {n_files} write tasks -> {out_dir}"
+    )
+
+
+if __name__ == "__main__":
+    main()
