@@ -191,3 +191,15 @@ def load_tbl_table(spark: SparkSession, path: str, name: str) -> DataFrame:
         .options(header="false", sep="|", mode="DROPMALFORMED")
         .csv(path)
     )
+
+
+def load_json_table(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """JSON-lines ingestion with the declared schema (no inference
+    pass — see module docstring) and permissive malformed-row drop.
+    Rounds out the source formats: parquet (testdata), CSV, `.tbl`,
+    wire `streamdata.csv`, JSON."""
+    return (
+        spark.read.schema(_SCHEMAS[name])
+        .options(mode="DROPMALFORMED")
+        .json(path)
+    )

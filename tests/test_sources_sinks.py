@@ -158,3 +158,19 @@ def test_compact_small_files(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == docs.count()
     assert back.exceptAll(docs.select(back.columns)).count() == 0
+
+
+def test_json_table_roundtrip(spark, tmp_path):
+    """JSON-lines write -> declared-schema read reproduces the table;
+    malformed lines drop instead of failing the scan."""
+    from query_processing_over_streaming_data_using_flink_spark.sources.catalog import load_json_table
+
+    nation = load_table(spark, SF_SMOKE, "nation")
+    path = str(tmp_path / "nation_json")
+    nation.coalesce(1).write.json(path)
+    with open(path + "/extra.json", "w") as f:
+        f.write("not json at all {{{\n")
+    back = load_json_table(spark, path, "nation")
+    ok = back.filter(F.col("n_name").isNotNull())
+    assert ok.count() == nation.count()
+    assert ok.exceptAll(nation).count() == 0
