@@ -885,3 +885,57 @@ register(
     LEFT JOIN agg a ON a.hr = s.hr AND a.event_type = t.event_type
     """,
 )
+
+
+def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: per day, how many clicks convert to a
+    purchase by the same user within 1 hour. The scalable shape is a
+    forward-looking window (min purchase-ts over the following rows
+    per user) — one shuffle on user_id, no self-join row explosion;
+    the oracle states the same thing as the O(n²) EXISTS spec."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    next_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    clicks = (
+        ev.withColumn("np", next_purchase)
+        .filter(F.col("event_type") == "click")
+        .withColumn(
+            "converted",
+            (F.col("np").isNotNull())
+            & (F.col("np") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+    )
+    return clicks.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_clicks"),
+        F.sum(F.col("converted").cast("int")).alias("n_converted"),
+        F.round(F.sum(F.col("converted").cast("int")) / F.count(F.lit(1)), 6).alias(
+            "conversion_rate"
+        ),
+    )
+
+
+register(
+    "funnel_click_to_purchase",
+    funnel_click_to_purchase,
+    """
+    WITH c AS (
+      SELECT e.ts, e.user_id,
+             EXISTS (SELECT 1 FROM events p
+                     WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+                       AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR)
+             AS converted
+      FROM events e WHERE e.event_type = 'click'
+    )
+    SELECT CAST(ts AS DATE) AS day, count(*) AS n_clicks,
+           sum(CASE WHEN converted THEN 1 ELSE 0 END) AS n_converted,
+           round(sum(CASE WHEN converted THEN 1 ELSE 0 END) / count(*), 6)
+             AS conversion_rate
+    FROM c GROUP BY 1
+    """,
+)
