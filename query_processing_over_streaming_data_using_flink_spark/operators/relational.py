@@ -96,7 +96,7 @@ def global_rank(
     )
     return (
         part.join(F.broadcast(offsets), "_pid")
-        .withColumn(rank_col, (F.col("_off") + F.col("_mid") - F.col("_first") + 1).cast("int"))
+        .withColumn(rank_col, (F.col("_off") + F.col("_mid") - F.col("_first") + 1).cast("long"))
         .drop("_pid", "_mid", "_first", "_off")
     )
 

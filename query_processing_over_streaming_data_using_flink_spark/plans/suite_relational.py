@@ -560,8 +560,9 @@ register(
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
-      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS session_no
       FROM flagged
     )
     SELECT user_id, session_no, count(*) AS n_events,
@@ -933,9 +934,9 @@ register(
       FROM events e WHERE e.event_type = 'click'
     )
     SELECT CAST(ts AS DATE) AS day, count(*) AS n_clicks,
-           sum(CASE WHEN converted THEN 1 ELSE 0 END) AS n_converted,
-           round(sum(CASE WHEN converted THEN 1 ELSE 0 END) / count(*), 6)
-             AS conversion_rate
+           CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           CAST(round(sum(CASE WHEN converted THEN 1 ELSE 0 END) / count(*), 6)
+             AS DOUBLE) AS conversion_rate
     FROM c GROUP BY 1
     """,
 )

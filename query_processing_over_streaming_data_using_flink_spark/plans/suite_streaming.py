@@ -90,9 +90,10 @@ register(
     "changelog_state_counts",
     changelog_state_counts,
     f"""
-    SELECT relation, count(*) AS n_events, sum(op) AS net_rows,
-           sum(CASE WHEN op = 1 THEN 1 ELSE 0 END) AS n_inserts,
-           sum(CASE WHEN op = -1 THEN 1 ELSE 0 END) AS n_deletes
+    SELECT relation, count(*) AS n_events,
+           CAST(sum(op) AS BIGINT) AS net_rows,
+           CAST(sum(CASE WHEN op = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+           CAST(sum(CASE WHEN op = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
     FROM ({_events_prefix_sql()})
     GROUP BY relation
     """,

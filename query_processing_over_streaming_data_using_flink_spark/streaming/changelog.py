@@ -50,7 +50,9 @@ RANK_SINGLE_TASK_MAX = 4_000_000
 def _rank(df: DataFrame, order_cols: list[str], name: str, n_rows: int) -> DataFrame:
     if n_rows <= RANK_SINGLE_TASK_MAX:
         w = Window.orderBy(*[F.asc(c) for c in order_cols])
-        return df.withColumn(name, F.row_number().over(w))
+        # long, matching global_rank: a rank past 2^31 rows must not wrap,
+        # and both strategies must agree on type for plan-independent schemas.
+        return df.withColumn(name, F.row_number().over(w).cast("long"))
     return global_rank(df, order_cols, name)
 
 # Unified projected payload schema (union of the reference's per-table

@@ -72,6 +72,20 @@ def main() -> int:
             continue
         rel = con.sql(oracles[name])
         dcols, drows = list(rel.columns), rel.fetchall()
+        # Type lint (round-1 lesson): DuckDB un-cast integer sum() yields
+        # HUGEINT (int128), which pandas/Arrow can't represent natively —
+        # the round driver's type-sensitive hasher rejects it even when
+        # values match Spark's BIGINT bit-for-bit. Plain width differences
+        # (INT vs BIGINT) and DECIMAL-vs-DOUBLE are normalized fine; only
+        # int128 is fatal, so that's what we gate on.
+        bad_types = [
+            f"{c}:{t}" for c, t in zip(dcols, rel.types)
+            if "HUGEINT" in str(t).upper()
+        ]
+        if bad_types:
+            failures.append(name)
+            print(f"  {name}: ORACLE TYPE LINT FAIL — un-cast HUGEINT column(s) {bad_types}; wrap in CAST(... AS BIGINT)")
+            continue
         so = sorted(range(len(scols)), key=lambda i: scols[i])
         do = sorted(range(len(dcols)), key=lambda i: dcols[i])
         sn = sorted([tuple(norm(r[i]) for i in so) for r in srows], key=repr)
