@@ -11,8 +11,8 @@ Scale design (100 TB stance):
     the only shuffle is the equi-join on (band, band_key), whose
     output is ~candidate pairs, not O(n²). Verification re-computes
     true Jaccard only on candidates.
-  * SimHash — projection to a 16-bit key + self-join on the key
-    (optionally on rotations for hamming>0), again near-linear.
+  * SimHash — projection to a 64-bit key + banded self-join on 4×16-bit
+    band values (pigeonhole covers hamming ≤ 3), again near-linear.
   * n-gram Jaccard — the O(n²)-within-block baseline; blocked by a
     cheap key (lang) to bound the quadratic term. The oracle for the
     others and the fallback for small blocks.
@@ -209,32 +209,49 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float, block_col: str = "lan
     )
 
 
-SIMHASH_BITS = 16
+# 64-bit SimHash (round-2 scale fix: 16 bits ⇒ only 2^16 distinct keys,
+# so at 10^9 docs every band bucket held ~10^7 rows and the banded
+# self-join went quadratic within buckets; 64 bits with 4×16-bit bands
+# keeps each band's keyspace at 2^16 *per band value* of 2^16 — expected
+# bucket size n/2^16, i.e. ~15K docs per bucket at 10^9 docs).
+SIMHASH_BITS = 64
 
 
-def simhash16(text: Column) -> Column:
-    """16-bit SimHash over token hashes: per bit, sum +1/-1 across
-    tokens (with multiplicity); bit set iff the sum is positive."""
+def _simhash_bit(i: int) -> int:
+    """Signed-long value of bit i. Bit 63 is the two's-complement sign
+    bit: its contribution is -(2^63), so the assembled hash is exactly
+    the 64-bit pattern as a signed BIGINT in both Spark and DuckDB (no
+    HUGEINT/unsigned detour)."""
+    return (1 << i) if i < 63 else -(1 << 63)
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over token hashes: per bit, sum +1/-1 across
+    tokens (with multiplicity); bit set iff the sum is positive.
+
+    NOTE: expression-level only (duplicates the token-hash subtree once
+    per bit) — use `simhash_df` for real datasets."""
     toks = tokens(text)
     th = F.transform(toks, lambda t: md5_hash64(t))
 
     def bit_step(i: int):
+        # != 0 (not > 0): bit 63's mask is negative as a signed long.
         return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(1 << i)) > 0, 1
+            h.bitwiseAND(F.lit(_simhash_bit(i))) != 0, 1
         ).otherwise(-1)
 
-    out = F.lit(0)
+    out = F.lit(0).cast("long")
     for i in range(SIMHASH_BITS):
         bit_sum = F.aggregate(th, F.lit(0), bit_step(i))
-        out = out + F.when(bit_sum > 0, F.lit(1 << i)).otherwise(0)
+        out = out + F.when(bit_sum > 0, F.lit(_simhash_bit(i))).otherwise(0)
     return out
 
 
 def simhash_df(docs: DataFrame) -> DataFrame:
-    """Per-doc 16-bit SimHash, computed scalably: explode token hashes
-    (md5 once per token), one aggregate with 16 conditional sums, then
-    recombine the bits. Equivalent to `simhash16` (which duplicates the
-    token-hash subtree 16×). Returns (doc_id, sh int)."""
+    """Per-doc 64-bit SimHash, computed scalably: explode token hashes
+    (md5 once per token), one aggregate with 64 conditional sums, then
+    recombine the bits. Equivalent to `simhash64` (which duplicates the
+    token-hash subtree 64×). Returns (doc_id, sh long)."""
     th = docs.select(
         "doc_id",
         F.explode(F.transform(tokens(F.col("text")), lambda t: md5_hash64(t))).alias("h"),
@@ -242,14 +259,14 @@ def simhash_df(docs: DataFrame) -> DataFrame:
     sums = th.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) > 0, 1).otherwise(-1)
+                F.when(F.col("h").bitwiseAND(F.lit(_simhash_bit(i))) != 0, 1).otherwise(-1)
             ).alias(f"b{i}")
             for i in range(SIMHASH_BITS)
         ]
     )
-    sh = F.lit(0)
+    sh = F.lit(0).cast("long")
     for i in range(SIMHASH_BITS):
-        sh = sh + F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(0)
+        sh = sh + F.when(F.col(f"b{i}") > 0, F.lit(_simhash_bit(i))).otherwise(0)
     return sums.select("doc_id", sh.alias("sh"))
 
 
@@ -347,14 +364,16 @@ def decontaminate(docs: DataFrame, eval_pred: Column) -> DataFrame:
     )
 
 
-# Band boundaries: 16 bits → 3 bands (6+5+5). Two keys within
-# hamming ≤ 2 must agree exactly on at least one band (pigeonhole).
-SIMHASH_BAND_SHIFTS = ((0, 0x3F), (6, 0x1F), (11, 0x1F))
+# Band boundaries: 64 bits → 4 bands × 16 bits. Two keys within
+# hamming ≤ 3 must agree exactly on at least one band (pigeonhole).
+# Band values are extracted with (sh >> shift) & 0xFFFF — the mask
+# discards arithmetic-shift sign fill, so signed sh is safe.
+SIMHASH_BAND_SHIFTS = ((0, 0xFFFF), (16, 0xFFFF), (32, 0xFFFF), (48, 0xFFFF))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup pairs via banded self-join: by pigeonhole, any
-    pair within hamming ≤ 2 matches exactly on ≥1 of 3 bands, so the
+    pair within hamming ≤ 3 matches exactly on ≥1 of 4 bands, so the
     join is on (band, band_value) — near-linear, no all-pairs scan —
     then verified with bit_count(xor)."""
     sh = simhash_df(docs).persist()

@@ -23,7 +23,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-SIG_BITS = 8  # sign bits of the first 8 dimensions → 256 buckets (pair dedup)
+# Sign bits for the near-dup pair bucketing (round-2 scale fix: 8 bits
+# = 256 buckets put ~4M vectors per bucket at 10^9 vectors, and the
+# within-bucket self-join went quadratic — ~8·10^12 candidate pairs per
+# bucket. 32 bits = 2^32 buckets ⇒ expected bucket size 10^9/2^32 ≈
+# 0.25, so the self-join output is ~collision pairs only, linear in n.
+# Near-identical vectors still collide: they agree on every sign bit
+# unless a component is within noise of zero.)
+SIG_BITS = 32
 
 # Multi-table LSH for ANN: OR-amplification across L tables of r sign
 # bits each (table t reads dims [t·r, t·r+r)). With per-hyperplane

@@ -71,15 +71,23 @@ def _lsh_tables_sql(src: str, id_alias: str) -> str:
     )
 
 
+def _bit_lit(i: int) -> str:
+    """Bit i of a signed 64-bit value as a DuckDB BIGINT literal. Bit 63
+    is written as an expression: the literal 9223372036854775808 would
+    parse as HUGEINT (round-1 lesson: int128 breaks the driver hasher)."""
+    return str(1 << i) if i < 63 else "(-9223372036854775807 - 1)"
+
+
 def _simhash_sql(tokens_expr: str) -> str:
     th = f"list_transform({tokens_expr}, s -> {_H64.format(x='s')})"
     terms = []
     for i in range(dd.SIMHASH_BITS):
+        # != 0, not > 0: bit 63's mask is negative as a signed BIGINT.
         bit_sum = (
-            f"list_reduce(list_transform(th, h -> CASE WHEN (h & {1 << i}) > 0 "
+            f"list_reduce(list_transform(th, h -> CASE WHEN (h & {_bit_lit(i)}) != 0 "
             f"THEN 1 ELSE -1 END), (p, q) -> p + q)"
         ).replace("th", th)
-        terms.append(f"(CASE WHEN {bit_sum} > 0 THEN {1 << i} ELSE 0 END)")
+        terms.append(f"(CASE WHEN {bit_sum} > 0 THEN {_bit_lit(i)} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
 
 
@@ -147,7 +155,7 @@ FROM (
 
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content fingerprints: exact md5 of normalized text + 16-bit
+    """Content fingerprints: exact md5 of normalized text + 64-bit
     SimHash (near-dup sketch; scalable explode-aggregate form)."""
     docs = load_table(spark, sf_dir, "documents")
     exact = docs.select("doc_id", tx.doc_fingerprint(F.col("text")).alias("fingerprint"))
@@ -247,7 +255,7 @@ WHERE len(list_intersect(a.sh, b.sh))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=2)
+    return dd.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
 def _simhash_pairs_sql() -> str:
@@ -266,7 +274,7 @@ cand AS (
     ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
 )
 SELECT doc_a, doc_b, sh_a, sh_b, bit_count(xor(sh_a, sh_b)) AS hamming
-FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 2
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
 """
 
 

@@ -20,7 +20,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from query_processing_over_streaming_data_using_flink_spark.functions.scalar import exact_sum, revenue, ts_lit
+from query_processing_over_streaming_data_using_flink_spark.functions.scalar import (
+    exact_avg_sql,
+    exact_sum,
+    exact_sum_sql,
+    revenue,
+    ts_lit,
+)
 from query_processing_over_streaming_data_using_flink_spark.registry import register
 from query_processing_over_streaming_data_using_flink_spark.sources.catalog import load_table
 
@@ -187,7 +193,293 @@ LIMIT 20
 """
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): count orders per
+    priority having at least one late line item — a correlated EXISTS,
+    planned as a left-semi join with a non-equi residual. The driver
+    schema lacks l_commitdate/l_receiptdate (FIXTURES.md §B), so 'late'
+    is adapted to l_shipdate > o_orderdate + 60 days with identical
+    plan shape.
+
+    Scale: semi-join stops probing an order at its first match and
+    never replicates order rows — the EXISTS never becomes a fan-out
+    join."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts_lit("1996-01-01"))
+        & (F.col("o_orderdate") < ts_lit("1996-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+Q4_ORACLE_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o.o_orderkey
+                AND l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): single-table scan with
+    every predicate pushed to the parquet reader, one global aggregate —
+    the pure-pushdown showcase (no join, no per-group shuffle; partial
+    aggregation collapses to one row per partition)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts_lit("1996-01-01"))
+        & (F.col("l_shipdate") < ts_lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        exact_sum(F.col("l_extendedprice") * F.col("l_discount"), 10000).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+Q6_ORACLE_SQL = f"""
+SELECT {exact_sum_sql('l_extendedprice * l_discount', 10000)} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade volume between
+    two nations by year — supplier nation from lineitem⋈supplier,
+    customer nation from orders⋈customer, both nation dims broadcast;
+    the pair filter keeps either direction."""
+    n1, n2 = "NATION_1", "NATION_2"
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts_lit("1996-01-01"))
+        & (F.col("o_orderdate") < ts_lit("1998-01-01"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    supp_n = nat.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cust_n = nat.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("o_orderdate").alias("l_year")
+    ).agg(exact_sum(revenue(), 10000).alias("volume"))
+
+
+Q7_ORACLE_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {exact_sum_sql('volume_row', 10000)} AS volume
+FROM (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(year(o_orderdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume_row
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+      OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): conditional-aggregate ratio over
+    lineitem ⋈ part — part is a broadcast dim. Both the promo and total
+    sums are quantized, so the final division is one deterministic IEEE
+    op in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts_lit("1996-03-01"))
+        & (F.col("l_shipdate") < ts_lit("1996-04-01"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type") == "PROMO", revenue()).otherwise(F.lit(0.0))
+    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        F.round(
+            F.lit(100.0) * exact_sum(promo, 10000) / exact_sum(revenue(), 10000), 6
+        ).alias("promo_revenue_pct")
+    )
+
+
+Q14_ORACLE_SQL = f"""
+SELECT round(100.0 * ({exact_sum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 10000)})
+             / ({exact_sum_sql('l_extendedprice * (1 - l_discount)', 10000)}), 6)
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): orders whose total quantity
+    exceeds a threshold — aggregate-then-join (the HAVING subquery),
+    never a fan-out join-then-aggregate. l_quantity values are integral
+    doubles, so the plain SUM is exact in both engines (integers sum
+    associatively below 2^53)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+Q18_ORACLE_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): disjunction of brand/size/
+    quantity conjunctions over lineitem ⋈ part. The join key is still
+    the plain equi pair (l_partkey = p_partkey) — the OR block is a
+    post-join residual, so Catalyst keeps a broadcast-hash join instead
+    of falling back to a nested loop (p_size stands in for the absent
+    p_container)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(16, 30)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(31, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).filter(cond)
+    return joined.agg(
+        exact_sum(revenue(), 10000).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+Q19_ORACLE_SQL = f"""
+SELECT {exact_sum_sql('l_extendedprice * (1 - l_discount)', 10000)} AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 16 AND 30 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 31 AND 50 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers in a
+    nation subset with above-average account balance and no orders —
+    scalar-average subquery (broadcast 1-row cross join) + anti-join.
+    The average is quantized (`exact_avg`) so the threshold comparison
+    can't flip a boundary row between engines. c_nationkey stands in
+    for the absent c_phone country code; 'no orders' is scoped to the
+    recent window (every fixture customer has *some* order ever)."""
+    nations = [2, 5, 8, 11, 14, 17, 20]
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(nations))
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= ts_lit("1999-01-01")
+    )
+    from query_processing_over_streaming_data_using_flink_spark.functions.scalar import exact_avg
+
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        exact_avg(F.col("c_acctbal"), 100).alias("avg_bal")
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            exact_sum(F.col("c_acctbal"), 100).alias("totacctbal"),
+        )
+    )
+
+
+Q22_ORACLE_SQL = f"""
+SELECT c_nationkey, count(*) AS numcust,
+       {exact_sum_sql('c_acctbal', 100)} AS totacctbal
+FROM customer c
+WHERE c_nationkey IN (2, 5, 8, 11, 14, 17, 20)
+  AND c_acctbal > (SELECT {exact_avg_sql('c_acctbal', 100)}
+                   FROM customer
+                   WHERE c_acctbal > 0.0
+                     AND c_nationkey IN (2, 5, 8, 11, 14, 17, 20))
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c.c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_nationkey
+"""
+
+
 register("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE_SQL)
 register("q3_shipping_priority_sql", q3_shipping_priority_sql, Q3_ORACLE_SQL)
+register("q4_order_priority", q4_order_priority, Q4_ORACLE_SQL)
 register("q5_local_supplier_volume", q5_local_supplier_volume, Q5_ORACLE_SQL)
+register("q6_forecast_revenue", q6_forecast_revenue, Q6_ORACLE_SQL)
+register("q7_volume_shipping", q7_volume_shipping, Q7_ORACLE_SQL)
 register("q10_returned_items", q10_returned_items, Q10_ORACLE_SQL)
+register("q14_promo_revenue", q14_promo_revenue, Q14_ORACLE_SQL)
+register("q18_large_volume_customer", q18_large_volume_customer, Q18_ORACLE_SQL)
+register("q19_discounted_revenue", q19_discounted_revenue, Q19_ORACLE_SQL)
+register("q22_global_sales_opportunity", q22_global_sales_opportunity, Q22_ORACLE_SQL)

@@ -137,62 +137,13 @@ def stateful_join_customer_orders(
     )
 
 
-
-def incremental_revenue_tws(lineitem_events):
-    """The reference's `IncrementalAggregateFunction`
-    (`TPCHQuery3_StreamProcessor.java:516-574` — keyed ValueState
-    revenue, += on Insert, -= on Delete, emit current value) on
-    Spark 4's `transformWithState` API: per-key ValueState lives in
-    the RocksDB state store, each micro-batch folds its signed deltas
-    in and emits the running revenue per orderkey (update semantics).
-
-    Input: changelog rows of the lineitem relation
-    (op, orderkey, extendedprice, discount). Output:
-    (orderkey, revenue) — one row per key per batch it changed in.
-
-    Runtime requirements: the RocksDB state store provider and the
-    `protobuf` package (the TWS Python worker protocol) — the latter is
-    absent in this container, so the test is skipped here and
-    `applyInPandasWithState` (above) is the exercised keyed-state path;
-    the two operators implement the same reference semantics.
-    """
-    import pandas as pd
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
-
-    state_schema = StructType([StructField("revenue", DoubleType())])
-    out_schema = StructType(
-        [StructField("orderkey", LongType()), StructField("revenue", DoubleType())]
-    )
-
-    class RevenueProcessor(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._revenue = handle.getValueState("revenue", state_schema)
-
-        def handleInputRows(self, key, rows, timerValues):
-            delta = 0.0
-            for pdf in rows:
-                delta += float(
-                    (pdf["op"] * pdf["extendedprice"] * (1.0 - pdf["discount"])).sum()
-                )
-            current = self._revenue.get()
-            new_total = (current[0] if current is not None else 0.0) + delta
-            self._revenue.update((new_total,))
-            yield pd.DataFrame({"orderkey": [key[0]], "revenue": [new_total]})
-
-        def close(self) -> None:
-            pass
-
-    return (
-        lineitem_events.select("op", "orderkey", "extendedprice", "discount")
-        .groupBy("orderkey")
-        .transformWithStateInPandas(
-            RevenueProcessor(),
-            outputStructType=out_schema,
-            outputMode="Update",
-            timeMode="None",
-        )
-    )
+# NOTE (round 2): a `transformWithState` rendering of the reference's
+# IncrementalAggregateFunction (TPCHQuery3_StreamProcessor.java:516-574)
+# lived here, but Spark's TWS Python worker protocol requires protobuf,
+# which this container lacks (no network to vendor it either) — the code
+# could never execute, so it was deleted per the round-1 review rather
+# than shipped untested. The same ValueState += / -= semantics are
+# exercised through `applyInPandasWithState` above and the signed-weight
+# algebra in `streaming/retraction.py`; on a cluster with protobuf, TWS
+# would be a mechanical re-rendering of `_join_fn`'s state dict onto
+# handle.getValueState/getMapState.

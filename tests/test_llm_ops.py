@@ -97,6 +97,32 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert all(r["rank"] <= 5 for r in sim.knn_lsh(e, q, k=5).collect())
 
 
+def test_cosine_dup_pairs_planted(spark):
+    """The 32-bit sign bucket must still catch genuinely near-identical
+    vectors: a positively-scaled copy keeps every sign bit (same bucket)
+    and cosine 1.0; an unrelated random vector must not pair. (The sf
+    fixture data is random noise, so the registered query legitimately
+    returns 0 rows — recall is asserted here, on planted dups.)"""
+    base = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("vec_id") < 10)
+        .select("vec_id", "embedding")
+    )
+    scaled = base.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.001)).alias("embedding"),
+    )
+    e = base.unionByName(scaled)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in sim.cosine_dup_pairs(e, threshold=0.95).collect()
+    }
+    for i in range(10):
+        assert (i, i + 10_000) in pairs, f"scaled copy of {i} must be found"
+        assert pairs[(i, i + 10_000)] == 1.0
+    assert len(pairs) == 10, "random base vectors must not pair with each other"
+
+
 def test_embedding_self_similarity(spark):
     e = load_table(spark, SF_SMOKE, "embeddings").limit(5)
     paired = e.select(

@@ -5,11 +5,8 @@ batch join of the changelog's net states.
 
 from __future__ import annotations
 
-import importlib.util
 import os
 import sys
-
-import pytest
 
 from pyspark.sql import functions as F
 
@@ -113,72 +110,9 @@ def test_stateful_join_single_batch_stream(spark, tmp_path):
     )
 
 
-@pytest.mark.skipif(
-    importlib.util.find_spec("google") is None
-    or importlib.util.find_spec("google.protobuf") is None,
-    reason="transformWithState's Python worker protocol needs protobuf, "
-    "not present in this container (applyInPandasWithState covers the "
-    "keyed-state semantics in test_stateful_join_* above)",
-)
-def test_transform_with_state_incremental_revenue(spark, tmp_path):
-    """Spark 4 transformWithState keyed ValueState aggregate: the final
-    running revenue per orderkey after streaming insert+delete batches
-    must equal the batch signed sum (the reference's
-    IncrementalAggregateFunction semantics, ValueState += / -=)."""
-    from query_processing_over_streaming_data_using_flink_spark.streaming.changelog import build_changelog
-    from query_processing_over_streaming_data_using_flink_spark.streaming.stateful import (
-        incremental_revenue_tws,
-    )
-
-    li = (
-        build_changelog(spark, SF_SMOKE, window=1500)
-        .filter(F.col("relation") == "lineitem")
-        .select("seq", "op", "orderkey", "extendedprice", "discount")
-    )
-    src = str(tmp_path / "li_src")
-    mid = li.agg(F.expr("percentile_approx(seq, 0.5)")).collect()[0][0]
-    li.filter(F.col("seq") <= mid).coalesce(1).write.mode("append").parquet(src)
-    li.filter(F.col("seq") > mid).coalesce(1).write.mode("append").parquet(src)
-
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
-        stream = (
-            spark.readStream.schema(spark.read.parquet(src).schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-        q = (
-            incremental_revenue_tws(stream)
-            .writeStream.outputMode("update")
-            .format("memory")
-            .queryName("tws_rev")
-            .option("checkpointLocation", str(tmp_path / "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-
-    # Update-mode memory sink keeps every emission; last per key wins.
-    got = {
-        r["orderkey"]: round(r["revenue"], 2)
-        for r in spark.sql(
-            """SELECT orderkey, revenue FROM (
-                 SELECT *, row_number() OVER (PARTITION BY orderkey ORDER BY rn DESC) AS last
-                 FROM (SELECT *, monotonically_increasing_id() AS rn FROM tws_rev))
-               WHERE last = 1"""
-        ).collect()
-    }
-    want = {
-        r["orderkey"]: round(r["rev"], 2)
-        for r in li.groupBy("orderkey")
-        .agg(F.sum(F.col("op") * F.col("extendedprice") * (1 - F.col("discount"))).alias("rev"))
-        .collect()
-    }
-    assert set(got) == set(want)
-    for k, v in want.items():
-        assert abs(got[k] - v) < 0.05, (k, got[k], v)
+# NOTE (round 2): a transformWithState variant of the reference's
+# IncrementalAggregateFunction existed here behind a protobuf skipif.
+# The container has no protobuf and no network, so the path could never
+# execute; per the round-1 review it was deleted rather than shipped
+# untested. applyInPandasWithState (above) is the exercised keyed-state
+# path, and streaming/retraction.py carries the same += / -= semantics.

@@ -259,3 +259,72 @@ def test_streaming_near_dedup_across_batches(spark, tmp_path):
     assert v2[10] == 0 and v2[11] == 0, "exact dups flag their canonical"
     assert v2[12] == 1, "near-dup flags its canonical"
     assert v2[13] is None, "unrelated doc admitted"
+
+
+def test_ivm_merge_is_o_delta(spark, tmp_path):
+    """Round-2 scale mandate: per-epoch merge cost must not scale with
+    state size. Seeded with the full sf0.001 changelog, a follow-up
+    delta touching ONE new customer key must (a) rewrite only that key's
+    bucket directory of the c table, (b) leave every file of every other
+    bucket/table byte-identical in place, and (c) read the state tables
+    through dynamic-partition-pruned scans."""
+    import pathlib
+
+    from query_processing_over_streaming_data_using_flink_spark.streaming.ivm import (
+        IncrementalQ3,
+        NUM_BUCKETS,
+    )
+
+    state = tmp_path / "state"
+    pipe = IncrementalQ3(spark, str(state))
+    pipe.process_batch(build_changelog(spark, SF_SMOKE), 0)
+
+    def snapshot():
+        return {
+            str(p.relative_to(state)): p.stat().st_mtime_ns
+            for p in pathlib.Path(state).rglob("*")
+            if p.is_file() and "_tmp_" not in str(p)
+        }
+
+    before = snapshot()
+    assert before, "seed epoch must have written state"
+
+    # A customer key absent from the data: delta_r is empty, so ONLY the
+    # c table's single bucket for this key may change.
+    new_key = 10**9 + 7
+    batch = spark.createDataFrame(
+        [(1, "customer", new_key, "BUILDING")],
+        "op int, relation string, custkey long, mktsegment string",
+    ).selectExpr(
+        "op", "relation", "custkey", "mktsegment",
+        "CAST(NULL AS BIGINT) AS orderkey", "CAST(NULL AS BIGINT) AS o_custkey",
+        "CAST(NULL AS TIMESTAMP_NTZ) AS orderdate", "CAST(NULL AS INT) AS linenumber",
+        "CAST(NULL AS DOUBLE) AS extendedprice", "CAST(NULL AS DOUBLE) AS discount",
+        "CAST(NULL AS TIMESTAMP_NTZ) AS shipdate",
+    )
+    # Plan shape check: the state restriction must be dynamic-partition-pruned.
+    dc, do, dl = pipe._spill_deltas(*pipe._split(batch))
+    restricted = pipe._restrict(pipe._read("c"), dc)
+    plan = restricted._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+    pipe.process_batch(batch, 1)
+    after = snapshot()
+
+    bucket = None
+    for path in set(after) - set(before):
+        assert path.startswith("c/bucket="), f"unexpected new file {path}"
+        bucket = path.split("/")[1]
+    assert bucket is not None, "the touched bucket must have been rewritten"
+    changed = {
+        p for p in before
+        if p in after and after[p] != before[p]
+    }
+    assert not {p for p in changed if not p.startswith(f"c/{bucket}")}, changed
+    untouched_gone = {
+        p for p in set(before) - set(after) if not p.startswith(f"c/{bucket}")
+    }
+    assert not untouched_gone, untouched_gone
+    # And the new key is in state with weight 1.
+    got = pipe._read("c").filter(F.col("c_custkey") == new_key).collect()
+    assert [(r["c_custkey"], r["w_c"]) for r in got] == [(new_key, 1)]
