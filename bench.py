@@ -131,18 +131,28 @@ def main() -> None:
                 load_table(spark, tmp, t).count()
                 for t in ("customer", "orders", "lineitem")
             )
+            # The baseline's 71s consumes a PRE-GENERATED streamdata.csv
+            # (generation is an offline StreamDataProcessor.py step in
+            # the reference). Mirror that: stage the changelog to disk
+            # (timed separately), then time the consume+maintain phase —
+            # the reference-comparable number.
+            staged = os.path.join(tmp, "changelog")
             t0 = time.time()
-            log1 = build_changelog(spark, tmp, window=(n1 * 2) // 3)
-            _run(q3_on_state(log1))
-            wall = round(time.time() - t0, 3)
+            build_changelog(spark, tmp, window=(n1 * 2) // 3).write.parquet(staged)
+            stage_sec = round(time.time() - t0, 3)
+            t0 = time.time()
+            _run(q3_on_state(spark.read.parquet(staged)))
+            consume = round(time.time() - t0, 3)
             extra["sf1"] = {
                 "sf": 1,
-                "changelog_stream_q3_sec": wall,
+                "consume_q3_sec": consume,
                 "events": 2 * n1,
-                "events_per_sec": round(2 * n1 / wall, 1),
+                "events_per_sec": round(2 * n1 / consume, 1),
+                "changelog_gen_sec": stage_sec,
                 "table_gen_sec": gen_sec,
                 "baseline_sec": 71.0,
-                "vs_baseline": round(wall / 71.0, 3),
+                "vs_baseline_consume": round(consume / 71.0, 3),
+                "vs_baseline_incl_generation": round((consume + stage_sec) / 71.0, 3),
             }
         except Exception as e:  # the parity point must never sink the bench
             extra["sf1_error"] = f"{type(e).__name__}: {e}"[:300]

@@ -21,15 +21,28 @@ from pyspark.sql import functions as F
 from query_processing_over_streaming_data_using_flink_spark.functions.scalar import ts_lit
 
 
-def changelog_state(changelog: DataFrame, relation: str, key_cols: list[str]) -> DataFrame:
+def changelog_state(
+    changelog: DataFrame,
+    relation: str,
+    key_cols: list[str],
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
     """Net live rows of one relation after applying all events:
     group by payload, keep keys with net weight > 0.
 
     (Batch materialization of the per-key ValueState/MapState the
     reference's join operators maintain,
     `TPCHQuery3_StreamProcessor.java:391-399,452-460`.)
+
+    `payload_cols` narrows the grouping to the relation's own columns —
+    the unified schema carries every relation's payload, so grouping by
+    all of it drags constant-NULL columns through the shuffle (their
+    values are per-relation constants, so the result is identical
+    either way, just with narrower shuffle rows).
     """
-    payload = [c for c in changelog.columns if c not in ("seq", "op", "relation")]
+    payload = payload_cols or [
+        c for c in changelog.columns if c not in ("seq", "op", "relation")
+    ]
     return (
         changelog.filter(F.col("relation") == relation)
         .groupBy(*payload)
@@ -55,14 +68,27 @@ def q3_on_state(
     stays correct for any interleaving of inserts and deletes.
     """
     cut = ts_lit(cutoff)
+    # Filters sit BELOW the state aggregation: they are weight-preserving
+    # (reference CustomerFilter/OrderFilter pre-filter events the same
+    # way, `:347-371`), and filtering 15M events before the groupBy is
+    # the difference between aggregating the survivors and aggregating
+    # the world. Grouping keys are narrowed to each relation's payload.
     cust = (
-        changelog_state(changelog, "customer", ["custkey"])
-        .filter(F.col("mktsegment") == segment)
+        changelog_state(
+            changelog.filter(F.col("mktsegment") == segment),
+            "customer",
+            ["custkey"],
+            payload_cols=["custkey", "mktsegment"],
+        )
         .select(F.col("custkey").alias("c_custkey"), F.col("w").alias("w_c"))
     )
     orders = (
-        changelog_state(changelog, "orders", ["orderkey"])
-        .filter(F.col("orderdate") < cut)
+        changelog_state(
+            changelog.filter(F.col("orderdate") < cut),
+            "orders",
+            ["orderkey"],
+            payload_cols=["orderkey", "o_custkey", "orderdate"],
+        )
         .select(
             F.col("orderkey").alias("o_orderkey"),
             F.col("o_custkey"),
@@ -71,8 +97,12 @@ def q3_on_state(
         )
     )
     lineitem = (
-        changelog_state(changelog, "lineitem", ["orderkey", "linenumber"])
-        .filter(F.col("shipdate") > cut)
+        changelog_state(
+            changelog.filter(F.col("shipdate") > cut),
+            "lineitem",
+            ["orderkey", "linenumber"],
+            payload_cols=["orderkey", "linenumber", "extendedprice", "discount", "shipdate"],
+        )
         .select(
             F.col("orderkey").alias("l_orderkey"),
             F.col("extendedprice"),
