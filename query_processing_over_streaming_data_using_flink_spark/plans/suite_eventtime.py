@@ -1,0 +1,159 @@
+"""Event-time window suite — Spark-native tumbling / sliding / session
+windows over the events table, oracle-checked in DuckDB.
+
+These are the batch faces of Structured Streaming's windowed
+aggregations (the same `F.window` / `F.session_window` expressions run
+unchanged under `readStream` + watermark; tests/test_streaming.py
+exercises that path). The reference's only windowing is the
+count-based sliding changelog window (`StreamDataProcessor.py:122-260`,
+covered by `suite_streaming`); time-based windows are part of the
+beyond-reference streaming surface (SURVEY §2.9).
+
+Semantics pinned by the oracles:
+- tumbling/sliding windows are [start, end), aligned to the epoch;
+- a 30-min slide-15-min window means every event lands in exactly two
+  windows (start = floor(t/15min)*15min - {0, 15min});
+- session windows merge events whose gap is strictly less than the
+  timeout: an event at exactly prev_ts + gap starts a NEW session
+  (Spark's window is [first_ts, last_ts + gap)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from query_processing_over_streaming_data_using_flink_spark.functions.scalar import (
+    exact_sum,
+    exact_sum_sql,
+)
+from query_processing_over_streaming_data_using_flink_spark.registry import register
+from query_processing_over_streaming_data_using_flink_spark.sources.catalog import load_table
+
+
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window per event type: count + exact sum.
+    Plans as a plain hash aggregate on (type, floor(ts)) — one shuffle,
+    map-side partials; nothing window-specific survives into the
+    physical plan, which is exactly why the tumbling case scales."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour")
+    return (
+        ev.groupBy("event_type", w.alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value"), 100).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+EVENTS_TUMBLING_SQL = f"""
+SELECT event_type,
+       date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       count(*) AS n_events,
+       {exact_sum_sql('value', 100)} AS sum_value
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def events_sliding_30m_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (30-min length, 15-min slide) per event type.
+    Spark expands each row into length/slide = 2 window instances
+    before the aggregate — the blow-up factor is the ratio, not the
+    window length, so memory stays bounded at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "30 minutes", "15 minutes")
+    return (
+        ev.groupBy("event_type", w.alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+# Each event belongs to exactly 2 windows: starts at
+# (floor(t/15min) - {0,1}) * 15min. Integer microsecond arithmetic
+# (epoch_us) avoids float epoch rounding; timestamps stay naive on
+# both sides.
+EVENTS_SLIDING_SQL = """
+SELECT event_type, window_start,
+       window_start + INTERVAL 30 MINUTE AS window_end,
+       count(*) AS n_events
+FROM (
+  SELECT event_type,
+         make_timestamp((epoch_us(ts) // 900000000 - off) * 900000000) AS window_start
+  FROM events, (VALUES (0), (1)) offsets(off)
+)
+GROUP BY event_type, window_start
+"""
+
+
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity timeout —
+    the native `F.session_window` (dynamic, merging windows), vs the
+    manual lag/cumsum sessionization in `sessionize_events`. State per
+    key is one open session (Spark merges on overlap), so streaming
+    state size is O(active users), not O(events)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy("user_id", w.alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value"), 100).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# Island construction: a session breaks where the gap is >= the
+# timeout (an event at exactly prev + 30min is outside the previous
+# window's [start, last+30min) bound). session_end = last event + gap,
+# matching Spark's session_window.end.
+EVENTS_SESSION_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       {exact_sum_sql('value', 100)} AS sum_value
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+register("events_tumbling_hourly", events_tumbling_hourly, EVENTS_TUMBLING_SQL)
+register("events_sliding_30m_15m", events_sliding_30m_15m, EVENTS_SLIDING_SQL)
+register("events_session_window", events_session_window, EVENTS_SESSION_SQL)

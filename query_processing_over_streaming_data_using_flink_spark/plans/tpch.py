@@ -472,12 +472,197 @@ GROUP BY c_nationkey
 """
 
 
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_1's share of
+    AMERICA-region revenue for STANDARD parts by order year. The two
+    ratio sums are both quantized so the division is one deterministic
+    IEEE op. All five dims (part, supplier, both nation roles, region)
+    broadcast; the only shuffles are the two fact joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts_lit("1996-01-01"))
+        & (F.col("o_orderdate") < ts_lit("1998-01-01"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust_n = nat.select(F.col("n_nationkey").alias("c_nk"), "n_regionkey")
+    supp_n = nat.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    nation_vol = F.when(F.col("supp_nation") == "NATION_1", revenue()).otherwise(F.lit(0.0))
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                exact_sum(nation_vol, 10000) / exact_sum(revenue(), 10000), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q8_ORACLE_SQL = f"""
+SELECT o_year,
+       round(({exact_sum_sql("CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0.0 END", 10000)})
+             / ({exact_sum_sql('volume', 10000)}), 6) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = 'AMERICA'
+    AND p_type = 'STANDARD'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+GROUP BY o_year
+"""
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit) adapted: the driver schema
+    has no partsupp, so `ps_supplycost` is proxied as 60% of
+    p_retailprice (documented deviation; the operator shape — 4-way
+    fact/dim join, profit expression, groupBy (nation, year) — is what
+    Q9 exercises). Profit rows sit on a 4-decimal grid (2dp price x
+    2dp discount; the cost term is 1dp x 0.6 x integral qty = 3dp), so
+    the 10000x quantized sum is exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    nat = load_table(spark, sf_dir, "nation")
+    profit = revenue() - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(exact_sum(profit, 10000).alias("sum_profit"))
+    )
+
+
+Q9_ORACLE_SQL = f"""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       {exact_sum_sql('l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity', 10000)} AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): histogram of customers by
+    order count — LEFT OUTER join so zero-order customers land in the
+    c_count=0 bucket, then a second aggregation over the counts. The
+    driver schema lacks o_comment, so the exclusion filter is adapted
+    to o_orderpriority <> '1-URGENT' (same shape: a filtered outer
+    join, not a filter on the outer result).
+
+    Scale: two shuffles (by custkey, then by c_count); the second
+    aggregate's domain is tiny (distinct counts), so the final shuffle
+    is negligible. Never collect the per-customer counts."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_ORACLE_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): revenue per supplier over one quarter,
+    keep the supplier(s) hitting the max — the reference SQL's CREATE
+    VIEW + scalar MAX subquery, here as one aggregate reused for both
+    the max (1-row broadcast) and the probe. Quantized sums make the
+    equality comparison exact across engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts_lit("1996-01-01"))
+        & (F.col("l_shipdate") < ts_lit("1996-04-01"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        exact_sum(revenue(), 10000).alias("total_revenue")
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_ORACLE_SQL = f"""
+WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no,
+         {exact_sum_sql('l_extendedprice * (1 - l_discount)', 10000)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
+ORDER BY s_suppkey
+"""
+
+
 register("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE_SQL)
 register("q3_shipping_priority_sql", q3_shipping_priority_sql, Q3_ORACLE_SQL)
 register("q4_order_priority", q4_order_priority, Q4_ORACLE_SQL)
 register("q5_local_supplier_volume", q5_local_supplier_volume, Q5_ORACLE_SQL)
 register("q6_forecast_revenue", q6_forecast_revenue, Q6_ORACLE_SQL)
 register("q7_volume_shipping", q7_volume_shipping, Q7_ORACLE_SQL)
+register("q8_national_market_share", q8_national_market_share, Q8_ORACLE_SQL)
+register("q9_product_type_profit", q9_product_type_profit, Q9_ORACLE_SQL)
+register("q13_customer_distribution", q13_customer_distribution, Q13_ORACLE_SQL)
+register("q15_top_supplier", q15_top_supplier, Q15_ORACLE_SQL)
 register("q10_returned_items", q10_returned_items, Q10_ORACLE_SQL)
 register("q14_promo_revenue", q14_promo_revenue, Q14_ORACLE_SQL)
 register("q18_large_volume_customer", q18_large_volume_customer, Q18_ORACLE_SQL)

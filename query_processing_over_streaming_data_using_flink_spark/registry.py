@@ -43,6 +43,18 @@ _PRIORITY_FIRST = [
     "text_quality_quartiles",
     "pack_training_sequences",
     "sample_fixed_k_per_lang",
+    # round-1 hash-fails (HUGEINT oracle artifact, since fixed): must be
+    # inside the checked prefix so CORRECTNESS_r02 records the green.
+    "sessionize_events",
+    "funnel_click_to_purchase",
+    # new in round 2 (never driver-checked):
+    "q8_national_market_share",
+    "q9_product_type_profit",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "events_tumbling_hourly",
+    "events_sliding_30m_15m",
+    "events_session_window",
 ]
 _PUSH_LAST = [
     # round-1 driver-green AND semantically redundant with an earlier
@@ -91,8 +103,9 @@ def _load() -> None:
         return
     # Imports are for their registration side effects.
     from query_processing_over_streaming_data_using_flink_spark.plans import (  # noqa: F401
-        suite_relational,
+        suite_eventtime,
         suite_llm_data,
+        suite_relational,
         suite_streaming,
         tpch,
     )
