@@ -653,6 +653,339 @@ ORDER BY s_suppkey
 """
 
 
+_Q2_SQL = """
+WITH offers AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       o.unit_cost AS supply_cost
+FROM offers o
+JOIN part     ON p_partkey = o.partkey
+JOIN supplier ON s_suppkey = o.suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE p_type = 'LARGE' AND p_size < 15 AND r_name = 'EUROPE'
+  AND o.unit_cost = (
+    SELECT min(o2.unit_cost)
+    FROM offers o2
+    JOIN supplier s2 ON s2.s_suppkey = o2.suppkey
+    JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+    WHERE o2.partkey = o.partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier) adapted: the driver
+    schema has no partsupp, so the part-supplier offer relation is
+    derived from lineitem history — unit_cost = min observed
+    l_extendedprice/l_quantity per (part, supplier). The Q2 operator
+    shape is intact: multi-dim join (supplier→nation→region) plus a
+    correlated scalar-min subquery over the same relation, top-100 by
+    account balance. One SQL string runs on BOTH engines (q17
+    precedent): Spark decorrelates the min subquery into an aggregate
+    + join — at scale that is one extra shuffle of `offers`, never a
+    per-row probe. unit_cost is a single IEEE division of parquet
+    doubles, so min/equality agree bit-for-bit across engines."""
+    for t in ("lineitem", "part", "supplier", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q2_SQL)
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock) adapted: shipped value per
+    part from NATION_3's suppliers, keeping parts whose value exceeds
+    0.1% of the nation total — groupBy + HAVING against a broadcast
+    scalar-subquery threshold. The fraction is relative, so the result
+    cardinality is scale-free (same shape at 100 TB). Both the per-part
+    and total sums are cent-quantized; the threshold multiply is one
+    IEEE op, so the comparison can't flip a boundary row between
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    nation_li = li.join(
+        F.broadcast(
+            s.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey")
+        ),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    )
+    per_part = nation_li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        exact_sum(F.col("l_extendedprice"), 100).alias("part_value")
+    )
+    total = nation_li.agg(exact_sum(F.col("l_extendedprice"), 100).alias("tot"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.lit(0.001) * F.col("tot"))
+        .select("partkey", "part_value")
+        .orderBy(F.desc("part_value"), "partkey")
+    )
+
+
+Q11_ORACLE_SQL = f"""
+WITH nation_li AS (
+  SELECT l_partkey, l_extendedprice
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+)
+SELECT l_partkey AS partkey,
+       {exact_sum_sql('l_extendedprice', 100)} AS part_value
+FROM nation_li
+GROUP BY l_partkey
+HAVING {exact_sum_sql('l_extendedprice', 100)} >
+       0.001 * (SELECT {exact_sum_sql('l_extendedprice', 100)} FROM nation_li)
+ORDER BY part_value DESC, partkey
+"""
+
+
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority counting) adapted: the
+    driver schema has no l_shipmode/commit/receipt dates, so the group
+    key is l_returnflag and "problem shipment" = shipped more than 90
+    days after the order date, within the 1997 ship-year. The operator
+    shape is intact: fact-fact equi-join + conditional aggregation
+    splitting order priorities into high/low counts per group. One
+    shuffle for the join (orders is the smaller side after no filter;
+    AQE picks the build side), one for the tiny final aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts_lit("1997-01-01"))
+        & (F.col("l_shipdate") < ts_lit("1998-01-01"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_ORACLE_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q16_part_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship) adapted: the
+    part-supplier link is the distinct (l_partkey, l_suppkey) pairs
+    from lineitem (no partsupp in the driver schema), the supplier
+    exclusion list is negative-balance suppliers (no s_comment), part
+    filters keep the original brand<>/type<>/size-IN structure. Shape:
+    distinct projection → anti-join (broadcast: the exclusion list is
+    tiny) → broadcast part dim join → count(DISTINCT) per part attrs.
+    The count-distinct is per-(brand,type,size) group — Spark plans it
+    as a two-phase expand+agg, scale-safe."""
+    links = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .distinct()
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0).select(
+        "s_suppkey"
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        links.join(F.broadcast(bad), F.col("suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("suppkey")).alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_ORACLE_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem)
+JOIN part ON p_partkey = partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion) adapted: suppliers
+    whose all-time shipped quantity of a 'blue' part (stock proxy — no
+    ps_availqty) exceeds half that part's total 1997 demand. The
+    nested-IN structure survives: parts subquery (name LIKE) → per
+    (supplier, part) correlated quantity threshold → semi-join back to
+    suppliers in the ASIA region. Demand per part is a broadcast-sized
+    aggregate (one row per qualifying part); the threshold compare is
+    quantized-exact on both engines."""
+    blue = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("blue")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey")
+    )
+    demand = (
+        li.filter(
+            (F.col("l_shipdate") >= ts_lit("1997-01-01"))
+            & (F.col("l_shipdate") < ts_lit("1998-01-01"))
+        )
+        .groupBy(F.col("l_partkey").alias("d_partkey"))
+        .agg(exact_sum(F.col("l_quantity"), 100).alias("demand_qty"))
+    )
+    supply = li.groupBy(
+        F.col("l_suppkey").alias("suppkey"), F.col("l_partkey").alias("partkey")
+    ).agg(exact_sum(F.col("l_quantity"), 100).alias("supply_qty"))
+    qualifying = (
+        supply.join(F.broadcast(demand), F.col("partkey") == F.col("d_partkey"))
+        .filter(F.col("supply_qty") > F.lit(0.5) * F.col("demand_qty"))
+        .select("suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nat = nat.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        s.join(F.broadcast(asia_nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qualifying, F.col("s_suppkey") == F.col("suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+Q20_ORACLE_SQL = f"""
+WITH blue_li AS (
+  SELECT l_suppkey, l_partkey, l_quantity, l_shipdate
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%blue%'
+),
+demand AS (
+  SELECT l_partkey AS d_partkey,
+         {exact_sum_sql('l_quantity', 100)} AS demand_qty
+  FROM blue_li
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey
+),
+supply AS (
+  SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+         {exact_sum_sql('l_quantity', 100)} AS supply_qty
+  FROM blue_li
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_suppkey IN (
+    SELECT suppkey FROM supply JOIN demand ON partkey = d_partkey
+    WHERE supply_qty > 0.5 * demand_qty)
+ORDER BY s_name
+"""
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for
+    finished ('F') multi-supplier orders, count per supplier the
+    lineitems where THIS supplier was late but NO other supplier on
+    the same order was — the classic EXISTS / NOT-EXISTS double
+    self-join. Adaptations: "late" = shipped >60 days after the order
+    date (no receipt/commit dates), supplier scope = EUROPE region
+    (region filter keeps the dim-join shape; the original uses one
+    nation). Both existence checks are hash semi/anti joins on
+    l_orderkey with a suppkey<> residual — no nested-loop anywhere,
+    and the base relation is computed once and reused."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+                "late"
+            ),
+        )
+    )
+    l1 = base.filter(F.col("late"))
+    l2 = base.select(F.col("orderkey").alias("o2"), F.col("suppkey").alias("s2"))
+    l3 = (
+        base.filter(F.col("late"))
+        .select(F.col("orderkey").alias("o3"), F.col("suppkey").alias("s3"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = s.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")).join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("orderkey") == F.col("o2")) & (F.col("suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("orderkey") == F.col("o3")) & (F.col("suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .join(F.broadcast(eu.select("s_suppkey", "s_name")), F.col("suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+Q21_ORACLE_SQL = """
+WITH base AS (
+  SELECT l_orderkey AS orderkey, l_suppkey AS suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM base l1
+JOIN supplier ON l1.suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' AND l1.late
+  AND EXISTS (SELECT 1 FROM base l2
+              WHERE l2.orderkey = l1.orderkey AND l2.suppkey <> l1.suppkey)
+  AND NOT EXISTS (SELECT 1 FROM base l3
+                  WHERE l3.orderkey = l1.orderkey AND l3.suppkey <> l1.suppkey
+                    AND l3.late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 register("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE_SQL)
 register("q3_shipping_priority_sql", q3_shipping_priority_sql, Q3_ORACLE_SQL)
 register("q4_order_priority", q4_order_priority, Q4_ORACLE_SQL)
@@ -668,3 +1001,9 @@ register("q14_promo_revenue", q14_promo_revenue, Q14_ORACLE_SQL)
 register("q18_large_volume_customer", q18_large_volume_customer, Q18_ORACLE_SQL)
 register("q19_discounted_revenue", q19_discounted_revenue, Q19_ORACLE_SQL)
 register("q22_global_sales_opportunity", q22_global_sales_opportunity, Q22_ORACLE_SQL)
+register("q2_min_cost_supplier", q2_min_cost_supplier, _Q2_SQL)
+register("q11_important_stock", q11_important_stock, Q11_ORACLE_SQL)
+register("q12_late_shipment_priority", q12_late_shipment_priority, Q12_ORACLE_SQL)
+register("q16_part_supplier_relationship", q16_part_supplier_relationship, Q16_ORACLE_SQL)
+register("q20_potential_promotion", q20_potential_promotion, Q20_ORACLE_SQL)
+register("q21_suppliers_kept_waiting", q21_suppliers_kept_waiting, Q21_ORACLE_SQL)

@@ -55,6 +55,12 @@ _PRIORITY_FIRST = [
     "events_tumbling_hourly",
     "events_sliding_30m_15m",
     "events_session_window",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "q16_part_supplier_relationship",
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
 ]
 _PUSH_LAST = [
     # round-1 driver-green AND semantically redundant with an earlier

@@ -192,6 +192,7 @@ _BNLJ_ALLOWED = {
     "ann_bruteforce", "ann_bruteforce_pandas", "ann_ivf", "join_range_price_tiers",
     "resample_gap_fill",  # tiny spine x tiny type dim grid construction
     "q22_global_sales_opportunity",  # 1-row broadcast scalar-avg subquery
+    "q11_important_stock",  # 1-row broadcast scalar-total threshold
 }
 
 
