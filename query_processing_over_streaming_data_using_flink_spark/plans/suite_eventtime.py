@@ -20,8 +20,13 @@ Semantics pinned by the oracles:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from query_processing_over_streaming_data_using_flink_spark.streaming.join import (
+    interval_join_pairs,
+    split_click_purchase,
+)
 
 from query_processing_over_streaming_data_using_flink_spark.functions.scalar import (
     exact_sum,
@@ -154,6 +159,100 @@ GROUP BY user_id, sid
 """
 
 
+def attr_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the stream-stream interval join
+    (`streaming/join.py`): all (purchase, click) pairs where the
+    same-user click precedes the purchase in (ts, event_id) order
+    within a 30-minute horizon. One shuffle on user_id each side, then
+    a sort-merge join with the time bounds as a range residual — the
+    exact plan shape that survives a 100x scale-up (no broadcast of a
+    big side, no cartesian). The streaming face runs the SAME join
+    expression under watermarks; tests/test_stream_join.py asserts
+    pair-set equality."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks, purchases = split_click_purchase(ev)
+    return interval_join_pairs(clicks, purchases)
+
+
+ATTR_PAIRS_SQL = """
+SELECT p.event_id AS purchase_event_id,
+       p.user_id AS user_id,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value,
+       c.event_id AS click_event_id,
+       c.ts AS click_ts
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND (c.ts < p.ts OR c.event_id < p.event_id)
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
+def attr_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase joined to the LATEST
+    attributable click (the argmax of the pair relation above), NULL
+    if none. Implemented join-free as a per-user ordered scan —
+    `last(click, ignorenulls)` over the strictly-preceding rows — so
+    it costs ONE shuffle of the events table and never materializes
+    the pair blow-up; the 30-minute bound is applied after, which is
+    equivalent because any click older than the latest one is further
+    outside the horizon. The oracle states the same thing as the
+    declarative argmax over the pair relation."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lc_ts = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    lc_id = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    in_horizon = F.col("lc_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")
+    return (
+        ev.withColumn("lc_ts", lc_ts)
+        .withColumn("lc_id", lc_id)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+            F.when(in_horizon, F.col("lc_id")).alias("click_event_id"),
+            F.when(in_horizon, F.col("lc_ts")).alias("click_ts"),
+        )
+    )
+
+
+ATTR_LAST_TOUCH_SQL = """
+WITH pairs AS (
+  SELECT p.event_id AS purchase_event_id,
+         p.user_id, p.ts AS purchase_ts, p.value AS purchase_value,
+         c.event_id AS click_event_id, c.ts AS click_ts,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON c.user_id = p.user_id
+   AND c.ts <= p.ts
+   AND c.ts >= p.ts - INTERVAL 30 MINUTE
+   AND (c.ts < p.ts OR c.event_id < p.event_id)
+)
+SELECT purchase_event_id, user_id, purchase_ts, purchase_value,
+       click_event_id, click_ts
+FROM pairs WHERE rn = 1
+"""
+
+
 register("events_tumbling_hourly", events_tumbling_hourly, EVENTS_TUMBLING_SQL)
 register("events_sliding_30m_15m", events_sliding_30m_15m, EVENTS_SLIDING_SQL)
 register("events_session_window", events_session_window, EVENTS_SESSION_SQL)
+register("attr_interval_join_pairs", attr_interval_join_pairs, ATTR_PAIRS_SQL)
+register("attr_last_touch", attr_last_touch, ATTR_LAST_TOUCH_SQL)

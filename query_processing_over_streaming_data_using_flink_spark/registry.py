@@ -61,6 +61,8 @@ _PRIORITY_FIRST = [
     "q16_part_supplier_relationship",
     "q20_potential_promotion",
     "q21_suppliers_kept_waiting",
+    "attr_interval_join_pairs",
+    "attr_last_touch",
 ]
 _PUSH_LAST = [
     # round-1 driver-green AND semantically redundant with an earlier

@@ -3,7 +3,7 @@ load __spark_entry__ by path, smoke entry(), then run every queries()
 entry at sf0.01 against its oracle_sql() in DuckDB (row count + sorted
 column names + order-insensitive normalized rows).
 
-Usage: python scripts/verify_contract.py [sf_dir]
+Usage: python scripts/verify_contract.py [sf_dir] [--only name1,name2]
 """
 
 from __future__ import annotations
@@ -17,7 +17,13 @@ import time
 import duckdb
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY: set[str] | None = None
+_args = sys.argv[1:]
+if "--only" in _args:
+    i = _args.index("--only")
+    ONLY = set(_args[i + 1].split(","))
+    _args = _args[:i] + _args[i + 2:]
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -63,6 +69,8 @@ def main() -> int:
     qs, oracles = mod.queries(), mod.oracle_sql()
     failures = []
     for name, fn in sorted(qs.items()):
+        if ONLY is not None and name not in ONLY:
+            continue
         t0 = time.time()
         sdf = fn(spark, SF_DIR)
         scols = sdf.columns
