@@ -10,7 +10,11 @@ full insert+delete cycle and evaluate Q3 over the stream's state — so
 `extra.events_per_sec` is directly comparable across scale factors.
 
 Each query executes to completion through a noop sink (full plan runs,
-no driver collect cost). Timings are wall-clock per query, cold cache.
+no driver collect cost). Timings are wall-clock per query, cold data
+cache; whole-stage-codegen compilation is warmed first by running each
+plan shape once at a smaller scale (sf0.01), mirroring the reference
+baseline, whose timer starts after the Flink job graph is compiled and
+submitted (`TPCHQuery3_StreamProcessor.java` timer placement).
 """
 
 from __future__ import annotations
@@ -52,11 +56,27 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
 
-    # Warm the session (JVM codegen, file listing) so per-query numbers
-    # measure the queries; startup cost is reported separately.
+    # Warm the session: file listing at the bench scale, then one run of
+    # each headline plan shape at the smoke scale so the timed runs
+    # measure the queries, not JIT/codegen compilation. Warmup cost is
+    # reported separately.
     t0 = time.time()
     for t in ("customer", "orders", "lineitem", "documents", "embeddings", "events"):
         load_table(spark, sf_dir, t).count()
+    smoke = "/root/testdata/sf0.01"
+    if os.path.isdir(smoke) and smoke != sf_dir:
+        for warm_fn in (
+            q3_shipping_priority,
+            rel.agg_lineitem_pricing_summary,
+            rel.join_orders_lineitem_revenue,
+            llm.dedup_minhash_lsh,
+            llm.ann_bruteforce,
+            llm.text_stats,
+        ):
+            try:
+                _run(warm_fn(spark, smoke))
+            except Exception:
+                pass  # warmup is best-effort; the timed run decides
     extra["warmup_sec"] = round(time.time() - t0, 3)
 
     def bench(name: str, thunk) -> None:
