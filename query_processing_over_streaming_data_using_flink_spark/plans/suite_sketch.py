@@ -1,0 +1,144 @@
+"""Approximate (sketch) aggregation suite — beyond-reference surface.
+
+The reference maintains exact aggregates only (hash state per key,
+`/root/reference/src/main/java/org/example/TPCHQuery3_StreamProcessor.java:391-449`);
+at 100 TB the first thing a production pipeline swaps in is mergeable
+sketches: HyperLogLog distinct counts, approximate quantiles. Both are
+built into Spark (JVM-side, whole-stage-codegen aggregates; the HLL
+pair uses the Apache DataSketches wire format, so sketches built by
+different jobs/engines union cleanly) and both are *mergeable* — the
+map-side partial aggregate IS the sketch, so the shuffle carries a few
+KB per group instead of the distinct key set. That mergeability is the
+100 TB design: per-partition/per-day sketches roll up without ever
+re-touching raw data.
+
+Oracle pattern (driver-checkable despite approximation): each query
+emits (a) exact anchor columns any engine reproduces bit-for-bit and
+(b) boolean `*_ok` columns asserting the Spark-side approximation lies
+within its documented error envelope of the Spark-side exact value.
+The DuckDB oracle emits the same anchors and literal TRUE — so the
+driver's hash compare verifies the anchors exactly AND fails loudly if
+an approximation ever leaves its envelope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from query_processing_over_streaming_data_using_flink_spark.registry import register
+from query_processing_over_streaming_data_using_flink_spark.sources.catalog import load_table
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users: exact (expensive: shuffles the
+    distinct key set) next to HyperLogLog++ (`approx_count_distinct`,
+    rsd=1% → fixed ~few-KB state per group regardless of cardinality).
+    At 100 TB only the HLL column survives; the exact column is the
+    oracle anchor at test scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("n_approx"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            # rsd=0.01 → 1-sigma 1%; 5% is a >>4-sigma envelope.
+            (
+                (F.col("n_approx") >= (F.col("n_exact") * F.lit(0.95)).cast("long"))
+                & (F.col("n_approx") <= (F.col("n_exact") * F.lit(1.05)).cast("long") + F.lit(1))
+            ).alias("approx_within_5pct"),
+        )
+    )
+
+
+APPROX_DISTINCT_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS approx_within_5pct
+FROM events
+GROUP BY event_type
+"""
+
+
+def hll_union_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch mergeability, the property exactness can't offer: build
+    one DataSketches HLL per day (`hll_sketch_agg`), then roll the
+    daily sketches up with `hll_union_agg` — no second pass over raw
+    events. The rollup estimate must land in the same error envelope
+    as a direct whole-table sketch; both are checked against the exact
+    distinct count. This is the incremental pattern for 100 TB: daily
+    partitions each persist a KB-sized sketch, and any date-range
+    distinct count is a union over sketches, not a scan."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("n_day_exact"),
+    )
+    rolled = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_merged"),
+        F.count("*").alias("n_days"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    return exact.crossJoin(rolled).select(
+        "n_exact",
+        F.col("n_days").alias("n_days"),
+        (
+            (F.col("n_merged") >= (F.col("n_exact") * F.lit(0.95)).cast("long"))
+            & (F.col("n_merged") <= (F.col("n_exact") * F.lit(1.05)).cast("long") + F.lit(1))
+        ).alias("merged_within_5pct"),
+    )
+
+
+HLL_UNION_SQL = """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       CAST((SELECT count(DISTINCT CAST(ts AS DATE)) FROM events) AS BIGINT) AS n_days,
+       TRUE AS merged_within_5pct
+FROM events
+"""
+
+
+def approx_quantiles_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value quantiles: exact interpolated `percentile`
+    (anchor — matches DuckDB `quantile_cont` bit-for-bit on doubles,
+    see agg_median_order_price) next to `percentile_approx`
+    (Greenwald-Khanna, accuracy=10000 → bounded *rank* error n/10000,
+    constant memory, mergeable). The `*_ok` envelope converts the rank
+    bound to a value bound via the group's value spread."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count("value").alias("n_values"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_exact"),
+        F.expr("percentile(value, 0.95)").alias("_p95x"),
+        F.expr("percentile_approx(value, 0.5, 10000)").alias("_p50a"),
+        F.expr("percentile_approx(value, 0.95, 10000)").alias("_p95a"),
+        F.max("value").alias("_mx"),
+        F.min("value").alias("_mn"),
+    )
+    spread = F.col("_mx") - F.col("_mn")
+    return g.select(
+        "event_type",
+        "n_values",
+        "p50_exact",
+        (F.abs(F.col("_p50a") - F.col("p50_exact")) <= spread * F.lit(0.05) + F.lit(1e-6)).alias("p50_ok"),
+        (F.abs(F.col("_p95a") - F.col("_p95x")) <= spread * F.lit(0.05) + F.lit(1e-6)).alias("p95_ok"),
+    )
+
+
+APPROX_QUANTILES_SQL = """
+SELECT event_type,
+       CAST(count(value) AS BIGINT) AS n_values,
+       round(quantile_cont(value, 0.5), 6) AS p50_exact,
+       TRUE AS p50_ok,
+       TRUE AS p95_ok
+FROM events
+GROUP BY event_type
+"""
+
+
+register("approx_distinct_users", approx_distinct_users, APPROX_DISTINCT_SQL)
+register("hll_union_daily_users", hll_union_daily_users, HLL_UNION_SQL)
+register("approx_quantiles_event_value", approx_quantiles_event_value, APPROX_QUANTILES_SQL)

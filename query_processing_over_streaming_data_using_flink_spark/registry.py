@@ -63,6 +63,9 @@ _PRIORITY_FIRST = [
     "q21_suppliers_kept_waiting",
     "attr_interval_join_pairs",
     "attr_last_touch",
+    "approx_distinct_users",
+    "hll_union_daily_users",
+    "approx_quantiles_event_value",
 ]
 _PUSH_LAST = [
     # round-1 driver-green AND semantically redundant with an earlier
@@ -114,6 +117,7 @@ def _load() -> None:
         suite_eventtime,
         suite_llm_data,
         suite_relational,
+        suite_sketch,
         suite_streaming,
         tpch,
     )

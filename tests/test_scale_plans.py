@@ -193,6 +193,7 @@ _BNLJ_ALLOWED = {
     "resample_gap_fill",  # tiny spine x tiny type dim grid construction
     "q22_global_sales_opportunity",  # 1-row broadcast scalar-avg subquery
     "q11_important_stock",  # 1-row broadcast scalar-total threshold
+    "hll_union_daily_users",  # 1-row exact anchor x 1-row sketch rollup
 }
 
 
