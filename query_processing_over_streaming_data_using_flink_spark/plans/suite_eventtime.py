@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from query_processing_over_streaming_data_using_flink_spark.streaming.enrich import enrich_events
 from query_processing_over_streaming_data_using_flink_spark.streaming.join import (
     interval_join_pairs,
     split_click_purchase,
@@ -251,8 +252,41 @@ FROM pairs WHERE rn = 1
 """
 
 
+def enrich_segment_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the stream-static enrichment join
+    (`streaming/enrich.py`): events decorated with the owning
+    customer's market segment via a broadcast dimension (stream side
+    never shuffles for the join), then a per-(segment, type) rollup.
+    tests/test_stream_enrich.py runs the SAME join as a streaming
+    query and asserts result equality plus the broadcast plan shape."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        enrich_events(ev, cust)
+        .groupBy("mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value"), 100).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+ENRICH_SEGMENT_SQL = f"""
+SELECT c.c_mktsegment AS mktsegment,
+       e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {exact_sum_sql("e.value", 100)} AS sum_value,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e
+LEFT JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+"""
+
+
 register("events_tumbling_hourly", events_tumbling_hourly, EVENTS_TUMBLING_SQL)
 register("events_sliding_30m_15m", events_sliding_30m_15m, EVENTS_SLIDING_SQL)
 register("events_session_window", events_session_window, EVENTS_SESSION_SQL)
 register("attr_interval_join_pairs", attr_interval_join_pairs, ATTR_PAIRS_SQL)
 register("attr_last_touch", attr_last_touch, ATTR_LAST_TOUCH_SQL)
+register("enrich_segment_activity", enrich_segment_activity, ENRICH_SEGMENT_SQL)

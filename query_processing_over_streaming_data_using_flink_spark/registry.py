@@ -66,6 +66,7 @@ _PRIORITY_FIRST = [
     "approx_distinct_users",
     "hll_union_daily_users",
     "approx_quantiles_event_value",
+    "enrich_segment_activity",
 ]
 _PUSH_LAST = [
     # round-1 driver-green AND semantically redundant with an earlier
