@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from query_processing_over_streaming_data_using_flink_spark.operators.skew import salted_join
 from query_processing_over_streaming_data_using_flink_spark.streaming.enrich import enrich_events
 from query_processing_over_streaming_data_using_flink_spark.streaming.join import (
     interval_join_pairs,
@@ -284,9 +285,41 @@ GROUP BY 1, 2
 """
 
 
+def join_salted_user_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient variant of the enrichment join
+    (`operators/skew.py`): events salted on a deterministic row hash,
+    customer dimension exploded one copy per salt, equi-join on
+    (user_id, salt) — the shape for a probe side with heavy-hitter
+    keys and a build side too big to broadcast. Semantics are exactly
+    the plain join; the oracle is the unsalted SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    return (
+        salted_join(ev, cust, on="user_id")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value"), 100).alias("sum_value"),
+        )
+    )
+
+
+SALTED_JOIN_SQL = f"""
+SELECT c.c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {exact_sum_sql("e.value", 100)} AS sum_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1
+"""
+
+
 register("events_tumbling_hourly", events_tumbling_hourly, EVENTS_TUMBLING_SQL)
 register("events_sliding_30m_15m", events_sliding_30m_15m, EVENTS_SLIDING_SQL)
 register("events_session_window", events_session_window, EVENTS_SESSION_SQL)
 register("attr_interval_join_pairs", attr_interval_join_pairs, ATTR_PAIRS_SQL)
 register("attr_last_touch", attr_last_touch, ATTR_LAST_TOUCH_SQL)
 register("enrich_segment_activity", enrich_segment_activity, ENRICH_SEGMENT_SQL)
+register("join_salted_user_nation", join_salted_user_nation, SALTED_JOIN_SQL)

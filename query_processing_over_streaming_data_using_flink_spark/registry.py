@@ -67,6 +67,7 @@ _PRIORITY_FIRST = [
     "hll_union_daily_users",
     "approx_quantiles_event_value",
     "enrich_segment_activity",
+    "join_salted_user_nation",
 ]
 _PUSH_LAST = [
     # round-1 driver-green AND semantically redundant with an earlier
