@@ -30,6 +30,10 @@ from query_processing_over_streaming_data_using_flink_spark.streaming.changelog 
     changelog_sql,
 )
 from query_processing_over_streaming_data_using_flink_spark.streaming.retraction import q3_on_state
+from query_processing_over_streaming_data_using_flink_spark.streaming.scd2 import (
+    scd2_from_changelog,
+    scd2_sql,
+)
 
 # SQL forms of the size-derived parameters (DuckDB `//` = floor div on
 # positives, matching Python's // used on the Spark side).
@@ -74,6 +78,22 @@ def changelog_q3_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     w, k = _totals(spark, sf_dir)
     log = build_changelog(spark, sf_dir, window=w).filter(F.col("seq") <= k)
     return q3_on_state(log)
+
+
+def changelog_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals (`streaming/scd2.py`) for the customer
+    dimension over the first K changelog events: one row per customer
+    version with [valid_from, valid_to) in stream sequence numbers,
+    NULL valid_to = still live at K. History the reference's
+    current-state maps discard."""
+    w, k = _totals(spark, sf_dir)
+    log = build_changelog(spark, sf_dir, window=w).filter(
+        (F.col("seq") <= k) & (F.col("relation") == "customer")
+    )
+    return scd2_from_changelog(
+        log.select("seq", "op", "custkey", "mktsegment"),
+        ["custkey", "mktsegment"],
+    )
 
 
 def _events_prefix_sql() -> str:
@@ -135,4 +155,14 @@ register(
     ORDER BY revenue DESC, o_orderdate, l_orderkey
     LIMIT 20
     """,
+)
+
+register(
+    "changelog_scd2_customer",
+    changelog_scd2_customer,
+    scd2_sql(
+        f"SELECT seq, op, custkey, mktsegment FROM ({_events_prefix_sql()}) "
+        "WHERE relation = 'customer'",
+        ["custkey", "mktsegment"],
+    ),
 )

@@ -68,6 +68,7 @@ _PRIORITY_FIRST = [
     "approx_quantiles_event_value",
     "enrich_segment_activity",
     "join_salted_user_nation",
+    "changelog_scd2_customer",
 ]
 _PUSH_LAST = [
     # round-1 driver-green AND semantically redundant with an earlier
