@@ -165,35 +165,6 @@ def asof_join(
     )
 
 
-def salted_equi_join(
-    left: DataFrame,
-    right: DataFrame,
-    left_key: str,
-    right_key: str,
-    salt: int = 8,
-    how: str = "inner",
-) -> DataFrame:
-    """Skew-busting equi-join: the skewed (left) side gets a random
-    salt in [0, salt); the small-to-medium right side is replicated
-    `salt` times with every salt value; the join key becomes
-    (key, salt), splitting one hot key's rows across `salt` tasks.
-
-    AQE's skew-join split (enabled in session.py) handles most skew at
-    runtime; explicit salting is for the pathological key whose single
-    partition still exceeds executor memory. Replication factor is the
-    cost — use only on genuinely skewed joins.
-    """
-    salted_left = left.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
-    salts = F.explode(F.array(*[F.lit(i) for i in range(salt)])).alias("_salt")
-    replicated_right = right.select("*", salts)
-    joined = salted_left.join(
-        replicated_right,
-        (F.col(left_key) == F.col(right_key)) & (salted_left["_salt"] == replicated_right["_salt"]),
-        how,
-    )
-    return joined.drop("_salt")
-
-
 def top_k_per_group(
     df: DataFrame,
     group_keys: Sequence[str],

@@ -29,6 +29,7 @@ from query_processing_over_streaming_data_using_flink_spark.streaming.changelog 
     build_changelog,
     changelog_sql,
 )
+from query_processing_over_streaming_data_using_flink_spark.operators.relational import asof_join
 from query_processing_over_streaming_data_using_flink_spark.streaming.retraction import q3_on_state
 from query_processing_over_streaming_data_using_flink_spark.streaming.scd2 import (
     scd2_from_changelog,
@@ -93,6 +94,48 @@ def changelog_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_from_changelog(
         log.select("seq", "op", "custkey", "mktsegment"),
         ["custkey", "mktsegment"],
+    )
+
+
+def pit_orders_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (feature-store) join: each order-insert event is
+    decorated with the customer dimension version that was live AT THE
+    ORDER'S STREAM POSITION — never a later one (no feature leakage),
+    never an already-deleted one. Latest-valid lookup runs on the as-of
+    union-trick plan (`operators/relational.py:asof_join`, one shuffle,
+    no interval explosion); dead-at-that-moment matches are nulled by
+    the `valid_to` check afterwards. The oracle states the same thing
+    directly as a disjoint-interval join."""
+    w, k = _totals(spark, sf_dir)
+    log = build_changelog(spark, sf_dir, window=w).filter(F.col("seq") <= k)
+    versions = scd2_from_changelog(
+        log.filter(F.col("relation") == "customer").select(
+            "seq", "op", "custkey", "mktsegment"
+        ),
+        ["custkey", "mktsegment"],
+    )
+    order_ev = log.filter(
+        (F.col("relation") == "orders") & (F.col("op") == 1)
+    ).select(
+        F.col("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("seq"),
+    )
+    joined = asof_join(
+        order_ev,
+        versions,
+        on="custkey",
+        left_ts="seq",
+        right_ts="valid_from",
+        payload=["mktsegment", "valid_to"],
+        tiebreak="valid_from",
+    )
+    covered = F.col("asof_valid_to").isNull() | (F.col("asof_valid_to") > F.col("seq"))
+    return joined.select(
+        "orderkey",
+        "custkey",
+        F.col("seq").alias("order_seq"),
+        F.when(covered, F.col("asof_mktsegment")).alias("mktsegment_at_order"),
     )
 
 
@@ -165,4 +208,30 @@ register(
         "WHERE relation = 'customer'",
         ["custkey", "mktsegment"],
     ),
+)
+
+_SCD2_CUSTOMER_SQL = scd2_sql(
+    f"SELECT seq, op, custkey, mktsegment FROM ({_events_prefix_sql()}) "
+    "WHERE relation = 'customer'",
+    ["custkey", "mktsegment"],
+)
+
+register(
+    "pit_orders_customer_segment",
+    pit_orders_customer_segment,
+    f"""
+    WITH versions AS ({_SCD2_CUSTOMER_SQL}),
+    order_ev AS (
+      SELECT orderkey, o_custkey AS custkey, seq
+      FROM ({_events_prefix_sql()})
+      WHERE relation = 'orders' AND op = 1
+    )
+    SELECT o.orderkey, o.custkey, o.seq AS order_seq,
+           v.mktsegment AS mktsegment_at_order
+    FROM order_ev o
+    LEFT JOIN versions v
+      ON v.custkey = o.custkey
+     AND v.valid_from <= o.seq
+     AND (v.valid_to IS NULL OR v.valid_to > o.seq)
+    """,
 )

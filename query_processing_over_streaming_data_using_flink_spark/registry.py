@@ -69,6 +69,7 @@ _PRIORITY_FIRST = [
     "enrich_segment_activity",
     "join_salted_user_nation",
     "changelog_scd2_customer",
+    "pit_orders_customer_segment",
 ]
 _PUSH_LAST = [
     # round-1 driver-green AND semantically redundant with an earlier

@@ -14,10 +14,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tests.conftest import SF_ORACLE, SF_SMOKE
-from query_processing_over_streaming_data_using_flink_spark.operators.relational import (
-    equi_join,
-    salted_equi_join,
-)
+from query_processing_over_streaming_data_using_flink_spark.operators.relational import equi_join
+from query_processing_over_streaming_data_using_flink_spark.operators.skew import salted_join
 from query_processing_over_streaming_data_using_flink_spark.plans.tpch import q3_shipping_priority
 from query_processing_over_streaming_data_using_flink_spark.sources.catalog import load_table
 
@@ -68,7 +66,9 @@ def test_salted_join_matches_plain_join(spark):
         .agg(F.count("*").alias("n"))
     )
     salted = (
-        salted_equi_join(o, c, "o_custkey", "c_custkey", salt=4)
+        salted_join(
+            o, c.withColumn("o_custkey", F.col("c_custkey")), on="o_custkey", buckets=4
+        )
         .groupBy("c_custkey")
         .agg(F.count("*").alias("n"))
     )
