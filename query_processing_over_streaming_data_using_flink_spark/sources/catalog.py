@@ -129,32 +129,82 @@ def table_schema(name: str) -> T.StructType:
     return _SCHEMAS[name]
 
 
+# Type families considered equivalent when asserting a loaded parquet
+# schema against the declared one. Fixture data has drifted between
+# timestamp encodings before (int64-nanos -> timestamp[us]); any member
+# of a family is acceptable because `load_table` normalizes afterwards.
+_COMPATIBLE: tuple[tuple[type, ...], ...] = (
+    (T.TimestampType, T.TimestampNTZType, T.LongType),  # ts encodings
+    (T.IntegerType, T.LongType),
+    (T.FloatType, T.DoubleType),
+)
+
+
+def _assert_schema(name: str, loaded: T.StructType) -> None:
+    """Fail loudly (table, column, expected vs found) on fixture drift.
+
+    A testdata change should produce a one-line diagnosis here, not a
+    Catalyst DATATYPE_MISMATCH stack trace twelve queries downstream.
+    """
+    declared = _SCHEMAS[name]
+    if [f.name for f in loaded] != [f.name for f in declared]:
+        raise ValueError(
+            f"table {name!r}: column mismatch — expected "
+            f"{[f.name for f in declared]}, parquet has {[f.name for f in loaded]}"
+        )
+    for want, got in zip(declared, loaded):
+        if type(got.dataType) is type(want.dataType):
+            continue
+        if isinstance(want.dataType, T.ArrayType) and isinstance(got.dataType, T.ArrayType):
+            continue
+        if any(
+            isinstance(want.dataType, fam) and isinstance(got.dataType, fam)
+            for fam in _COMPATIBLE
+        ):
+            continue
+        raise ValueError(
+            f"table {name!r} column {want.name!r}: expected "
+            f"{want.dataType.simpleString()}, parquet loads as "
+            f"{got.dataType.simpleString()}"
+        )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one catalog table from the scale-factor directory.
 
     Parquet scan — Catalyst handles column pruning and predicate
     pushdown from whatever query sits on top.
 
-    `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    reader rejects; we read it as long (nanosAsLong) and rebuild a
-    microsecond TIMESTAMP_NTZ with *integer* arithmetic — `ts div 1000`
-    (float division corrupts the low microseconds: epoch-nanos exceed
-    the 2^53 double mantissa) — matching DuckDB's own ns→µs truncation.
+    `events.ts` dtype-adapts to the fixture encoding: current testdata
+    stores timestamp[us] (passes straight through), while legacy
+    fixtures stored TIMESTAMP(NANOS) — which Spark's vectorized reader
+    rejects — so with `nanosAsLong` set the column arrives as a long and
+    we rebuild a microsecond TIMESTAMP_NTZ with *integer* arithmetic:
+    `ts div 1000` (float division corrupts the low microseconds:
+    epoch-nanos exceed the 2^53 double mantissa), matching DuckDB's own
+    ns→µs truncation.
     """
     if name not in _SCHEMAS:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
     if name == "events":
         # Runtime SQL conf; set defensively for foreign sessions (the
-        # driver calls queries() with its own SparkSession).
+        # driver calls queries() with its own SparkSession). Harmless
+        # when the data is already microsecond-encoded.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        return df.withColumn(
-            "ts",
-            F.expr(
-                "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-            ),
-        )
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        _assert_schema(name, df.schema)
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # Legacy nanos fixture: rebuild a µs timestamp.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        return df
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    _assert_schema(name, df.schema)
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:

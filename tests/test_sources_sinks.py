@@ -174,3 +174,64 @@ def test_json_table_roundtrip(spark, tmp_path):
     ok = back.filter(F.col("n_name").isNotNull())
     assert ok.count() == nation.count()
     assert ok.exceptAll(nation).count() == 0
+
+
+def test_events_loader_dtype_adaptive(spark, tmp_path):
+    """`load_table("events")` accepts both fixture encodings of `ts` —
+    current timestamp[us] AND legacy TIMESTAMP(NANOS)/int64 — and yields
+    identical microsecond timestamps (driver testdata drifted between
+    encodings across rounds; VERDICT r3 finding #1)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0, 123456)
+    rows = {
+        "event_id": [1, 2, 3],
+        "ts": [base, base + datetime.timedelta(seconds=1), base + datetime.timedelta(hours=2)],
+        "user_id": [10, 11, 12],
+        "event_type": ["click", "view", "purchase"],
+        "value": [1.5, 2.5, 3.5],
+        "props": ["{}", "{}", "{}"],
+    }
+    results = {}
+    for enc, ts_type in (("us", pa.timestamp("us")), ("ns", pa.timestamp("ns"))):
+        d = tmp_path / enc
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_id": pa.array(rows["event_id"], pa.int64()),
+                "ts": pa.array(rows["ts"], ts_type),
+                "user_id": pa.array(rows["user_id"], pa.int64()),
+                "event_type": pa.array(rows["event_type"], pa.string()),
+                "value": pa.array(rows["value"], pa.float64()),
+                "props": pa.array(rows["props"], pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(d / "events.parquet"))
+        df = load_table(spark, str(d), "events")
+        assert df.schema["ts"].dataType.typeName().startswith("timestamp"), enc
+        results[enc] = sorted(
+            (r.event_id, r.ts.replace(tzinfo=None)) for r in df.select("event_id", "ts").collect()
+        )
+    assert results["us"] == results["ns"]
+    assert results["us"][0][1] == base
+
+
+def test_loader_schema_drift_fails_loudly(spark, tmp_path):
+    """Fixture drift to an incompatible dtype names table+column+types
+    in the error instead of failing twelve queries downstream."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    tbl = pa.table(
+        {
+            "r_regionkey": pa.array([0, 1], pa.int32()),
+            "r_name": pa.array([b"x", b"y"], pa.binary()),  # drift: string -> binary
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "region.parquet"))
+    with pytest.raises(ValueError, match=r"region.*r_name.*string.*binary"):
+        load_table(spark, str(tmp_path), "region")
