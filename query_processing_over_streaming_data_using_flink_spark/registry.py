@@ -34,7 +34,72 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 _PRIORITY_FIRST = [
     # flagship stays first — it's also entry()
     "q3_shipping_priority",
-    # never driver-checked in round 1 (registry positions 51-58 then):
+    # The 12 CORRECTNESS_r03 errors (all victims of the events-loader
+    # dtype bug, fixed this round): the driver must record the green.
+    "sessionize_events",
+    "funnel_click_to_purchase",
+    "events_tumbling_hourly",
+    "events_sliding_30m_15m",
+    "events_session_window",
+    "attr_interval_join_pairs",
+    "attr_last_touch",
+    "approx_distinct_users",
+    "hll_union_daily_users",
+    "approx_quantiles_event_value",
+    "enrich_segment_activity",
+    "join_salted_user_nation",
+    # Events-family queries that were broken in r3 with NO driver row
+    # (demoted or past the cap) — rotate back in for re-certification.
+    "events_json_extract",
+    "events_to_json",
+    "agg_events_daily",
+    "pivot_event_counts",
+    "agg_events_by_type",
+    "agg_grouping_sets_events",
+    "join_asof_purchase",
+    "resample_gap_fill",
+    # New in round 4 (never driver-checked):
+    "changelog_q3_sql_stream",
+    "text_token_count",
+    "dedup_keep_best",
+    "events_enrich_stream_sql",
+    "ann_ivf_cosine",
+    # Stalest certifications (r1-green only, never re-checked since):
+    "ann_bruteforce",
+    "ann_lsh",
+    "multimodal_meta",
+    "curation_pipeline",
+    "token_frequencies",
+    "text_repetition",
+    "dedup_clusters_ngram",
+    "decontaminate_eval_overlap",
+    "sample_stratified_lang",
+    "filter_project_customer",
+    "filter_dates_orders",
+    "join_orders_lineitem_revenue",
+    "join_snowflake_dims",
+    "join_semi_anti",
+    "join_outer_order_counts",
+    "agg_lineitem_pricing_summary",
+    "agg_cube_lineitem",
+    "agg_rollup_orders",
+    "agg_median_order_price",
+    "topk_orders_per_segment",
+    "window_running_totals",
+    "scalar_expressions",
+    "join_range_price_tiers",
+    "q17_small_quantity_revenue",
+]
+_PUSH_LAST = [
+    # Driver-green in round 3 (fresh certification; scripts/
+    # verify_contract.py still checks them every round) or semantically
+    # redundant API variants — safe to fall past the 50-entry cap.
+    "q3_shipping_priority_sql",   # same plan+oracle family as q3_shipping_priority
+    "ann_bruteforce_pandas",      # pandas-UDF variant of ann_bruteforce
+    "join_customer_orders",       # subsumed by join_orders_lineitem_revenue / q3
+    "topk_orders",                # TakeOrderedAndProject also exercised by q3/q10
+    "set_ops_active_keys",
+    # r3-green block (certified with hash-match in CORRECTNESS_r03):
     "changelog_build",
     "changelog_state_counts",
     "changelog_q3_current_state",
@@ -43,45 +108,35 @@ _PRIORITY_FIRST = [
     "text_quality_quartiles",
     "pack_training_sequences",
     "sample_fixed_k_per_lang",
-    # round-1 hash-fails (HUGEINT oracle artifact, since fixed): must be
-    # inside the checked prefix so CORRECTNESS_r02 records the green.
-    "sessionize_events",
-    "funnel_click_to_purchase",
-    # new in round 2 (never driver-checked):
     "q8_national_market_share",
     "q9_product_type_profit",
     "q13_customer_distribution",
     "q15_top_supplier",
-    "events_tumbling_hourly",
-    "events_sliding_30m_15m",
-    "events_session_window",
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q12_late_shipment_priority",
     "q16_part_supplier_relationship",
     "q20_potential_promotion",
     "q21_suppliers_kept_waiting",
-    "attr_interval_join_pairs",
-    "attr_last_touch",
-    "approx_distinct_users",
-    "hll_union_daily_users",
-    "approx_quantiles_event_value",
-    "enrich_segment_activity",
-    "join_salted_user_nation",
     "changelog_scd2_customer",
     "pit_orders_customer_segment",
-]
-_PUSH_LAST = [
-    # round-1 driver-green AND semantically redundant with an earlier
-    # entry (API variant / subsumed operator) — safe to fall past the cap.
-    "q3_shipping_priority_sql",   # same plan+oracle family as q3_shipping_priority
-    "ann_bruteforce_pandas",      # pandas-UDF variant of ann_bruteforce
-    "join_customer_orders",       # subsumed by join_orders_lineitem_revenue / q3
-    "events_to_json",             # inverse of events_json_extract
-    "agg_events_daily",           # plain date agg, subsumed by grouping-sets suite
-    "topk_orders",                # TakeOrderedAndProject also exercised by q3/q10
-    "set_ops_active_keys",
-    "pivot_event_counts",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
+    "text_stats",
+    "text_lang_id",
+    "doc_fingerprints",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
 ]
 
 
