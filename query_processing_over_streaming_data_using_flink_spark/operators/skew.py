@@ -34,11 +34,37 @@ DEFAULT_SALT_BUCKETS = 16
 _SALT = "__salt"
 
 
+def _hashable_columns(df: DataFrame) -> list[str]:
+    """Columns usable as F.hash() input. Spark's hash rejects MapType
+    (at any nesting depth — map iteration order is undefined, so its
+    hash would be too); exclude those rather than fail the whole join."""
+
+    def ok(dt) -> bool:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return ok(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(ok(f.dataType) for f in dt.fields)
+        return True
+
+    return [f.name for f in df.schema.fields if ok(f.dataType)]
+
+
 def salt_column(df: DataFrame, buckets: int) -> Column:
-    """Deterministic per-row salt: hash of the full row content. Equal
-    duplicate rows share a salt (correct, marginally less spread);
-    everything else distributes uniformly."""
-    return F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(buckets)).cast("int")
+    """Deterministic per-row salt: hash of the full row content (minus
+    unhashable map-typed columns). Equal duplicate rows share a salt
+    (correct, marginally less spread); everything else distributes
+    uniformly."""
+    cols = _hashable_columns(df)
+    if not cols:
+        raise ValueError(
+            "salted_join: probe side has no hashable columns to derive a "
+            f"deterministic salt from (schema: {df.schema.simpleString()})"
+        )
+    return F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(buckets)).cast("int")
 
 
 def salted_join(
@@ -54,6 +80,12 @@ def salted_join(
     preserved; every build match appears exactly once)."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    taken = set(probe.columns) | set(build.columns)
+    if _SALT in taken:
+        # A pre-existing __salt would silently join on the wrong thing.
+        raise ValueError(
+            f"salted_join: input already has a {_SALT!r} column — rename it"
+        )
     p = probe.withColumn(_SALT, salt_column(probe, buckets))
     b = build.withColumn(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(buckets)]))

@@ -135,10 +135,13 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Island construction: a session breaks where the gap is >= the
 # timeout (an event at exactly prev + 30min is outside the previous
 # window's [start, last+30min) bound). session_end = last event + gap,
-# matching Spark's session_window.end.
+# matching Spark's session_window.end. Both window clauses order by
+# (ts, event_id): with tied timestamps, the running sum must walk rows
+# in the SAME total order the lag flags were computed in, or a
+# session-start flag can land on the wrong side of its tied peer.
 EVENTS_SESSION_SQL = f"""
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
               THEN 1 ELSE 0 END AS new_s
@@ -147,7 +150,7 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id, ts, value,
-         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
   FROM flagged
 )

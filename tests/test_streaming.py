@@ -261,13 +261,71 @@ def test_streaming_near_dedup_across_batches(spark, tmp_path):
     assert v2[13] is None, "unrelated doc admitted"
 
 
+def test_near_dedup_restart_with_epoch_gap(spark, tmp_path):
+    """Epoch ids are NOT dense: a restarted stream resumes at the
+    checkpointed batch id. State discovery and the verdict log must key
+    off what exists on disk, and a fresh handler on the same state dir
+    must recover ownership across the gap."""
+    from query_processing_over_streaming_data_using_flink_spark.streaming.dedup import (
+        IncrementalNearDedup,
+    )
+
+    base = [" ".join(f"w{i}t{j}" for j in range(30)) for i in range(6)]
+    b1 = spark.createDataFrame(
+        [(i, base[i]) for i in range(6)], "doc_id long, text string"
+    )
+    h = IncrementalNearDedup(spark, str(tmp_path / "state"))
+    h.process_batch(b1, 0)
+
+    # "Restart": new handler, same dir — recovers the on-disk epoch.
+    h2 = IncrementalNearDedup(spark, str(tmp_path / "state"))
+    assert h2.epoch == 0
+    # Resumes at a non-contiguous epoch id (gap 1-4).
+    b2 = spark.createDataFrame(
+        [(10, base[0]), (11, " ".join(f"q{j}" for j in range(30)))],
+        "doc_id long, text string",
+    )
+    v = {r["doc_id"]: r["dup_of"] for r in h2.process_batch(b2, 5).collect()}
+    assert v[10] == 0, "dup must flag its pre-restart canonical across the gap"
+    assert v[11] is None
+    # verdicts_df spans both epochs despite the gap.
+    all_v = h2.verdicts_df()
+    assert sorted(r["epoch"] for r in all_v.select("epoch").distinct().collect()) == [0, 5]
+    assert all_v.count() == 8
+
+
+NEW_CUST_KEY = 10**9 + 7
+
+
+def _single_customer_batch(spark, key=NEW_CUST_KEY):
+    """A changelog micro-batch inserting one customer key absent from
+    the data: delta_r is empty, so ONLY the c table's single bucket for
+    this key may change."""
+    return spark.createDataFrame(
+        [(1, "customer", key, "BUILDING")],
+        "op int, relation string, custkey long, mktsegment string",
+    ).selectExpr(
+        "op", "relation", "custkey", "mktsegment",
+        "CAST(NULL AS BIGINT) AS orderkey", "CAST(NULL AS BIGINT) AS o_custkey",
+        "CAST(NULL AS TIMESTAMP_NTZ) AS orderdate", "CAST(NULL AS INT) AS linenumber",
+        "CAST(NULL AS DOUBLE) AS extendedprice", "CAST(NULL AS DOUBLE) AS discount",
+        "CAST(NULL AS TIMESTAMP_NTZ) AS shipdate",
+    )
+
+
+def _cust_weight(pipe, key=NEW_CUST_KEY):
+    got = pipe._read("c").filter(F.col("c_custkey") == key).collect()
+    return [(r["c_custkey"], r["w_c"]) for r in got]
+
+
 def test_ivm_merge_is_o_delta(spark, tmp_path):
     """Round-2 scale mandate: per-epoch merge cost must not scale with
     state size. Seeded with the full sf0.001 changelog, a follow-up
     delta touching ONE new customer key must (a) rewrite only that key's
-    bucket directory of the c table, (b) leave every file of every other
-    bucket/table byte-identical in place, and (c) read the state tables
-    through dynamic-partition-pruned scans."""
+    bucket directory of the c table, (b) carry every other bucket/table
+    file over as a hard link (same inode — metadata only, zero row
+    data), and (c) read the state tables through dynamic-partition-
+    pruned scans."""
     import pathlib
 
     from query_processing_over_streaming_data_using_flink_spark.streaming.ivm import (
@@ -279,29 +337,19 @@ def test_ivm_merge_is_o_delta(spark, tmp_path):
     pipe = IncrementalQ3(spark, str(state))
     pipe.process_batch(build_changelog(spark, SF_SMOKE), 0)
 
-    def snapshot():
+    def inodes(ver):
         return {
-            str(p.relative_to(state)): p.stat().st_mtime_ns
-            for p in pathlib.Path(state).rglob("*")
-            if p.is_file() and "_tmp_" not in str(p)
+            str(p.relative_to(ver)): p.stat().st_ino
+            for p in pathlib.Path(ver).rglob("*")
+            if p.is_file()
         }
 
-    before = snapshot()
+    e0, v0 = pipe._current()
+    assert e0 == 0
+    before = inodes(v0)
     assert before, "seed epoch must have written state"
 
-    # A customer key absent from the data: delta_r is empty, so ONLY the
-    # c table's single bucket for this key may change.
-    new_key = 10**9 + 7
-    batch = spark.createDataFrame(
-        [(1, "customer", new_key, "BUILDING")],
-        "op int, relation string, custkey long, mktsegment string",
-    ).selectExpr(
-        "op", "relation", "custkey", "mktsegment",
-        "CAST(NULL AS BIGINT) AS orderkey", "CAST(NULL AS BIGINT) AS o_custkey",
-        "CAST(NULL AS TIMESTAMP_NTZ) AS orderdate", "CAST(NULL AS INT) AS linenumber",
-        "CAST(NULL AS DOUBLE) AS extendedprice", "CAST(NULL AS DOUBLE) AS discount",
-        "CAST(NULL AS TIMESTAMP_NTZ) AS shipdate",
-    )
+    batch = _single_customer_batch(spark)
     # Plan shape check: the state restriction must be dynamic-partition-pruned.
     dc, do, dl = pipe._spill_deltas(*pipe._split(batch))
     restricted = pipe._restrict(pipe._read("c"), dc)
@@ -309,22 +357,123 @@ def test_ivm_merge_is_o_delta(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
 
     pipe.process_batch(batch, 1)
-    after = snapshot()
+    e1, v1 = pipe._current()
+    assert e1 == 1 and v1 != v0
+    after = inodes(v1)
 
     bucket = None
     for path in set(after) - set(before):
         assert path.startswith("c/bucket="), f"unexpected new file {path}"
         bucket = path.split("/")[1]
     assert bucket is not None, "the touched bucket must have been rewritten"
-    changed = {
-        p for p in before
-        if p in after and after[p] != before[p]
-    }
-    assert not {p for p in changed if not p.startswith(f"c/{bucket}")}, changed
-    untouched_gone = {
-        p for p in set(before) - set(after) if not p.startswith(f"c/{bucket}")
-    }
-    assert not untouched_gone, untouched_gone
+    # Untouched buckets: identical file set, SAME inodes (hard links —
+    # the carry-over never copied or rewrote row data).
+    for path, ino in before.items():
+        if path.startswith(f"c/{bucket}"):
+            continue
+        assert path in after, f"untouched {path} missing from new version"
+        assert after[path] == ino, f"untouched {path} was rewritten, not linked"
     # And the new key is in state with weight 1.
-    got = pipe._read("c").filter(F.col("c_custkey") == new_key).collect()
-    assert [(r["c_custkey"], r["w_c"]) for r in got] == [(new_key, 1)]
+    assert _cust_weight(pipe) == [(NEW_CUST_KEY, 1)]
+
+
+def test_ivm_commit_is_crash_atomic(spark, tmp_path, monkeypatch):
+    """A crash mid-commit must leave readers on the previous complete
+    version (no half-swapped state); the redelivered epoch then lands
+    exactly once, and a second redelivery is a no-op."""
+    import os as _os
+
+    import pytest
+
+    from query_processing_over_streaming_data_using_flink_spark.streaming.ivm import (
+        IncrementalQ3,
+    )
+
+    state = str(tmp_path / "state")
+    pipe = IncrementalQ3(spark, state)
+    pipe.process_batch(build_changelog(spark, SF_SMOKE), 0)
+    top_before = _rows(pipe.top_n())
+
+    batch = _single_customer_batch(spark)
+    calls = {"n": 0}
+    real_link = _os.link
+
+    def flaky_link(src, dst, **kw):
+        calls["n"] += 1
+        if calls["n"] > 3:
+            raise OSError("injected crash mid-commit")
+        return real_link(src, dst, **kw)
+
+    monkeypatch.setattr("os.link", flaky_link)
+    with pytest.raises(OSError, match="injected crash"):
+        pipe.process_batch(batch, 1)
+    monkeypatch.undo()
+    assert calls["n"] > 3, "crash must have hit mid carry-over"
+
+    # Readers still see the complete epoch-0 snapshot.
+    assert pipe._current()[0] == 0
+    assert _rows(pipe.top_n()) == top_before
+    assert _cust_weight(pipe) == []
+
+    # Fresh handler (restart): recovers the committed epoch, applies the
+    # redelivered batch exactly once.
+    pipe2 = IncrementalQ3(spark, state)
+    assert pipe2.epoch == 0
+    pipe2.process_batch(batch, 1)
+    assert pipe2._current()[0] == 1
+    assert _cust_weight(pipe2) == [(NEW_CUST_KEY, 1)]
+
+    # Second redelivery of the same epoch: skipped, weight NOT doubled.
+    pipe2.process_batch(batch, 1)
+    assert _cust_weight(pipe2) == [(NEW_CUST_KEY, 1)]
+
+
+def test_session_window_oracle_tie_break(spark, tmp_path):
+    """Tied timestamps straddling a session boundary: the oracle's
+    running-sum window must walk rows in the SAME (ts, event_id) order
+    as its lag flags, or a session-start flag lands on the wrong side of
+    its tied peer (round-2 judge finding). Spark's session_window is
+    order-insensitive; the DuckDB island oracle must agree on it."""
+    import duckdb
+
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_eventtime import (
+        EVENTS_SESSION_SQL,
+        events_session_window,
+    )
+    from tests.conftest import normalized_rows
+
+    rows = [
+        # user 1: tied pair at session start, tied pair 40min later (new session)
+        (1, "2024-01-01 00:00:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 00:00:00", 1, "view", 2.0, "{}"),
+        (3, "2024-01-01 00:40:00", 1, "click", 3.0, "{}"),
+        (4, "2024-01-01 00:40:00", 1, "view", 4.0, "{}"),
+        # user 2: lone event, then a tied pair that OPENS a new session
+        (5, "2024-01-01 00:00:00", 2, "click", 5.0, "{}"),
+        (6, "2024-01-01 00:45:00", 2, "view", 6.0, "{}"),
+        (7, "2024-01-01 00:45:00", 2, "click", 7.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    fixture = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(fixture)
+
+    # events_session_window loads by sf_dir; point it at the fixture dir
+    # by mimicking the catalog layout.
+    import os
+    import shutil
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    shutil.move(fixture, os.path.join(sf_dir, "events.parquet"))
+    got = events_session_window(spark, sf_dir)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet/*.parquet'")
+    rel = con.sql(EVENTS_SESSION_SQL)
+    s_rows = [tuple(r) for r in got.collect()]
+    d_rows = rel.fetchall()
+    assert len(s_rows) == len(d_rows) == 4, (s_rows, d_rows)
+    assert normalized_rows(got.columns, s_rows) == normalized_rows(list(rel.columns), d_rows)
+    con.close()
