@@ -327,6 +327,40 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     return out
 
 
+def keep_best_dedup(
+    docs: DataFrame, clusters: DataFrame, quality_col: str = "n_chars"
+) -> DataFrame:
+    """Quality-aware canonical selection: per near-dup cluster keep the
+    HIGHEST-quality document (tie → min doc_id) instead of the min-id
+    convention — what a curation pipeline actually wants (drop the
+    truncated/mangled copies, keep the best one).
+
+    `clusters` is (doc_id, cluster_id, cluster_size) from
+    `dedup_clusters` (or any labeling). One window over cluster_id —
+    a single shuffle keyed by cluster; cluster cardinality is bounded
+    by near-dup group size, so no skewed giant partition at scale.
+
+    Returns (doc_id, cluster_id, cluster_size, keep_id, keep).
+    """
+    from pyspark.sql.window import Window
+
+    labeled = docs.select("doc_id", quality_col).join(
+        clusters.select("doc_id", "cluster_id", "cluster_size"), "doc_id"
+    )
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.desc(quality_col), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return labeled.withColumn("keep_id", F.first("doc_id").over(w)).select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        "keep_id",
+        (F.col("doc_id") == F.col("keep_id")).alias("keep"),
+    )
+
+
 def decontaminate(docs: DataFrame, eval_pred: Column) -> DataFrame:
     """Benchmark decontamination: find training documents that share
     k-gram shingles with an eval/benchmark subset (`eval_pred` marks

@@ -179,3 +179,16 @@ def top_k_per_group(
     w = Window.partitionBy(*group_keys).orderBy(*order)
     out = df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
     return out if keep_rank else out.drop(rank_col)
+
+
+def latest_per_key(
+    df: DataFrame, keys: Sequence[str], order: Sequence[Column]
+) -> DataFrame:
+    """CDC upsert-stream compaction: reduce a change/event stream to its
+    latest record per key under a total `order` (pass desc() columns;
+    make the order total — e.g. ts then a unique id — or the survivor
+    is nondeterministic). The batch face of latest-wins materialization
+    (Kafka log compaction, Delta MERGE latest-wins, Flink upsert
+    sinks): one shuffle on the key, per-partition window scan, no
+    driver involvement."""
+    return top_k_per_group(df, keys, order, k=1)

@@ -45,6 +45,22 @@ def token_estimate_bpe(text: Column) -> Column:
     return F.ceil(F.length(text) / F.lit(4.0)).cast("long")
 
 
+# GPT-2-style pre-tokenizer pieces: contraction suffixes, space-prefixed
+# letter runs, digit runs, punctuation runs, residual whitespace. Only
+# constructs with identical semantics in Java regex (Spark) and RE2
+# (DuckDB) — no lookarounds, no \p classes.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def token_count_bpe_regex(text: Column) -> Column:
+    """Piece count under the BPE pre-tokenizer regex — the real
+    'token counting' primitive (vs the chars/4 estimate above): every
+    character lands in exactly one piece, so the count is exact and
+    engine-portable. A full BPE merge table would only split these
+    pieces further by a roughly constant factor."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), F.lit(0)))
+
+
 def punct_ratio(text: Column) -> Column:
     """Share of characters that are not alphanumeric/whitespace."""
     stripped = F.regexp_replace(text, r"[^a-zA-Z0-9\s]", "")

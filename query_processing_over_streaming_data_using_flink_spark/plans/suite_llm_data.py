@@ -21,6 +21,7 @@ from query_processing_over_streaming_data_using_flink_spark.operators import ded
 from query_processing_over_streaming_data_using_flink_spark.operators import multimodal as mm
 from query_processing_over_streaming_data_using_flink_spark.operators import similarity as sim
 from query_processing_over_streaming_data_using_flink_spark.operators import text as tx
+from query_processing_over_streaming_data_using_flink_spark.functions.scalar import md5_hash64
 from query_processing_over_streaming_data_using_flink_spark.registry import register
 from query_processing_over_streaming_data_using_flink_spark.sources.catalog import load_table
 
@@ -763,3 +764,92 @@ WHERE rn <= 25
 
 
 register("sample_fixed_k_per_lang", sample_fixed_k_per_lang, _FIXK_SQL)
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways per document: whitespace tokens, the
+    chars/4 BPE estimate, and the exact GPT-2-style pre-tokenizer piece
+    count (`operators/text.py:token_count_bpe_regex`) with its
+    chars-per-piece ratio. Pure column expressions, one scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_bpe = tx.token_count_bpe_regex(text)
+    return docs.select(
+        "doc_id",
+        tx.token_count(text).alias("n_tokens_ws"),
+        tx.token_estimate_bpe(text).alias("n_tokens_est"),
+        n_bpe.cast("long").alias("n_tokens_bpe"),
+        F.round(F.length(text) / n_bpe, 6).alias("chars_per_token"),
+    )
+
+
+# RE2 rendering of operators/text.py:BPE_PRETOKEN_RE (SQL-quoted: the
+# contraction apostrophe doubles).
+_BPE_RE_SQL = r"'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\s0-9A-Za-z]+|\s+'"
+
+_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       len({_TOKENS}) AS n_tokens_ws,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_est,
+       CAST(len(regexp_extract_all(text, {_BPE_RE_SQL})) AS BIGINT) AS n_tokens_bpe,
+       round(length(text) / len(regexp_extract_all(text, {_BPE_RE_SQL})), 6) AS chars_per_token
+FROM documents
+"""
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection over near-dup clusters: the
+    n-gram-Jaccard connected components (`dedup_clusters_ngram`) with
+    the LONGEST member kept per cluster (tie → min doc_id) —
+    `operators/dedup.py:keep_best_dedup`."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dd.dedup_clusters(docs, dd.ngram_jaccard_pairs(docs, threshold=0.35))
+    return dd.keep_best_dedup(docs, clusters)
+
+
+_KEEP_BEST_SQL = f"""
+SELECT doc_id, cluster_id, cluster_size,
+       first_value(doc_id) OVER (
+           PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keep_id,
+       doc_id = first_value(doc_id) OVER (
+           PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keep
+FROM ({_CLUSTERS_SQL}) labels JOIN documents USING (doc_id)
+"""
+
+
+def sample_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted Bernoulli sampling — the data-mixing
+    primitive (web at 0.25x, curated at 1.0x, ...). The rate derives
+    from the source id (srcN → (1 + N mod 4)/4) and the draw is a
+    deterministic md5 split on (doc_id, source): reproducible on any
+    partitioning, no rand(), identical in DuckDB. At 100 TB this is a
+    scan + filter — no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring(F.col("source"), 4, 10).cast("int")
+    rate = (F.lit(1) + F.pmod(src_num, F.lit(4))) / F.lit(4.0)
+    draw = (
+        F.pmod(
+            md5_hash64(F.concat_ws(":", F.col("doc_id"), F.col("source"))),
+            F.lit(10000),
+        )
+        / F.lit(10000.0)
+    )
+    return docs.filter(draw < rate).select(
+        "doc_id", "source", "lang", F.round(rate, 6).alias("sample_rate")
+    )
+
+
+_WEIGHTED_SQL = f"""
+SELECT doc_id, source, lang,
+       round((1 + CAST(substr(source, 4) AS INT) % 4) / 4.0, 6) AS sample_rate
+FROM documents
+WHERE ({_H64.format(x="CAST(doc_id AS VARCHAR) || ':' || source")}) % 10000 / 10000.0
+      < (1 + CAST(substr(source, 4) AS INT) % 4) / 4.0
+"""
+
+
+register("text_token_count", text_token_count, _TOKEN_COUNT_SQL)
+register("dedup_keep_best", dedup_keep_best, _KEEP_BEST_SQL)
+register("sample_weighted_sources", sample_weighted_sources, _WEIGHTED_SQL)

@@ -33,6 +33,7 @@ from query_processing_over_streaming_data_using_flink_spark.functions.scalar imp
 from query_processing_over_streaming_data_using_flink_spark.operators.relational import (
     asof_join,
     equi_join,
+    latest_per_key,
     top_k,
     top_k_per_group,
 )
@@ -938,5 +939,42 @@ register(
            CAST(round(sum(CASE WHEN converted THEN 1 ELSE 0 END) / count(*), 6)
              AS DOUBLE) AS conversion_rate
     FROM c GROUP BY 1
+    """,
+)
+
+
+def cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert-stream compaction over the events table: the latest
+    record per user under the total order (ts, event_id) — log
+    compaction / latest-wins materialization
+    (`operators/relational.py:latest_per_key`). One shuffle keyed by
+    user_id; at 100 TB this is the standard "current state of every
+    entity" reduction of an event log."""
+    ev = load_table(spark, sf_dir, "events")
+    return latest_per_key(
+        ev, ["user_id"], [F.desc("ts"), F.desc("event_id")]
+    ).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+register(
+    "cdc_latest_per_key",
+    cdc_latest_per_key,
+    """
+    SELECT user_id,
+           event_id AS last_event_id,
+           ts AS last_ts,
+           event_type AS last_event_type,
+           value AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
     """,
 )

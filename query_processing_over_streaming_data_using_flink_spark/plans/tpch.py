@@ -89,6 +89,27 @@ ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT 20
 """
 
+# One Q3 text, two evaluation modes (batch below, streaming in
+# q3_sql_stream) — the reference ships the identical SQL in batch and
+# inStreamingMode() variants (`TPCHQuery3SQL_Batch.java:100-124`,
+# `TPCHQuery3SQL_Stream.java:27`); only the table bindings differ.
+_Q3_SQL_TEMPLATE = f"""
+SELECT l_orderkey,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) / CAST(10000 AS DOUBLE) AS revenue,
+       o_orderdate,
+       0 AS o_shippriority
+FROM {{customer}}, {{orders}}, {{lineitem}}
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 20
+"""
+
+
 def q3_shipping_priority_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same flagship query through the SQL API (the reference's
     oracle path is Flink SQL, `TPCHQuery3SQL_Batch.java:100-124`) —
@@ -98,22 +119,51 @@ def q3_shipping_priority_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
     return spark.sql(
-        f"""
-        SELECT l_orderkey,
-               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) / CAST(10000 AS DOUBLE) AS revenue,
-               o_orderdate,
-               0 AS o_shippriority
-        FROM customer, orders, lineitem
-        WHERE c_mktsegment = '{Q3_SEGMENT}'
-          AND c_custkey = o_custkey
-          AND l_orderkey = o_orderkey
-          AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
-          AND l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
-        GROUP BY l_orderkey, o_orderdate
-        ORDER BY revenue DESC, o_orderdate, l_orderkey
-        LIMIT 20
-        """
+        _Q3_SQL_TEMPLATE.format(customer="customer", orders="orders", lineitem="lineitem")
     )
+
+
+def q3_sql_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME Q3 SQL text evaluated under STREAMING semantics —
+    reference implementation #2 parity (`TPCHQuery3SQL_Stream.java:27`
+    runs the identical SQL in `inStreamingMode()`).
+
+    lineitem arrives as a file-source stream in micro-batches;
+    customer/orders bind as static dimensions. Catalyst plans
+    stream-static joins feeding a streaming aggregate; complete output
+    mode maintains the aggregate and the Top-20 incrementally across
+    triggers (state = running per-group sums, not reprocessed input).
+    The drained result equals the batch evaluation of the same text —
+    the convergence criterion the reference states (README.md:154-159).
+    """
+    import tempfile
+    import uuid
+
+    staging = tempfile.mkdtemp(prefix="q3_sql_stream_")
+    load_table(spark, sf_dir, "lineitem").repartition(4).write.mode("overwrite").parquet(staging)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_static")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_static")
+    (
+        spark.readStream.schema(spark.read.parquet(staging).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .createOrReplaceTempView("lineitem_stream")
+    )
+    result = spark.sql(
+        _Q3_SQL_TEMPLATE.format(
+            customer="customer_static", orders="orders_static", lineitem="lineitem_stream"
+        )
+    )
+    sink = f"q3_sql_stream_{uuid.uuid4().hex[:8]}"
+    query = (
+        result.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink)
 
 
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -988,6 +1038,7 @@ LIMIT 100
 
 register("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE_SQL)
 register("q3_shipping_priority_sql", q3_shipping_priority_sql, Q3_ORACLE_SQL)
+register("q3_sql_stream", q3_sql_stream, Q3_ORACLE_SQL)
 register("q4_order_priority", q4_order_priority, Q4_ORACLE_SQL)
 register("q5_local_supplier_volume", q5_local_supplier_volume, Q5_ORACLE_SQL)
 register("q6_forecast_revenue", q6_forecast_revenue, Q6_ORACLE_SQL)

@@ -59,11 +59,11 @@ _PRIORITY_FIRST = [
     "join_asof_purchase",
     "resample_gap_fill",
     # New in round 4 (never driver-checked):
-    "changelog_q3_sql_stream",
+    "q3_sql_stream",
     "text_token_count",
     "dedup_keep_best",
-    "events_enrich_stream_sql",
-    "ann_ivf_cosine",
+    "cdc_latest_per_key",
+    "sample_weighted_sources",
     # Stalest certifications (r1-green only, never re-checked since):
     "ann_bruteforce",
     "ann_lsh",

@@ -261,3 +261,77 @@ def test_pack_sequences_invariants(spark):
         assert r["seq_id"] == cum // 256
         assert r["seq_offset"] == cum % 256
         by_lang[r["lang"]] = cum + r["n_tokens"]
+
+
+def test_keep_best_dedup_prefers_quality(spark, planted_docs):
+    """Canonical selection by quality: in a cluster where a LATER doc is
+    longest, keep_best must pick it (not the min id), tying on min id."""
+    # doc 1 and its near-dup 12: make 12 longer than 1.
+    docs = planted_docs.withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") == 12, F.lit(10_000)).otherwise(F.col("n_chars")),
+    )
+    clusters = dd.dedup_clusters(docs, dd.ngram_jaccard_pairs(docs, threshold=0.35))
+    out = {r["doc_id"]: r for r in dd.keep_best_dedup(docs, clusters).collect()}
+    # cluster of {1, 12}: 12 is longer -> kept; 1 dropped.
+    assert out[12]["keep"] and out[12]["keep_id"] == 12
+    assert not out[1]["keep"] and out[1]["keep_id"] == 12
+    # cluster of {0, 10, 11}: equal length -> tie-break min doc_id.
+    assert out[0]["keep"] and out[10]["keep_id"] == 0 and not out[11]["keep"]
+    # singletons keep themselves.
+    assert out[13]["keep"]
+
+
+def test_bpe_regex_token_count_exact(spark):
+    """The regex pre-tokenizer piece count is exact on known strings
+    (every char in exactly one piece; contractions split off)."""
+    rows = [
+        (1, "it's a test"),     # [it]['s][ a][ test] = 4
+        (2, "abc123 x-y"),      # [abc][123][ x][-][y] = 5
+        (3, "  hello  "),       # [  hello (space-prefix run? ' hello')]...
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", tx.token_count_bpe_regex(F.col("t")).alias("n")).collect()
+    }
+    assert got[1] == 4
+    assert got[2] == 5
+    # "  hello  ": [' '](ws run of 1? — " ?[A-Za-z]+" grabs ' hello' after
+    # one leading space consumed by \s+... leading '  ' -> first alternative
+    # match is ws run ' ' then ' hello' then trailing '  ' ws run = 3
+    assert got[3] == 3
+
+
+def test_latest_per_key_compaction(spark):
+    from query_processing_over_streaming_data_using_flink_spark.operators.relational import (
+        latest_per_key,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 100),
+        (2, "2024-01-01 11:00:00", 100),  # later ts wins
+        (3, "2024-01-01 11:00:00", 100),  # tied ts -> higher event_id wins
+        (4, "2024-01-01 09:00:00", 200),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    got = {
+        r["user_id"]: r["event_id"]
+        for r in latest_per_key(df, ["user_id"], [F.desc("ts"), F.desc("event_id")]).collect()
+    }
+    assert got == {100: 3, 200: 4}
+
+
+def test_q3_sql_stream_equals_batch(spark):
+    """The identical Q3 SQL text drained under streaming evaluation
+    (complete mode, file-stream lineitem) == its batch evaluation."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.tpch import (
+        q3_shipping_priority,
+        q3_sql_stream,
+    )
+
+    got = sorted(tuple(r) for r in q3_sql_stream(spark, SF_SMOKE).collect())
+    want = sorted(tuple(r) for r in q3_shipping_priority(spark, SF_SMOKE).collect())
+    assert got == want
