@@ -155,34 +155,36 @@ def build_changelog(spark: SparkSession, sf_dir: str, window: int | None = None)
     )
     ordered = _rank(ins, ["pos", "rel_rank", "i"], "g", n_total)
 
+    # The interleaved sequence number is ANALYTIC in g — no third global
+    # rank over 2N rows (the round-3 profile showed that rank dominating
+    # SF-1 generation). Derivation: events sort by (k1, k2, k3) where
+    # inserts carry (g, 0, g) and the delete of insert g carries
+    # (min(g+W, N), 1, g); deletes order by g among themselves, so
+    #   seq(insert g) = g + #{deletes before it} = g + max(0, g - W - 1)
+    #   seq(delete g) = #{inserts before it} + #{earlier deletes} + 1
+    #                 = min(g + W, N) + g.
+    # Both are bijections onto their slots of 1..2N, and with W = N they
+    # reduce to the reference's phase-2 full drain (inserts 1..N then
+    # deletes N+1..2N). The DuckDB oracle keeps the independent
+    # row_number() spec, so the hash-match certifies this closed form.
+    if window is None:
+        return ordered.select(
+            F.col("g").alias("seq"), F.lit(1).alias("op"), "relation", *PAYLOAD_COLS
+        )
+    w_lit, n_lit = F.lit(int(window)), F.lit(int(n_total))
     inserts = ordered.select(
+        (F.col("g") + F.greatest(F.lit(0), F.col("g") - w_lit - F.lit(1))).alias("seq"),
         F.lit(1).alias("op"),
         "relation",
         *PAYLOAD_COLS,
-        F.col("g").alias("k1"),
-        F.lit(0).alias("k2"),
-        F.col("g").alias("k3"),
     )
-    if window is None:
-        events = inserts
-    else:
-        # Delete of insert g is emitted right after insert g+window;
-        # once inserts are exhausted the remaining deletes drain in
-        # insertion order (reference phase 2, StreamDataProcessor.py:221-249).
-        deletes = ordered.select(
-            F.lit(-1).alias("op"),
-            "relation",
-            *PAYLOAD_COLS,
-            F.least(F.col("g") + F.lit(int(window)), F.lit(int(n_total))).alias("k1"),
-            F.lit(1).alias("k2"),
-            F.col("g").alias("k3"),
-        )
-        events = inserts.unionByName(deletes)
-
-    n_events = n_total if window is None else 2 * n_total
-    return _rank(events, ["k1", "k2", "k3"], "seq", n_events).select(
-        "seq", "op", "relation", *PAYLOAD_COLS
+    deletes = ordered.select(
+        (F.least(F.col("g") + w_lit, n_lit) + F.col("g")).alias("seq"),
+        F.lit(-1).alias("op"),
+        "relation",
+        *PAYLOAD_COLS,
     )
+    return inserts.unionByName(deletes)
 
 
 def changelog_sql(window: int | None = None, prefix: str = "") -> str:
