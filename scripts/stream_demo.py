@@ -7,6 +7,12 @@ dashboard/websocket shim at it).
 
 Usage:
     python scripts/stream_demo.py [sf_dir] [--window FRACTION] [--json PATH]
+                                  [--serve PORT [--linger SEC]]
+
+With --serve, a stdlib WebSocket server broadcasts each epoch's Top-20
+payload; open http://127.0.0.1:PORT/ in a browser for the live
+dashboard (the reference's run_realtime_demo.sh + simple_index.html
+experience).
 """
 
 from __future__ import annotations
@@ -35,7 +41,21 @@ def main() -> None:
     ap.add_argument("--window", type=float, default=0.66, help="sliding window as fraction of inserts")
     ap.add_argument("--json", default=None, help="JSON-lines output path")
     ap.add_argument("--files-per-trigger", type=int, default=2)
+    ap.add_argument("--serve", type=int, default=None, metavar="PORT",
+                    help="serve dashboard + WebSocket Top-20 feed on this port")
+    ap.add_argument("--linger", type=float, default=30.0,
+                    help="with --serve: seconds to keep serving after the drain")
     args = ap.parse_args()
+
+    server = None
+    if args.serve is not None:
+        from query_processing_over_streaming_data_using_flink_spark.streaming.websocket import (
+            TopNWebSocketServer,
+        )
+
+        server = TopNWebSocketServer(port=args.serve)
+        server.start()
+        print(f"dashboard: http://127.0.0.1:{server.port}/  (WebSocket on the same port)")
 
     spark = get_spark("stream_demo")
     work = tempfile.mkdtemp(prefix="streamq_demo_")
@@ -57,6 +77,13 @@ def main() -> None:
             console(epoch, top)
             if json_sink:
                 json_sink(epoch, top)
+            if server is not None:
+                from query_processing_over_streaming_data_using_flink_spark.streaming.sinks import (
+                    topn_json_payload,
+                )
+
+                n = server.broadcast(topn_json_payload(top))
+                print(f"  → pushed epoch {epoch} to {n} websocket client(s)")
 
         final = run_streaming_q3(
             spark,
@@ -67,7 +94,17 @@ def main() -> None:
         )
         print("=== final Top-20 (post-drain state) ===")
         final.show(20, False)
+        if server is not None and args.linger > 0:
+            import time
+
+            print(f"serving dashboard for {args.linger:.0f}s more (Ctrl-C to stop)")
+            try:
+                time.sleep(args.linger)
+            except KeyboardInterrupt:
+                pass
     finally:
+        if server is not None:
+            server.stop()
         shutil.rmtree(work, ignore_errors=True)
 
 

@@ -235,3 +235,79 @@ def test_loader_schema_drift_fails_loudly(spark, tmp_path):
     pq.write_table(tbl, str(tmp_path / "region.parquet"))
     with pytest.raises(ValueError, match=r"region.*r_name.*string.*binary"):
         load_table(spark, str(tmp_path), "region")
+
+
+def test_websocket_topn_push():
+    """End-to-end RFC-6455 check without Spark: handshake (accept-key
+    verified against an independent computation), late-joiner replay,
+    broadcast frame decode, and the plain-HTTP dashboard path."""
+    import base64
+    import hashlib
+    import socket
+    import struct
+
+    from query_processing_over_streaming_data_using_flink_spark.streaming.websocket import (
+        TopNWebSocketServer,
+    )
+
+    srv = TopNWebSocketServer(port=0)
+    srv.start()
+    try:
+        srv.broadcast('{"timestamp": 1, "data": []}')  # pre-connect emission
+
+        c = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+        key = base64.b64encode(b"0123456789abcdef").decode()
+        c.sendall(
+            (
+                f"GET / HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
+                f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n"
+                f"Sec-WebSocket-Version: 13\r\n\r\n"
+            ).encode()
+        )
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            resp += c.recv(4096)
+        head, rest = resp.split(b"\r\n\r\n", 1)
+        assert b"101" in head.split(b"\r\n")[0]
+        want = base64.b64encode(
+            hashlib.sha1((key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").encode()).digest()
+        )
+        assert want in head, "Sec-WebSocket-Accept mismatch"
+
+        def read_frame(buf):
+            while len(buf) < 2:
+                buf += c.recv(4096)
+            b0, ln = buf[0], buf[1] & 0x7F
+            assert b0 == 0x81, "expected FIN TEXT frame"
+            off = 2
+            if ln == 126:
+                while len(buf) < 4:
+                    buf += c.recv(4096)
+                ln, off = struct.unpack("!H", buf[2:4])[0], 4
+            while len(buf) < off + ln:
+                buf += c.recv(4096)
+            return buf[off:off + ln].decode(), buf[off + ln:]
+
+        # Late joiner gets the pre-connect payload replayed.
+        msg, rest = read_frame(rest)
+        assert msg == '{"timestamp": 1, "data": []}'
+
+        payload = '{"timestamp": 2, "data": [{"rank": 1}]}' + "x" * 200  # 16-bit len path
+        assert srv.broadcast(payload) == 1
+        msg, rest = read_frame(rest)
+        assert msg == payload
+        c.close()
+
+        # Plain GET serves the dashboard page.
+        h = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+        h.sendall(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n")
+        page = b""
+        while True:
+            chunk = h.recv(4096)
+            if not chunk:
+                break
+            page += chunk
+        assert b"200 OK" in page and b"WebSocket" in page
+        h.close()
+    finally:
+        srv.stop()
