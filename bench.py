@@ -163,15 +163,36 @@ def main() -> None:
             t0 = time.time()
             _run(q3_on_state(spark.read.parquet(staged)))
             consume = round(time.time() - t0, 3)
+            # The one-shot consume evaluates the final state in one
+            # batch plan. The reference maintains state incrementally,
+            # so ALSO time the apples-to-apples path: the micro-batched
+            # IVM pipeline (foreachBatch delta joins + bucketed state
+            # merges) over the same staged changelog, ~4 epochs.
+            from query_processing_over_streaming_data_using_flink_spark.streaming.ivm import (
+                run_streaming_q3,
+            )
+
+            nfiles = len([f for f in os.listdir(staged) if f.endswith(".parquet")])
+            t0 = time.time()
+            run_streaming_q3(
+                spark,
+                staged,
+                os.path.join(tmp, "state"),
+                files_per_trigger=max(1, nfiles // 4),
+            )
+            ivm_sec = round(time.time() - t0, 3)
             extra["sf1"] = {
                 "sf": 1,
                 "consume_q3_sec": consume,
                 "events": 2 * n1,
                 "events_per_sec": round(2 * n1 / consume, 1),
+                "ivm_consume_sec": ivm_sec,
+                "ivm_events_per_sec": round(2 * n1 / ivm_sec, 1),
                 "changelog_gen_sec": stage_sec,
                 "table_gen_sec": gen_sec,
                 "baseline_sec": 71.0,
                 "vs_baseline_consume": round(consume / 71.0, 3),
+                "vs_baseline_ivm": round(ivm_sec / 71.0, 3),
                 "vs_baseline_incl_generation": round((consume + stage_sec) / 71.0, 3),
             }
         except Exception as e:  # the parity point must never sink the bench
