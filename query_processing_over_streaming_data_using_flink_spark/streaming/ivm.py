@@ -70,7 +70,7 @@ from query_processing_over_streaming_data_using_flink_spark.functions.scalar imp
 NUM_BUCKETS = 32
 
 
-_VERSION_RE = re.compile(r"v\d+")
+_VERSION_RE = re.compile(r"v\d+c*")
 
 
 def _bucket(col) -> F.Column:
@@ -150,9 +150,12 @@ class IncrementalQ3:
         then flip the ``CURRENT`` pointer with an atomic rename. A crash
         anywhere before the flip leaves the previous version live and
         complete; the retried epoch rebuilds ``v<epoch>`` from scratch."""
+        self._commit_version(f"v{epoch_id}", epoch_id, carry_over=True)
+
+    def _commit_version(self, version: str, epoch_id: int, carry_over: bool) -> None:
         old_epoch, old_ver = self._current()
-        new_ver = os.path.join(self.state_dir, f"v{epoch_id}")
-        # Debris from a crashed attempt at this same epoch.
+        new_ver = os.path.join(self.state_dir, version)
+        # Debris from a crashed attempt at this same version.
         shutil.rmtree(new_ver, ignore_errors=True)
         for name in self._TABLES:
             dst_table = os.path.join(new_ver, name)
@@ -166,7 +169,7 @@ class IncrementalQ3:
                         touched.add(entry)
                 shutil.rmtree(tmp, ignore_errors=True)
             src_table = None if old_ver is None else os.path.join(old_ver, name)
-            if src_table and os.path.isdir(src_table):
+            if carry_over and src_table and os.path.isdir(src_table):
                 for entry in os.listdir(src_table):
                     if not entry.startswith("bucket=") or entry in touched:
                         continue
@@ -179,20 +182,42 @@ class IncrementalQ3:
                             os.link(spath, os.path.join(ddir, fname))
         ptr_tmp = os.path.join(self.state_dir, f"_{self._POINTER}.tmp")
         with open(ptr_tmp, "w") as fh:
-            json.dump({"epoch": epoch_id, "version": f"v{epoch_id}"}, fh)
+            json.dump({"epoch": epoch_id, "version": version}, fh)
             fh.flush()
             os.fsync(fh.fileno())
         with self.swap_lock:
             os.replace(ptr_tmp, os.path.join(self.state_dir, self._POINTER))
             # GC: keep the new current and its predecessor (in-flight
             # lazy readers), drop anything older.
-            keep = {f"v{epoch_id}"}
+            keep = {version}
             if old_ver is not None:
                 keep.add(os.path.basename(old_ver))
             for entry in os.listdir(self.state_dir):
                 if _VERSION_RE.fullmatch(entry) and entry not in keep:
                     shutil.rmtree(os.path.join(self.state_dir, entry), ignore_errors=True)
         self.epoch = epoch_id
+
+    def compact_state(self) -> None:
+        """Maintenance: rewrite every state table dropping zero-net-
+        weight rows. Per-epoch merges deliberately KEEP cancelled keys
+        (absent ≡ weight 0, and keeping them preserves the touched-
+        bucket write discipline), so under churn dead keys accumulate;
+        this is the periodic OPTIMIZE that reclaims them. O(state) —
+        run it on a schedule, not per epoch. The rewrite publishes
+        through the same atomic version commit with carry-over disabled
+        (a bucket emptied by the filter must vanish, not resurrect its
+        old files), so it is crash-safe and invisible to readers until
+        complete, and a query stream can keep processing epochs after
+        it (compaction preserves the committed epoch id)."""
+        committed, ver = self._current()
+        if ver is None:
+            return
+        weight_col = {"c": "w_c", "o": "w_o", "o2": "w_o", "l": "w_cents", "r": "cents"}
+        for name in self._TABLES:
+            self._write_merged(
+                name, self._read(name).filter(F.col(weight_col[name]) != 0)
+            )
+        self._commit_version(os.path.basename(ver) + "c", committed, carry_over=False)
 
     def _write_merged(self, name: str, merged: DataFrame) -> None:
         merged.write.partitionBy("bucket").mode("overwrite").parquet(self._tmp(name))

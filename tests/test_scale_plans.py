@@ -241,3 +241,28 @@ def test_no_driver_side_collect_in_operators():
             if ".collect()" in code:
                 offenders.append(f"{py.relative_to(pkg)}:{i}")
     assert not offenders, offenders
+
+
+def test_cdc_latest_per_key_single_shuffle(spark):
+    """Log compaction must be ONE exchange (hash by key) + window scan —
+    no join, no global sort."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_relational import (
+        cdc_latest_per_key,
+    )
+
+    plan = _plan(cdc_latest_per_key(spark, SF_SMOKE))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_weighted_sample_is_scan_and_filter(spark):
+    """Deterministic source-weighted sampling must be a pure
+    scan+filter: zero exchanges, zero joins — the shape that makes it
+    free at 100 TB."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        sample_weighted_sources,
+    )
+
+    plan = _plan(sample_weighted_sources(spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan

@@ -477,3 +477,39 @@ def test_session_window_oracle_tie_break(spark, tmp_path):
     assert len(s_rows) == len(d_rows) == 4, (s_rows, d_rows)
     assert normalized_rows(got.columns, s_rows) == normalized_rows(list(rel.columns), d_rows)
     con.close()
+
+
+def test_ivm_compaction_reclaims_cancelled_keys(spark, tmp_path):
+    """A full insert+delete cycle cancels every key to net weight 0 —
+    the rows stay in state by design. compact_state() must reclaim them
+    (empty tables, same results), preserve the committed epoch, and the
+    stream must keep applying epochs correctly afterwards."""
+    from query_processing_over_streaming_data_using_flink_spark.streaming.ivm import (
+        IncrementalQ3,
+    )
+
+    n_total = sum(
+        load_table(spark, SF_SMOKE, t).count() for t in ("customer", "orders", "lineitem")
+    )
+    full_cycle = build_changelog(spark, SF_SMOKE, window=n_total)
+
+    state = str(tmp_path / "state")
+    pipe = IncrementalQ3(spark, state)
+    pipe.process_batch(full_cycle, 0)
+    assert pipe.top_n().count() == 0, "drained stream has no live revenue"
+    n_dead = sum(pipe._read(t).count() for t in pipe._TABLES)
+    assert n_dead > 0, "cancelled keys are kept by the per-epoch merge"
+
+    pipe.compact_state()
+    assert pipe._current()[0] == 0, "compaction must not advance the epoch"
+    assert sum(pipe._read(t).count() for t in pipe._TABLES) == 0
+    assert pipe.top_n().count() == 0
+
+    # Compaction is idempotent and the version chain stays consistent.
+    pipe.compact_state()
+    assert pipe._current()[0] == 0
+
+    # The stream continues: a post-compaction delta lands exactly once.
+    pipe.process_batch(_single_customer_batch(spark), 1)
+    assert pipe._current()[0] == 1
+    assert _cust_weight(pipe) == [(NEW_CUST_KEY, 1)]
