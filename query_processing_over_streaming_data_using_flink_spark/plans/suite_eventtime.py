@@ -326,3 +326,61 @@ register("attr_interval_join_pairs", attr_interval_join_pairs, ATTR_PAIRS_SQL)
 register("attr_last_touch", attr_last_touch, ATTR_LAST_TOUCH_SQL)
 register("enrich_segment_activity", enrich_segment_activity, ENRICH_SEGMENT_SQL)
 register("join_salted_user_nation", join_salted_user_nation, SALTED_JOIN_SQL)
+
+
+def rollup_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: DAILY stats
+    composed from HOURLY partials — the two-level pre-aggregation
+    hierarchy (TimescaleDB continuous aggregates / materialized rollup
+    tables). The daily layer never touches raw events: sums of sums,
+    sums of counts, min/max of mins/maxes, and the daily average
+    reconstructed as total/count. At 100 TB the hourly layer is the
+    materialized table; daily/weekly/monthly all derive from it with
+    aggregation over 24x fewer rows, and the hourly aggregate itself is
+    one map-side-combined shuffle. The oracle aggregates raw events
+    directly — certifying that the partial-composition is lossless."""
+    ev = load_table(spark, sf_dir, "events")
+    # Hourly partials keep the sum as INTEGER cents: composing double
+    # partials would reorder IEEE addition and drift from the direct
+    # aggregation; integer partials compose exactly in any order.
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.to_date(F.date_trunc("day", F.col("hour"))).alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            (F.sum("cents").cast("bigint") / F.lit(100.0)).alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.round(
+                (F.sum("cents").cast("bigint") / F.lit(100.0)) / F.sum("n"), 6
+            ).alias("avg_value"),
+        )
+    )
+
+
+ROLLUP_HOURLY_DAILY_SQL = f"""
+SELECT CAST(ts AS DATE) AS day,
+       event_type,
+       count(*) AS n_events,
+       {exact_sum_sql('value', 100)} AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       round({exact_sum_sql('value', 100)} / count(*), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+register("rollup_hourly_daily", rollup_hourly_daily, ROLLUP_HOURLY_DAILY_SQL)

@@ -163,6 +163,10 @@ def q3_sql_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
+    # The memory sink holds the result; the staged stream input is done.
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
     return spark.table(sink)
 
 

@@ -64,6 +64,7 @@ _PRIORITY_FIRST = [
     "dedup_keep_best",
     "cdc_latest_per_key",
     "sample_weighted_sources",
+    "rollup_hourly_daily",
     # Stalest certifications (r1-green only, never re-checked since):
     "ann_bruteforce",
     "ann_lsh",
@@ -88,9 +89,9 @@ _PRIORITY_FIRST = [
     "window_running_totals",
     "scalar_expressions",
     "join_range_price_tiers",
-    "q17_small_quantity_revenue",
 ]
 _PUSH_LAST = [
+    "q17_small_quantity_revenue",  # r1-green; bumped for round-4 rollup slot
     # Driver-green in round 3 (fresh certification; scripts/
     # verify_contract.py still checks them every round) or semantically
     # redundant API variants — safe to fall past the 50-entry cap.
