@@ -513,3 +513,70 @@ def test_ivm_compaction_reclaims_cancelled_keys(spark, tmp_path):
     pipe.process_batch(_single_customer_batch(spark), 1)
     assert pipe._current()[0] == 1
     assert _cust_weight(pipe) == [(NEW_CUST_KEY, 1)]
+
+
+def test_changelog_seq_closed_form_property():
+    """Property: for any (n, W), the analytic sequence numbers
+    seq(insert g) = g + max(0, g-W-1) and seq(delete g) = min(g+W, n) + g
+    equal the row_number over the (k1, k2, k3) event ordering the
+    generator is specified by (inserts (g,0,g); deletes (min(g+W,n),1,g)).
+    Pure-Python check — no Spark, exhaustive over the strategy space."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(1, 60), st.data())
+    def check(n, data):
+        w = data.draw(st.integers(1, n))
+        events = [(g, 0, g) for g in range(1, n + 1)] + [
+            (min(g + w, n), 1, g) for g in range(1, n + 1)
+        ]
+        events.sort()
+        by_rank = {ev: i + 1 for i, ev in enumerate(events)}
+        for g in range(1, n + 1):
+            assert by_rank[(g, 0, g)] == g + max(0, g - w - 1), (n, w, g, "insert")
+            assert by_rank[(min(g + w, n), 1, g)] == min(g + w, n) + g, (n, w, g, "delete")
+
+    check()
+
+
+def test_streaming_latest_per_key_equals_batch(spark, tmp_path):
+    """Streaming face of CDC log compaction: a complete-mode max_by
+    aggregate over the event stream converges to the batch
+    latest_per_key result."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_relational import (
+        cdc_latest_per_key,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "ev_src")
+    events.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    latest = stream.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("event_id", "ts", "event_type", "value"),
+            F.struct("ts", "event_id"),
+        ).alias("last")
+    ).select(
+        "user_id",
+        F.col("last.event_id").alias("last_event_id"),
+        F.col("last.ts").alias("last_ts"),
+        F.col("last.event_type").alias("last_event_type"),
+        F.col("last.value").alias("last_value"),
+    )
+    q = (
+        latest.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("latest_pk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = _rows(spark.table("latest_pk"))
+    want = _rows(cdc_latest_per_key(spark, SF_SMOKE))
+    assert got == want
