@@ -853,3 +853,94 @@ WHERE ({_H64.format(x="CAST(doc_id AS VARCHAR) || ':' || source")}) % 10000 / 10
 register("text_token_count", text_token_count, _TOKEN_COUNT_SQL)
 register("dedup_keep_best", dedup_keep_best, _KEEP_BEST_SQL)
 register("sample_weighted_sources", sample_weighted_sources, _WEIGHTED_SQL)
+
+
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window preparation: split each document into fixed-size
+    character chunks (size 200, stride 150 → 50-char overlap). A pure
+    `sequence` + `substring` explode — per-row expansion with no
+    shuffle at all, so it streams through a 100 TB corpus map-side;
+    chunk count per doc is ceil((len-overlap)/stride) bounded by doc
+    length. Emits (doc_id, chunk_id, chunk_start, chunk_text)."""
+    size, stride = 200, 150
+    docs = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.ceil((F.length("text") - size) / stride).cast("int"), F.lit(0)),
+    )
+    return (
+        docs.select("doc_id", "text", F.explode(starts).alias("chunk_id"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            (F.col("chunk_id") * stride).cast("long").alias("chunk_start"),
+            F.substring(F.col("text"), F.col("chunk_id") * stride + 1, size).alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+_CHUNK_SQL = """
+SELECT doc_id,
+       i AS chunk_id,
+       CAST(i * 150 AS BIGINT) AS chunk_start,
+       substr(text, i * 150 + 1, 200) AS chunk_text
+FROM documents,
+     unnest(range(0, greatest(CAST(ceil((length(text) - 200) / 150.0) AS INT), 0) + 1)) t(i)
+"""
+
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids + cohort stats — the vector
+    aggregation behind IVF training, cluster monitoring, and class
+    prototypes. One posexplode + one (label, dim) hash aggregate (a
+    single narrow shuffle; vectors never hit the driver), then the
+    centroid is reassembled in dimension order. Sums are quantized to
+    integers (floor(x*2^20)) so the aggregation is associative and
+    bit-identical in any engine or partitioning — the `ann_ivf`
+    centroid discipline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = 1 << 20
+    comp = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    agg = comp.groupBy("label", "dim").agg(
+        F.sum(F.floor(F.col("x") * q).cast("long")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    return (
+        agg.groupBy("label")
+        .agg(
+            F.first("n").alias("n_vectors"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                lambda t: F.round(t["s"] / F.col("n_vectors") / q, 6),
+            ).alias("centroid"),
+        )
+        .select("label", "n_vectors", "centroid")
+    )
+
+
+_CENTROID_SQL = """
+WITH comp AS (
+  SELECT label, i - 1 AS dim, CAST(floor(embedding[i] * 1048576) AS BIGINT) AS s
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)
+),
+agg AS (
+  SELECT label, dim, sum(s) AS s, count(*) AS n
+  FROM comp GROUP BY label, dim
+),
+g AS (
+  SELECT label, any_value(n) AS n_vectors,
+         list_sort(list(struct_pack(dim := dim, s := s))) AS pairs
+  FROM agg GROUP BY label
+)
+SELECT label, n_vectors,
+       list_transform(pairs, r -> round(r.s / n_vectors / 1048576.0, 6)) AS centroid
+FROM g
+"""
+
+
+register("chunk_documents_overlap", chunk_documents_overlap, _CHUNK_SQL)
+register("embedding_label_centroids", embedding_label_centroids, _CENTROID_SQL)

@@ -65,6 +65,8 @@ _PRIORITY_FIRST = [
     "cdc_latest_per_key",
     "sample_weighted_sources",
     "rollup_hourly_daily",
+    "chunk_documents_overlap",
+    "embedding_label_centroids",
     # Stalest certifications (r1-green only, never re-checked since):
     "ann_bruteforce",
     "ann_lsh",
@@ -87,11 +89,11 @@ _PRIORITY_FIRST = [
     "agg_median_order_price",
     "topk_orders_per_segment",
     "window_running_totals",
-    "scalar_expressions",
-    "join_range_price_tiers",
 ]
 _PUSH_LAST = [
-    "q17_small_quantity_revenue",  # r1-green; bumped for round-4 rollup slot
+    "q17_small_quantity_revenue",   # r1-green; bumped for a round-4 slot
+    "scalar_expressions",           # r1-green; bumped for a round-4 slot
+    "join_range_price_tiers",       # r1-green; bumped for a round-4 slot
     # Driver-green in round 3 (fresh certification; scripts/
     # verify_contract.py still checks them every round) or semantically
     # redundant API variants — safe to fall past the 50-entry cap.

