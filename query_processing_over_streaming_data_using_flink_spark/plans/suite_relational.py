@@ -978,3 +978,108 @@ register(
     ) WHERE rn = 1
     """,
 )
+
+
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: foreign-key orphan counts across the star
+    schema (orders→customer, lineitem→orders, customer→nation,
+    events→customer-as-user). Each check is a LEFT ANTI join — at scale
+    the dim side broadcasts (nation) or the fact side shuffles once on
+    its key; no row data ever reaches the driver, just one count per
+    relationship."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    ev = load_table(spark, sf_dir, "events")
+
+    def orphans(name, fact, dim, fk, pk):
+        return (
+            fact.join(dim, fact[fk] == dim[pk], "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+            .select(
+                F.lit(name).alias("relationship"),
+                "n_orphans",
+            )
+        )
+
+    return (
+        orphans("orders->customer", o, c, "o_custkey", "c_custkey")
+        .unionByName(orphans("lineitem->orders", li, o, "l_orderkey", "o_orderkey"))
+        .unionByName(orphans("customer->nation", c, n, "c_nationkey", "n_nationkey"))
+        .unionByName(orphans("events->customer", ev, c, "user_id", "c_custkey"))
+    )
+
+
+register(
+    "dq_referential_integrity",
+    dq_referential_integrity,
+    """
+    SELECT 'orders->customer' AS relationship,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->orders',
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'events->customer',
+           (SELECT count(*) FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+    """,
+)
+
+
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profile of orders in ONE scan: per column a
+    row of (non-null count, distinct estimate as exact here, min/max as
+    strings). The one-pass profile is the standard pre-ingest audit —
+    every statistic is an ordinary aggregate with map-side partials, so
+    the whole profile costs a single reduce at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def prof(col, typ):
+        return o.agg(
+            F.lit(col).alias("column"),
+            F.lit(typ).alias("dtype"),
+            F.count(col).alias("n_non_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("string").alias("min_value"),
+            F.max(col).cast("string").alias("max_value"),
+        )
+
+    return (
+        prof("o_orderkey", "bigint")
+        .unionByName(prof("o_custkey", "bigint"))
+        .unionByName(prof("o_orderstatus", "string"))
+        .unionByName(prof("o_totalprice", "double"))
+        .unionByName(prof("o_orderpriority", "string"))
+    )
+
+
+register(
+    "dq_profile_orders",
+    dq_profile_orders,
+    """
+    SELECT 'o_orderkey' AS column, 'bigint' AS dtype,
+           count(o_orderkey) AS n_non_null, count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_value, CAST(max(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', 'bigint', count(o_custkey), count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', 'string', count(o_orderstatus), count(DISTINCT o_orderstatus),
+           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', 'double', count(o_totalprice), count(DISTINCT o_totalprice),
+           CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', 'string', count(o_orderpriority), count(DISTINCT o_orderpriority),
+           CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM orders
+    """,
+)

@@ -67,6 +67,8 @@ _PRIORITY_FIRST = [
     "rollup_hourly_daily",
     "chunk_documents_overlap",
     "embedding_label_centroids",
+    "dq_referential_integrity",
+    "dq_profile_orders",
     # Stalest certifications (r1-green only, never re-checked since):
     "ann_bruteforce",
     "ann_lsh",
@@ -87,13 +89,13 @@ _PRIORITY_FIRST = [
     "agg_cube_lineitem",
     "agg_rollup_orders",
     "agg_median_order_price",
-    "topk_orders_per_segment",
-    "window_running_totals",
 ]
 _PUSH_LAST = [
     "q17_small_quantity_revenue",   # r1-green; bumped for a round-4 slot
     "scalar_expressions",           # r1-green; bumped for a round-4 slot
     "join_range_price_tiers",       # r1-green; bumped for a round-4 slot
+    "topk_orders_per_segment",      # r1-green; bumped for a round-4 slot
+    "window_running_totals",        # r1-green; bumped for a round-4 slot
     # Driver-green in round 3 (fresh certification; scripts/
     # verify_contract.py still checks them every round) or semantically
     # redundant API variants — safe to fall past the 50-entry cap.
