@@ -1083,3 +1083,50 @@ register(
            CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM orders
     """,
 )
+
+
+def clean_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier winsorization: clip events.value to the per-type
+    [p01, p99] band. The per-group percentile table is tiny (one row
+    per event type) and broadcasts back onto the fact scan — one
+    aggregate plus a broadcast join, never a fact-table re-shuffle.
+    Spark's percentile() is bit-identical to DuckDB's quantile_cont on
+    doubles (proven by agg_median_order_price), so the clip bounds —
+    and therefore every clipped value — match exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99")), 6).alias(
+                "value_winsorized"
+            ),
+            (F.col("value") < F.col("p01")).alias("clipped_low"),
+            (F.col("value") > F.col("p99")).alias("clipped_high"),
+        )
+    )
+
+
+register(
+    "clean_winsorize_values",
+    clean_winsorize_values,
+    """
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS p01,
+             quantile_cont(value, 0.99) AS p99
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, value,
+           round(least(greatest(value, p01), p99), 6) AS value_winsorized,
+           value < p01 AS clipped_low,
+           value > p99 AS clipped_high
+    FROM events e JOIN bounds USING (event_type)
+    """,
+)
