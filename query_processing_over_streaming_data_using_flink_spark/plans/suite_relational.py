@@ -1130,3 +1130,49 @@ register(
     FROM events e JOIN bounds USING (event_type)
     """,
 )
+
+
+def unpivot_lineitem_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (UNPIVOT): each lineitem's money-ish measures
+    (extendedprice, discount, tax) become (measure, amount) rows —
+    the normalization step feeding generic per-measure aggregates.
+    `unpivot` is pure row expansion (a Generate node): map-side only,
+    zero shuffles, so the melt itself is free at any scale; the
+    aggregate after it is one ordinary reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "amount",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("amount"), 6).alias("min_amount"),
+            F.round(F.max("amount"), 6).alias("max_amount"),
+            (F.sum(F.round(F.col("amount") * 10000, 0).cast("long")).cast("bigint")
+             / F.lit(10000.0)).alias("sum_amount"),
+        )
+    )
+
+
+register(
+    "unpivot_lineitem_amounts",
+    unpivot_lineitem_amounts,
+    """
+    WITH long AS (
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure, l_extendedprice AS amount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    )
+    SELECT measure, count(*) AS n,
+           round(min(amount), 6) AS min_amount,
+           round(max(amount), 6) AS max_amount,
+           CAST(sum(CAST(round(amount * 10000, 0) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_amount
+    FROM long GROUP BY measure
+    """,
+)

@@ -70,6 +70,7 @@ _PRIORITY_FIRST = [
     "dq_referential_integrity",
     "dq_profile_orders",
     "clean_winsorize_values",
+    "unpivot_lineitem_amounts",
     # Stalest certifications (r1-green only, never re-checked since):
     "ann_bruteforce",
     "ann_lsh",
@@ -88,7 +89,6 @@ _PRIORITY_FIRST = [
     "join_outer_order_counts",
     "agg_lineitem_pricing_summary",
     "agg_cube_lineitem",
-    "agg_rollup_orders",
 ]
 _PUSH_LAST = [
     "q17_small_quantity_revenue",   # r1-green; bumped for a round-4 slot
@@ -97,6 +97,7 @@ _PUSH_LAST = [
     "topk_orders_per_segment",      # r1-green; bumped for a round-4 slot
     "window_running_totals",        # r1-green; bumped for a round-4 slot
     "agg_median_order_price",       # r1-green; bumped for a round-4 slot
+    "agg_rollup_orders",            # r1-green; bumped for a round-4 slot
     # Driver-green in round 3 (fresh certification; scripts/
     # verify_contract.py still checks them every round) or semantically
     # redundant API variants — safe to fall past the 50-entry cap.
