@@ -1176,3 +1176,37 @@ register(
     FROM long GROUP BY measure
     """,
 )
+
+
+def agg_filtered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (FILTER-clause) aggregates: one pass over orders
+    computing per-priority totals alongside status-sliced counts and a
+    high-value-order share — the many-metrics-one-scan pattern that
+    replaces N separate filtered scans with a single reduce."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_filled"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+        F.count_if(F.col("o_orderstatus") == "P").alias("n_pending"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_high_value"),
+        F.round(
+            F.count_if(F.col("o_totalprice") > 200000) / F.count("*"), 6
+        ).alias("high_value_share"),
+    )
+
+
+register(
+    "agg_filtered_counts",
+    agg_filtered_counts,
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending,
+           count(*) FILTER (WHERE o_totalprice > 200000) AS n_high_value,
+           round(count(*) FILTER (WHERE o_totalprice > 200000) / count(*), 6) AS high_value_share
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
