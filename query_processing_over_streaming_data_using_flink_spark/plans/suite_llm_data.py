@@ -944,3 +944,53 @@ FROM g
 
 register("chunk_documents_overlap", chunk_documents_overlap, _CHUNK_SQL)
 register("embedding_label_centroids", embedding_label_centroids, _CENTROID_SQL)
+
+
+def ann_recall_ivf_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality as a first-class, oracle-checked NUMBER: per-query
+    recall@5 of the IVF index against the exact brute-force neighbors,
+    plus the corpus-wide mean. Composes the two registered operators
+    (both deterministic), so the driver record certifies not just that
+    the index runs but how good it is. The join is per-query top-5
+    against top-5 — trivially small at any corpus size (output is one
+    row per query plus one summary row)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _queries_df(spark, sf_dir)
+    exact = sim.knn_bruteforce(e, q, k=5).select("q_id", "n_id")
+    approx = sim.knn_ivf(e, q, k=5).select("q_id", "n_id")
+    per_q = (
+        exact.join(approx, ["q_id", "n_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    per_query = (
+        exact.select("q_id").distinct()
+        .join(per_q, "q_id", "left")
+        .select(
+            "q_id",
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / 5.0, 6).alias("recall_at_5"),
+        )
+    )
+    summary = per_query.agg(
+        F.lit(-1).cast("long").alias("q_id"),
+        F.round(F.avg("recall_at_5"), 6).alias("recall_at_5"),
+    )
+    return per_query.unionByName(summary)
+
+
+_ANN_RECALL_SQL = f"""
+WITH exact AS ({_ANN_BF_SQL}),
+approx AS ({_ANN_IVF_SQL}),
+per_q AS (
+  SELECT e.q_id,
+         round(count(a.n_id) / 5.0, 6) AS recall_at_5
+  FROM exact e
+  LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+  GROUP BY e.q_id
+)
+SELECT q_id, recall_at_5 FROM per_q
+UNION ALL
+SELECT CAST(-1 AS BIGINT), round(avg(recall_at_5), 6) FROM per_q
+"""
+
+register("ann_recall_ivf_vs_exact", ann_recall_ivf_vs_exact, _ANN_RECALL_SQL)
