@@ -110,8 +110,10 @@ class IncrementalQ3:
         # Guards pointer-resolution vs the version GC in _commit_epoch
         # (an emission timer's lazy read stays valid: GC keeps the
         # current AND previous versions, so a version resolved now
-        # survives at least one full further epoch).
-        self.swap_lock = threading.Lock()
+        # survives at least one full further epoch). REENTRANT: _read
+        # takes it internally, and external callers (soak_demo's
+        # emitter) may already hold it around a top_n() read.
+        self.swap_lock = threading.RLock()
         os.makedirs(state_dir, exist_ok=True)
         # Restart recovery: resume from the last committed epoch.
         self.epoch = self._current()[0]

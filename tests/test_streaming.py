@@ -580,3 +580,17 @@ def test_streaming_latest_per_key_equals_batch(spark, tmp_path):
     got = _rows(spark.table("latest_pk"))
     want = _rows(cdc_latest_per_key(spark, SF_SMOKE))
     assert got == want
+
+
+def test_ivm_top_n_reentrant_under_swap_lock(spark, tmp_path):
+    """An emission timer may hold swap_lock around its state read
+    (soak_demo does); _read acquires the same lock internally, so it
+    must be reentrant — this deadlocked with a plain Lock."""
+    from query_processing_over_streaming_data_using_flink_spark.streaming.ivm import (
+        IncrementalQ3,
+    )
+
+    pipe = IncrementalQ3(spark, str(tmp_path / "state"))
+    pipe.process_batch(_single_customer_batch(spark), 0)
+    with pipe.swap_lock:
+        assert pipe.top_n(5).count() == 0  # completes without deadlock
