@@ -54,23 +54,19 @@ like the reference's keyBy(0) TopN.
 
 from __future__ import annotations
 
-import json
-import os
-import re
 import shutil
-import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from query_processing_over_streaming_data_using_flink_spark.functions.scalar import ts_lit
+from query_processing_over_streaming_data_using_flink_spark.streaming.state_table import (
+    VersionedBucketedState,
+)
 
 # Bucket count for the state tables. Local default; on a cluster size it
 # to a few× the executor count so a bucket rewrite is one task's work.
 NUM_BUCKETS = 32
-
-
-_VERSION_RE = re.compile(r"v\d+c*")
 
 
 def _bucket(col) -> F.Column:
@@ -107,96 +103,28 @@ class IncrementalQ3:
         self.state_dir = state_dir
         self.segment = segment
         self.cutoff = cutoff
-        # Guards pointer-resolution vs the version GC in _commit_epoch
-        # (an emission timer's lazy read stays valid: GC keeps the
-        # current AND previous versions, so a version resolved now
-        # survives at least one full further epoch). REENTRANT: _read
-        # takes it internally, and external callers (soak_demo's
-        # emitter) may already hold it around a top_n() read.
-        self.swap_lock = threading.RLock()
-        os.makedirs(state_dir, exist_ok=True)
+        # All state mechanics (versioned dirs, hard-link carry-over,
+        # atomic pointer commit, GC) live in the shared helper.
+        self.state = VersionedBucketedState(
+            spark, state_dir, {n: schema for n, (_k, schema) in self._TABLES.items()}
+        )
+        self.swap_lock = self.state.swap_lock
         # Restart recovery: resume from the last committed epoch.
-        self.epoch = self._current()[0]
+        self.epoch = self.state.committed_epoch()
 
-    # -- state I/O -----------------------------------------------------------
-
-    _POINTER = "CURRENT"
+    # -- state I/O (thin delegation; see streaming/state_table.py) ----------
 
     def _current(self) -> tuple[int, str | None]:
-        """(last committed epoch, its version dir) from the pointer
-        file — the single source of truth for committed state."""
-        try:
-            with open(os.path.join(self.state_dir, self._POINTER)) as fh:
-                meta = json.load(fh)
-        except FileNotFoundError:
-            return -1, None
-        return meta["epoch"], os.path.join(self.state_dir, meta["version"])
+        return self.state._current()
 
     def _tmp(self, name: str) -> str:
-        return os.path.join(self.state_dir, f"_tmp_{name}")
+        return self.state._tmp(name)
 
     def _read(self, name: str) -> DataFrame:
-        with self.swap_lock:
-            _, ver = self._current()
-        path = None if ver is None else os.path.join(ver, name)
-        if path is None or not os.path.isdir(path):
-            return self.spark.createDataFrame([], self._TABLES[name][1])
-        # Explicit schema: a table dir can exist with zero bucket subdirs
-        # (an epoch that touched nothing), where inference would fail.
-        return self.spark.read.schema(self._TABLES[name][1]).parquet(path)
+        return self.state.read(name)
 
     def _commit_epoch(self, epoch_id: int) -> None:
-        """Atomically publish this epoch's state: build ``v<epoch>``
-        (touched buckets moved from tmp, untouched buckets hard-linked
-        from the previous version — metadata ops only, never row data),
-        then flip the ``CURRENT`` pointer with an atomic rename. A crash
-        anywhere before the flip leaves the previous version live and
-        complete; the retried epoch rebuilds ``v<epoch>`` from scratch."""
-        self._commit_version(f"v{epoch_id}", epoch_id, carry_over=True)
-
-    def _commit_version(self, version: str, epoch_id: int, carry_over: bool) -> None:
-        old_epoch, old_ver = self._current()
-        new_ver = os.path.join(self.state_dir, version)
-        # Debris from a crashed attempt at this same version.
-        shutil.rmtree(new_ver, ignore_errors=True)
-        for name in self._TABLES:
-            dst_table = os.path.join(new_ver, name)
-            os.makedirs(dst_table)
-            touched: set[str] = set()
-            tmp = self._tmp(name)
-            if os.path.isdir(tmp):
-                for entry in os.listdir(tmp):
-                    if entry.startswith("bucket="):
-                        os.replace(os.path.join(tmp, entry), os.path.join(dst_table, entry))
-                        touched.add(entry)
-                shutil.rmtree(tmp, ignore_errors=True)
-            src_table = None if old_ver is None else os.path.join(old_ver, name)
-            if carry_over and src_table and os.path.isdir(src_table):
-                for entry in os.listdir(src_table):
-                    if not entry.startswith("bucket=") or entry in touched:
-                        continue
-                    sdir = os.path.join(src_table, entry)
-                    ddir = os.path.join(dst_table, entry)
-                    os.makedirs(ddir)
-                    for fname in os.listdir(sdir):
-                        spath = os.path.join(sdir, fname)
-                        if os.path.isfile(spath):
-                            os.link(spath, os.path.join(ddir, fname))
-        ptr_tmp = os.path.join(self.state_dir, f"_{self._POINTER}.tmp")
-        with open(ptr_tmp, "w") as fh:
-            json.dump({"epoch": epoch_id, "version": version}, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        with self.swap_lock:
-            os.replace(ptr_tmp, os.path.join(self.state_dir, self._POINTER))
-            # GC: keep the new current and its predecessor (in-flight
-            # lazy readers), drop anything older.
-            keep = {version}
-            if old_ver is not None:
-                keep.add(os.path.basename(old_ver))
-            for entry in os.listdir(self.state_dir):
-                if _VERSION_RE.fullmatch(entry) and entry not in keep:
-                    shutil.rmtree(os.path.join(self.state_dir, entry), ignore_errors=True)
+        self.state.commit(epoch_id)
         self.epoch = epoch_id
 
     def compact_state(self) -> None:
@@ -205,31 +133,19 @@ class IncrementalQ3:
         (absent ≡ weight 0, and keeping them preserves the touched-
         bucket write discipline), so under churn dead keys accumulate;
         this is the periodic OPTIMIZE that reclaims them. O(state) —
-        run it on a schedule, not per epoch. The rewrite publishes
-        through the same atomic version commit with carry-over disabled
-        (a bucket emptied by the filter must vanish, not resurrect its
-        old files), so it is crash-safe and invisible to readers until
-        complete, and a query stream can keep processing epochs after
-        it (compaction preserves the committed epoch id)."""
-        committed, ver = self._current()
-        if ver is None:
-            return
+        run on a schedule, not per epoch; crash-safe via the version
+        commit (carry-over disabled: emptied buckets vanish), epoch id
+        preserved so the stream continues afterwards."""
         weight_col = {"c": "w_c", "o": "w_o", "o2": "w_o", "l": "w_cents", "r": "cents"}
-        for name in self._TABLES:
-            self._write_merged(
-                name, self._read(name).filter(F.col(weight_col[name]) != 0)
-            )
-        self._commit_version(os.path.basename(ver) + "c", committed, carry_over=False)
+        self.state.compact({n: F.col(c) != 0 for n, c in weight_col.items()})
 
     def _write_merged(self, name: str, merged: DataFrame) -> None:
-        merged.write.partitionBy("bucket").mode("overwrite").parquet(self._tmp(name))
+        self.state.write_merged(name, merged)
 
     def _restrict(self, state: DataFrame, delta: DataFrame) -> DataFrame:
         """State rows in the buckets the delta touches (semi-join on the
         partition column → dynamic partition pruning skips the rest)."""
-        return state.join(
-            F.broadcast(delta.select("bucket").distinct()), "bucket", "semi"
-        )
+        return self.state.restrict(state, delta)
 
     # -- delta extraction ----------------------------------------------------
 
@@ -308,8 +224,7 @@ class IncrementalQ3:
     # -- the foreachBatch hook ----------------------------------------------
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
-        committed, _ = self._current()
-        if epoch_id <= committed:
+        if epoch_id <= self.state.committed_epoch():
             # Redelivered epoch (restart after a crash between commit
             # and checkpoint ack): its delta is already in the committed
             # version — applying it again would double the weights.

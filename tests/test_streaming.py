@@ -594,3 +594,55 @@ def test_ivm_top_n_reentrant_under_swap_lock(spark, tmp_path):
     pipe.process_batch(_single_customer_batch(spark), 0)
     with pipe.swap_lock:
         assert pipe.top_n(5).count() == 0  # completes without deadlock
+
+
+def test_near_dedup_merge_is_o_delta(spark, tmp_path):
+    """Round-4 scale fix: the band-ownership store must carry untouched
+    buckets over as hard links (same inode) and rewrite only the
+    buckets a batch's band keys hash into — per-epoch cost bounded by
+    the batch, not the accumulated state."""
+    import pathlib
+
+    from query_processing_over_streaming_data_using_flink_spark.streaming.dedup import (
+        IncrementalNearDedup,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    h = IncrementalNearDedup(spark, str(tmp_path / "state"))
+    h.process_batch(docs, 0)
+
+    def inodes(ver):
+        return {
+            str(p.relative_to(ver)): p.stat().st_ino
+            for p in pathlib.Path(ver).rglob("*")
+            if p.is_file()
+        }
+
+    e0, v0 = h.state._current()
+    before = inodes(v0)
+    n_buckets_before = len({p.split("/")[1] for p in before if p.startswith("bands/")})
+    assert n_buckets_before > 4, "seed batch must populate many buckets"
+
+    one_doc = spark.createDataFrame(
+        [(9999, "a single fresh document " + " ".join(f"q{j}" for j in range(30)))],
+        "doc_id long, text string",
+    )
+    h.process_batch(one_doc, 1)
+    e1, v1 = h.state._current()
+    assert e1 == 1
+    after = inodes(v1)
+
+    rewritten = {
+        p.split("/")[1]
+        for p in after
+        if p.startswith("bands/") and after[p] != before.get(p)
+    }
+    carried = {
+        p.split("/")[1]
+        for p in after
+        if p.startswith("bands/") and after[p] == before.get(p)
+    }
+    # One doc emits 4 band keys -> at most 4 rewritten buckets; the
+    # rest of the state must be hard-linked, not rewritten.
+    assert len(rewritten) <= 4, rewritten
+    assert len(carried) >= n_buckets_before - 4, (len(carried), n_buckets_before)
