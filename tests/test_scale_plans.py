@@ -190,6 +190,8 @@ def test_global_rank_matches_row_number(spark):
 # of non-equi join fallbacks.
 _BNLJ_ALLOWED = {
     "ann_bruteforce", "ann_bruteforce_pandas", "ann_ivf", "join_range_price_tiers",
+    "ann_recall_ivf_vs_exact",  # composes the two allowed ANN operators
+
     "resample_gap_fill",  # tiny spine x tiny type dim grid construction
     "q22_global_sales_opportunity",  # 1-row broadcast scalar-avg subquery
     "q11_important_stock",  # 1-row broadcast scalar-total threshold
