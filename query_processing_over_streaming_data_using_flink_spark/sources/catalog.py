@@ -253,3 +253,27 @@ def load_json_table(spark: SparkSession, path: str, name: str) -> DataFrame:
         .options(mode="DROPMALFORMED")
         .json(path)
     )
+
+
+def load_orc_table(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """ORC ingestion with the declared schema — the other columnar
+    format Spark reads natively (vectorized, predicate pushdown,
+    column pruning — same scan discipline as parquet). Rounds out the
+    source formats alongside parquet/CSV/.tbl/JSON/wire."""
+    return spark.read.schema(_SCHEMAS[name]).orc(path)
+
+
+def load_text_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Raw text-file ingestion: one row per line with a deterministic
+    per-file line number — the entry point for unstructured corpus
+    dumps before any schema exists. File path + line number give every
+    row a stable provenance id without any global coordination (no
+    zipWithIndex-style full-scan renumbering at 100 TB)."""
+    from pyspark.sql.window import Window
+
+    lines = spark.read.text(path).select(
+        F.col("value").alias("line"),
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("source_file"),
+    )
+    w = Window.partitionBy("source_file").orderBy(F.monotonically_increasing_id())
+    return lines.withColumn("line_no", F.row_number().over(w))

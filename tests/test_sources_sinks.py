@@ -311,3 +311,32 @@ def test_websocket_topn_push():
         h.close()
     finally:
         srv.stop()
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC write -> declared-schema read reproduces the table (the
+    second native columnar format next to parquet)."""
+    from query_processing_over_streaming_data_using_flink_spark.sources.catalog import load_orc_table
+
+    src = load_table(spark, SF_SMOKE, "nation")
+    path = str(tmp_path / "nation_orc")
+    src.write.orc(path)
+    back = load_orc_table(spark, path, "nation")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_text_corpus_ingestion(spark, tmp_path):
+    """Raw text ingestion: per-file stable line numbers, all lines
+    present."""
+    from query_processing_over_streaming_data_using_flink_spark.sources.catalog import load_text_corpus
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha\nbeta\ngamma\n")
+    (d / "b.txt").write_text("uno\ndos\n")
+    got = {
+        (r["source_file"], r["line_no"]): r["line"]
+        for r in load_text_corpus(spark, str(d)).collect()
+    }
+    assert got[("a.txt", 1)] == "alpha" and got[("a.txt", 3)] == "gamma"
+    assert got[("b.txt", 2)] == "dos" and len(got) == 5

@@ -646,3 +646,41 @@ def test_near_dedup_merge_is_o_delta(spark, tmp_path):
     # rest of the state must be hard-linked, not rewritten.
     assert len(rewritten) <= 4, rewritten
     assert len(carried) >= n_buckets_before - 4, (len(carried), n_buckets_before)
+
+
+def test_ivm_crash_at_pointer_flip_recovers(spark, tmp_path, monkeypatch):
+    """Different failure point than the carry-over crash test: the
+    commit fails AT the pointer rename itself. The previous version
+    must stay live, and the retried epoch must land exactly once."""
+    import os as _os
+
+    import pytest
+
+    from query_processing_over_streaming_data_using_flink_spark.streaming.ivm import (
+        IncrementalQ3,
+    )
+
+    state = str(tmp_path / "state")
+    pipe = IncrementalQ3(spark, state)
+    pipe.process_batch(build_changelog(spark, SF_SMOKE), 0)
+    top_before = _rows(pipe.top_n())
+
+    real_replace = _os.replace
+
+    def flaky_replace(src, dst, **kw):
+        if _os.path.basename(dst) == "CURRENT":
+            raise OSError("injected crash at pointer flip")
+        return real_replace(src, dst, **kw)
+
+    monkeypatch.setattr("os.replace", flaky_replace)
+    with pytest.raises(OSError, match="pointer flip"):
+        pipe.process_batch(_single_customer_batch(spark), 1)
+    monkeypatch.undo()
+
+    assert pipe._current()[0] == 0
+    assert _rows(pipe.top_n()) == top_before
+    assert _cust_weight(pipe) == []
+
+    pipe.process_batch(_single_customer_batch(spark), 1)
+    assert pipe._current()[0] == 1
+    assert _cust_weight(pipe) == [(NEW_CUST_KEY, 1)]
