@@ -268,3 +268,22 @@ def test_weighted_sample_is_scan_and_filter(spark):
     plan = _plan(sample_weighted_sources(spark, SF_SMOKE))
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_partitioned_read_prunes_partitions(spark, tmp_path):
+    """A filter on the hive-partition column must prune at the FILE
+    level: the plan carries it as a PartitionFilter and the scan reads
+    only the matching partition directories — the layout discipline
+    that turns a 100 TB corpus scan into a per-lang slice read."""
+    from query_processing_over_streaming_data_using_flink_spark.operators.layout import (
+        write_partitioned,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, ["lang"])
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = _formatted(spark, back)
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan[:1500]
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert back.count() == n_en
