@@ -41,3 +41,26 @@ def test_query_matches_oracle(spark, duck, name):
     fn = _entry_mod.queries()[name]
     sql = _entry_mod.oracle_sql()[name]
     assert_matches_oracle(fn(spark, SF_ORACLE), duck, sql)
+
+
+def test_registry_priority_names_are_real():
+    """A typo in the prefix ordering lists would silently change which
+    queries the driver certifies — every listed name must exist, the
+    lists must not overlap, and the checked prefix must be exactly the
+    intended 50 entries."""
+    from query_processing_over_streaming_data_using_flink_spark import registry
+
+    registry._load()
+    known = set(registry._REGISTRY)
+    missing_first = [n for n in registry._PRIORITY_FIRST if n not in known]
+    missing_last = [n for n in registry._PUSH_LAST if n not in known]
+    assert not missing_first, f"unknown names in _PRIORITY_FIRST: {missing_first}"
+    assert not missing_last, f"unknown names in _PUSH_LAST: {missing_last}"
+    overlap = set(registry._PRIORITY_FIRST) & set(registry._PUSH_LAST)
+    assert not overlap, f"names in both lists: {overlap}"
+    assert len(registry._PRIORITY_FIRST) == len(set(registry._PRIORITY_FIRST))
+    assert len(registry._PUSH_LAST) == len(set(registry._PUSH_LAST))
+    assert len(registry._PRIORITY_FIRST) == 50, (
+        f"driver checks a 50-entry prefix; priority list has "
+        f"{len(registry._PRIORITY_FIRST)}"
+    )

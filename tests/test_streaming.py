@@ -684,3 +684,30 @@ def test_ivm_crash_at_pointer_flip_recovers(spark, tmp_path, monkeypatch):
     pipe.process_batch(_single_customer_batch(spark), 1)
     assert pipe._current()[0] == 1
     assert _cust_weight(pipe) == [(NEW_CUST_KEY, 1)]
+
+
+def test_near_dedup_is_deterministic_across_runs(spark, tmp_path):
+    """Two independent runs over the same batch sequence must produce
+    identical verdicts and identical final ownership state — the
+    determinism that makes streaming dedup reproducible/auditable."""
+    from query_processing_over_streaming_data_using_flink_spark.streaming.dedup import (
+        IncrementalNearDedup,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    batches = [
+        spark.createDataFrame(docs[i::3], "doc_id long, text string") for i in range(3)
+    ]
+
+    def run(d):
+        h = IncrementalNearDedup(spark, str(d))
+        for e, b in enumerate(batches):
+            h.process_batch(b, e)
+        verdicts = _rows(h.verdicts_df())
+        state = _rows(h.state.read("bands"))
+        return verdicts, state
+
+    v1, s1 = run(tmp_path / "run1")
+    v2, s2 = run(tmp_path / "run2")
+    assert v1 == v2
+    assert s1 == s2
