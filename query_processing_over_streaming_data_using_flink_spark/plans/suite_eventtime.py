@@ -384,3 +384,46 @@ GROUP BY 1, 2
 """
 
 register("rollup_hourly_daily", rollup_hourly_daily, ROLLUP_HOURLY_DAILY_SQL)
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by their FIRST
+    activity week, counted in each subsequent week they return. Two
+    aggregates sharing one shuffle key (user_id) — the first-touch
+    window and the (cohort, offset) count — no joins against the fact
+    table twice at scale: the cohort label rides along via a window
+    min. The classic growth-analytics operator."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    w = Window.partitionBy("user_id")
+    labeled = ev.select(
+        "user_id",
+        week.alias("week"),
+    ).withColumn("cohort_week", F.min("week").over(w))
+    return (
+        labeled.select(
+            F.to_date("cohort_week").alias("cohort_week"),
+            ((F.unix_timestamp("week") - F.unix_timestamp("cohort_week"))
+             / F.lit(604800)).cast("int").alias("weeks_since"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH labeled AS (
+  SELECT user_id,
+         date_trunc('week', ts) AS week,
+         min(date_trunc('week', ts)) OVER (PARTITION BY user_id) AS cohort_week
+  FROM events
+)
+SELECT CAST(cohort_week AS DATE) AS cohort_week,
+       CAST((epoch(week) - epoch(cohort_week)) / 604800 AS INT) AS weeks_since,
+       count(DISTINCT user_id) AS n_users
+FROM labeled
+GROUP BY 1, 2
+"""
+
+register("events_retention_cohorts", events_retention_cohorts, RETENTION_SQL)

@@ -1210,3 +1210,47 @@ register(
     FROM orders GROUP BY o_orderpriority
     """,
 )
+
+
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought together in the
+    same order, with support counts (min support 2), top 100 by
+    support. The pair generation is a self-equi-join keyed by orderkey
+    — per-order line counts are small and bounded, so the blow-up is
+    sum(k_i choose 2), linear-ish in orders at any corpus size; the
+    support aggregate is one shuffle on the pair. The frequent-itemset
+    counting primitive."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
+        .limit(100)
+    )
+
+
+register(
+    "basket_part_pairs",
+    basket_part_pairs,
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 100
+    """,
+)

@@ -73,6 +73,8 @@ _PRIORITY_FIRST = [
     "unpivot_lineitem_amounts",
     "agg_filtered_counts",
     "ann_recall_ivf_vs_exact",
+    "events_retention_cohorts",
+    "basket_part_pairs",
     # Stalest certifications (r1-green only, never re-checked since):
     "ann_bruteforce",
     "ann_lsh",
@@ -87,8 +89,6 @@ _PRIORITY_FIRST = [
     "filter_dates_orders",
     "join_orders_lineitem_revenue",
     "join_snowflake_dims",
-    "join_semi_anti",
-    "join_outer_order_counts",
 ]
 _PUSH_LAST = [
     "q17_small_quantity_revenue",   # r1-green; bumped for a round-4 slot
@@ -99,6 +99,8 @@ _PUSH_LAST = [
     "agg_median_order_price",       # r1-green; bumped for a round-4 slot
     "agg_rollup_orders",            # r1-green; bumped for a round-4 slot
     "agg_cube_lineitem",            # r1-green; bumped for a round-4 slot
+    "join_semi_anti",               # r1-green; bumped for a round-4 slot
+    "join_outer_order_counts",      # r1-green; bumped for a round-4 slot
     "agg_lineitem_pricing_summary", # r1-green; bumped for a round-4 slot
     # Driver-green in round 3 (fresh certification; scripts/
     # verify_contract.py still checks them every round) or semantically
