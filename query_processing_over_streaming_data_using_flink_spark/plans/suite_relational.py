@@ -1254,3 +1254,67 @@ register(
     LIMIT 100
     """,
 )
+
+
+def orders_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time: cumulative orders placed minus
+    orders fully shipped, per day — the event-sourcing balance curve
+    (how much WIP exists at each date). Per-day net deltas aggregate
+    with map-side partials; the running sum's window spans only the
+    DISTINCT DAYS (bounded regardless of corpus size), so the
+    single-partition cumulative scan is over thousands of rows at any
+    scale, never the fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    opens = o.select(F.to_date("o_orderdate").alias("day")).groupBy("day").agg(
+        F.count("*").alias("opened")
+    )
+    closes = (
+        li.groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("closed"))
+    )
+    net = (
+        opens.join(closes, "day", "full")
+        .select(
+            "day",
+            F.coalesce(F.col("opened"), F.lit(0)).alias("opened"),
+            F.coalesce(F.col("closed"), F.lit(0)).alias("closed"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return net.select(
+        "day",
+        "opened",
+        "closed",
+        F.sum(F.col("opened") - F.col("closed")).over(w).alias("backlog"),
+    )
+
+
+register(
+    "orders_backlog_curve",
+    orders_backlog_curve,
+    """
+    WITH opens AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS opened
+      FROM orders GROUP BY 1
+    ),
+    closes AS (
+      SELECT day, count(*) AS closed FROM (
+        SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS day
+        FROM lineitem GROUP BY l_orderkey
+      ) GROUP BY day
+    ),
+    net AS (
+      SELECT day,
+             coalesce(opened, 0) AS opened,
+             coalesce(closed, 0) AS closed
+      FROM opens FULL JOIN closes USING (day)
+    )
+    SELECT day, opened, closed,
+           CAST(sum(opened - closed) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+    FROM net
+    """,
+)

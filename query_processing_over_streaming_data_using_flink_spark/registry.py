@@ -75,6 +75,7 @@ _PRIORITY_FIRST = [
     "ann_recall_ivf_vs_exact",
     "events_retention_cohorts",
     "basket_part_pairs",
+    "orders_backlog_curve",
     # Stalest certifications (r1-green only, never re-checked since):
     "ann_bruteforce",
     "ann_lsh",
@@ -88,7 +89,6 @@ _PRIORITY_FIRST = [
     "filter_project_customer",
     "filter_dates_orders",
     "join_orders_lineitem_revenue",
-    "join_snowflake_dims",
 ]
 _PUSH_LAST = [
     "q17_small_quantity_revenue",   # r1-green; bumped for a round-4 slot
@@ -101,6 +101,7 @@ _PUSH_LAST = [
     "agg_cube_lineitem",            # r1-green; bumped for a round-4 slot
     "join_semi_anti",               # r1-green; bumped for a round-4 slot
     "join_outer_order_counts",      # r1-green; bumped for a round-4 slot
+    "join_snowflake_dims",          # r1-green; bumped for a round-4 slot
     "agg_lineitem_pricing_summary", # r1-green; bumped for a round-4 slot
     # Driver-green in round 3 (fresh certification; scripts/
     # verify_contract.py still checks them every round) or semantically
