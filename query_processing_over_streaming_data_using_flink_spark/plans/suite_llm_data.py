@@ -895,20 +895,46 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids + cohort stats — the vector
     aggregation behind IVF training, cluster monitoring, and class
     prototypes. One posexplode + one (label, dim) hash aggregate (a
-    single narrow shuffle; vectors never hit the driver), then the
-    centroid is reassembled in dimension order. Sums are quantized to
-    integers (floor(x*2^20)) so the aggregation is associative and
-    bit-identical in any engine or partitioning — the `ann_ivf`
-    centroid discipline."""
+    single narrow shuffle; vectors never hit the driver). Sums are
+    quantized to integers (floor(x*2^20)) so the aggregation is
+    associative and bit-identical in any engine or partitioning — the
+    `ann_ivf` centroid discipline. Emits the long format
+    (label, n_vectors, dim, value) — one row per centroid component —
+    which every result harness can sort/hash without list-valued
+    cells; `embedding_label_centroid_vectors` reassembles the
+    array<double> shape for in-process consumers."""
+    q = 1 << 20
+    agg = _label_dim_component_sums(spark, sf_dir)
+    return agg.select(
+        "label",
+        F.col("n").alias("n_vectors"),
+        "dim",
+        F.round(F.col("s") / F.col("n") / q, 6).alias("value"),
+    )
+
+
+def _label_dim_component_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized per-(label, dim) component sums — shared by the long
+    and array-shaped centroid renderings."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = 1 << 20
     comp = emb.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
     )
-    agg = comp.groupBy("label", "dim").agg(
+    return comp.groupBy("label", "dim").agg(
         F.sum(F.floor(F.col("x") * q).cast("long")).alias("s"),
         F.count("*").alias("n"),
     )
+
+
+def embedding_label_centroid_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-shaped rendering of `embedding_label_centroids` —
+    (label, n_vectors, centroid array<double>) with components
+    reassembled in dimension order. Library function (not registered:
+    top-level array columns are not driver-hashable; the long format
+    carries the certification)."""
+    q = 1 << 20
+    agg = _label_dim_component_sums(spark, sf_dir)
     return (
         agg.groupBy("label")
         .agg(
@@ -926,19 +952,10 @@ _CENTROID_SQL = """
 WITH comp AS (
   SELECT label, i - 1 AS dim, CAST(floor(embedding[i] * 1048576) AS BIGINT) AS s
   FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)
-),
-agg AS (
-  SELECT label, dim, sum(s) AS s, count(*) AS n
-  FROM comp GROUP BY label, dim
-),
-g AS (
-  SELECT label, any_value(n) AS n_vectors,
-         list_sort(list(struct_pack(dim := dim, s := s))) AS pairs
-  FROM agg GROUP BY label
 )
-SELECT label, n_vectors,
-       list_transform(pairs, r -> round(r.s / n_vectors / 1048576.0, 6)) AS centroid
-FROM g
+SELECT label, count(*) AS n_vectors, dim,
+       round(sum(s) / count(*) / 1048576.0, 6) AS value
+FROM comp GROUP BY label, dim
 """
 
 
@@ -994,3 +1011,52 @@ SELECT CAST(-1 AS BIGINT), round(avg(recall_at_5), 6) FROM per_q
 """
 
 register("ann_recall_ivf_vs_exact", ann_recall_ivf_vs_exact, _ANN_RECALL_SQL)
+
+
+def ann_recall_lsh_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 certification for the sign-LSH index (`ann_lsh`),
+    mirroring `ann_recall_ivf_vs_exact`: per-query recall against the
+    exact brute-force neighbors plus a corpus-wide mean row (q_id=-1).
+    Certifies the OR-amplified multi-table LSH as a quality NUMBER, not
+    just a runnable plan. Join is top-5 vs top-5 per query — trivially
+    small at any corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _queries_df(spark, sf_dir)
+    exact = sim.knn_bruteforce(e, q, k=5).select("q_id", "n_id")
+    approx = sim.knn_lsh(e, q, k=5).select("q_id", "n_id")
+    per_q = (
+        exact.join(approx, ["q_id", "n_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    per_query = (
+        exact.select("q_id").distinct()
+        .join(per_q, "q_id", "left")
+        .select(
+            "q_id",
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / 5.0, 6).alias("recall_at_5"),
+        )
+    )
+    summary = per_query.agg(
+        F.lit(-1).cast("long").alias("q_id"),
+        F.round(F.avg("recall_at_5"), 6).alias("recall_at_5"),
+    )
+    return per_query.unionByName(summary)
+
+
+_ANN_RECALL_LSH_SQL = f"""
+WITH exact AS ({_ANN_BF_SQL}),
+approx AS ({_ANN_LSH_SQL}),
+per_q AS (
+  SELECT e.q_id,
+         round(count(a.n_id) / 5.0, 6) AS recall_at_5
+  FROM exact e
+  LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+  GROUP BY e.q_id
+)
+SELECT q_id, recall_at_5 FROM per_q
+UNION ALL
+SELECT CAST(-1 AS BIGINT), round(avg(recall_at_5), 6) FROM per_q
+"""
+
+register("ann_recall_lsh_vs_exact", ann_recall_lsh_vs_exact, _ANN_RECALL_LSH_SQL)

@@ -34,8 +34,69 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 _PRIORITY_FIRST = [
     # flagship stays first — it's also entry()
     "q3_shipping_priority",
-    # The 12 CORRECTNESS_r03 errors (all victims of the events-loader
-    # dtype bug, fixed this round): the driver must record the green.
+    # The one red r4 row (array column crashed the driver canonicalizer;
+    # reshaped to long format this round) — must record green.
+    "embedding_label_centroids",
+    # New in round 5 (never driver-checked):
+    "ann_recall_lsh_vs_exact",
+    # The 12 stalest certifications (r1-green only, bumped for round-4
+    # slots; VERDICT r4 ask #3 rotates them back in):
+    "q17_small_quantity_revenue",
+    "scalar_expressions",
+    "join_range_price_tiers",
+    "topk_orders_per_segment",
+    "window_running_totals",
+    "agg_median_order_price",
+    "agg_rollup_orders",
+    "agg_cube_lineitem",
+    "join_semi_anti",
+    "join_outer_order_counts",
+    "join_snowflake_dims",
+    "agg_lineitem_pricing_summary",
+    # Next-stalest block: r1-green, re-certified r4 or earlier but not
+    # since r1 except via verify_contract; keep cycling so nothing ages
+    # past 3 rounds without a driver row.
+    "ann_bruteforce",
+    "ann_lsh",
+    "ann_ivf",
+    "multimodal_meta",
+    "curation_pipeline",
+    "token_frequencies",
+    "text_repetition",
+    "dedup_clusters_ngram",
+    "decontaminate_eval_overlap",
+    "sample_stratified_lang",
+    "filter_project_customer",
+    "filter_dates_orders",
+    "join_orders_lineitem_revenue",
+    # r3-green, not re-checked since (r3 was two rounds ago):
+    "changelog_build",
+    "changelog_state_counts",
+    "changelog_q3_current_state",
+    "text_pii_scrub",
+    "text_quality_quartiles",
+    "pack_training_sequences",
+    "sample_fixed_k_per_lang",
+    "topk_orders",
+    "set_ops_active_keys",
+    "q2_min_cost_supplier",
+    "q8_national_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_relationship",
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
+    "changelog_scd2_customer",
+    "pit_orders_customer_segment",
+    "q4_order_priority",
+]
+_PUSH_LAST = [
+    # Driver-green in round 4 (CORRECTNESS_r04, fresh certification;
+    # scripts/verify_contract.py still checks them every round) or
+    # semantically redundant API variants — safe past the 50-entry cap.
     "sessionize_events",
     "funnel_click_to_purchase",
     "events_tumbling_hourly",
@@ -48,8 +109,6 @@ _PRIORITY_FIRST = [
     "approx_quantiles_event_value",
     "enrich_segment_activity",
     "join_salted_user_nation",
-    # Events-family queries that were broken in r3 with NO driver row
-    # (demoted or past the cap) — rotate back in for re-certification.
     "events_json_extract",
     "events_to_json",
     "agg_events_daily",
@@ -58,7 +117,6 @@ _PRIORITY_FIRST = [
     "agg_grouping_sets_events",
     "join_asof_purchase",
     "resample_gap_fill",
-    # New in round 4 (never driver-checked):
     "q3_sql_stream",
     "text_token_count",
     "dedup_keep_best",
@@ -66,7 +124,6 @@ _PRIORITY_FIRST = [
     "sample_weighted_sources",
     "rollup_hourly_daily",
     "chunk_documents_overlap",
-    "embedding_label_centroids",
     "dq_referential_integrity",
     "dq_profile_orders",
     "clean_winsorize_values",
@@ -76,63 +133,11 @@ _PRIORITY_FIRST = [
     "events_retention_cohorts",
     "basket_part_pairs",
     "orders_backlog_curve",
-    # Stalest certifications (r1-green only, never re-checked since):
-    "ann_bruteforce",
-    "ann_lsh",
-    "multimodal_meta",
-    "curation_pipeline",
-    "token_frequencies",
-    "text_repetition",
-    "dedup_clusters_ngram",
-    "decontaminate_eval_overlap",
-    "sample_stratified_lang",
-    "filter_project_customer",
-    "filter_dates_orders",
-    "join_orders_lineitem_revenue",
-]
-_PUSH_LAST = [
-    "q17_small_quantity_revenue",   # r1-green; bumped for a round-4 slot
-    "scalar_expressions",           # r1-green; bumped for a round-4 slot
-    "join_range_price_tiers",       # r1-green; bumped for a round-4 slot
-    "topk_orders_per_segment",      # r1-green; bumped for a round-4 slot
-    "window_running_totals",        # r1-green; bumped for a round-4 slot
-    "agg_median_order_price",       # r1-green; bumped for a round-4 slot
-    "agg_rollup_orders",            # r1-green; bumped for a round-4 slot
-    "agg_cube_lineitem",            # r1-green; bumped for a round-4 slot
-    "join_semi_anti",               # r1-green; bumped for a round-4 slot
-    "join_outer_order_counts",      # r1-green; bumped for a round-4 slot
-    "join_snowflake_dims",          # r1-green; bumped for a round-4 slot
-    "agg_lineitem_pricing_summary", # r1-green; bumped for a round-4 slot
-    # Driver-green in round 3 (fresh certification; scripts/
-    # verify_contract.py still checks them every round) or semantically
-    # redundant API variants — safe to fall past the 50-entry cap.
+    # API variants / subsumed plans:
     "q3_shipping_priority_sql",   # same plan+oracle family as q3_shipping_priority
     "ann_bruteforce_pandas",      # pandas-UDF variant of ann_bruteforce
     "join_customer_orders",       # subsumed by join_orders_lineitem_revenue / q3
-    "topk_orders",                # TakeOrderedAndProject also exercised by q3/q10
-    "set_ops_active_keys",
     # r3-green block (certified with hash-match in CORRECTNESS_r03):
-    "changelog_build",
-    "changelog_state_counts",
-    "changelog_q3_current_state",
-    "ann_ivf",
-    "text_pii_scrub",
-    "text_quality_quartiles",
-    "pack_training_sequences",
-    "sample_fixed_k_per_lang",
-    "q8_national_market_share",
-    "q9_product_type_profit",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q12_late_shipment_priority",
-    "q16_part_supplier_relationship",
-    "q20_potential_promotion",
-    "q21_suppliers_kept_waiting",
-    "changelog_scd2_customer",
-    "pit_orders_customer_segment",
-    "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_volume_shipping",
@@ -150,6 +155,22 @@ _PUSH_LAST = [
     "dedup_simhash",
     "dedup_embedding_cosine",
 ]
+
+
+def complex_toplevel_columns(schema) -> list[str]:
+    """Columns whose top-level type a result-hashing harness cannot
+    canonicalize (array/map/struct): pandas sort/factorize throws
+    `TypeError: unhashable type` on list-valued cells, which turned the
+    round-4 `embedding_label_centroids` row red. Registered queries must
+    emit flat columns — explode to long format or `to_json` first; keep
+    array-shaped renderings as unregistered library functions."""
+    from pyspark.sql import types as T
+
+    return [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
 
 
 def _ordered_names() -> list[str]:

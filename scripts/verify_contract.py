@@ -73,6 +73,18 @@ def main() -> int:
             continue
         t0 = time.time()
         sdf = fn(spark, SF_DIR)
+        # Schema lint (round-4 lesson): the round driver canonicalizes
+        # results with pandas sort/factorize, which throws on list-valued
+        # cells — a top-level array/map/struct column is an automatic red
+        # row even when the values are correct.
+        from query_processing_over_streaming_data_using_flink_spark.registry import complex_toplevel_columns
+
+        complex_cols = complex_toplevel_columns(sdf.schema)
+        if complex_cols:
+            failures.append(name)
+            print(f"  {name}: SCHEMA LINT FAIL — top-level complex column(s) "
+                  f"{complex_cols}; emit long format or to_json()")
+            continue
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
         if name not in oracles:

@@ -64,3 +64,45 @@ def test_registry_priority_names_are_real():
         f"driver checks a 50-entry prefix; priority list has "
         f"{len(registry._PRIORITY_FIRST)}"
     )
+
+
+def test_complex_column_lint_catches_planted_offender(spark):
+    """The round-4 red row (`embedding_label_centroids`) was a correct
+    query whose array<double> column crashed the driver's pandas
+    canonicalizer. `complex_toplevel_columns` is the guard — it must
+    flag array/map/struct top-level columns and pass flat schemas
+    (nested complex types inside are the cells' problem, but top-level
+    is what pandas factorize chokes on)."""
+    from pyspark.sql import functions as F
+
+    from query_processing_over_streaming_data_using_flink_spark.registry import complex_toplevel_columns
+
+    offender = spark.range(3).select(
+        "id",
+        F.array(F.lit(1.0), F.lit(2.0)).alias("vec"),
+        F.create_map(F.lit("k"), F.lit(1)).alias("m"),
+        F.struct(F.lit(1).alias("a")).alias("s"),
+    )
+    flagged = complex_toplevel_columns(offender.schema)
+    assert sorted(c.split(":")[0] for c in flagged) == ["m", "s", "vec"]
+
+    clean = spark.range(3).select("id", F.lit("x").alias("t"), F.lit(1.5).alias("v"))
+    assert complex_toplevel_columns(clean.schema) == []
+
+
+def test_registered_queries_have_flat_schemas(spark):
+    """Every registered query must emit a driver-hashable (flat) result
+    schema — the same lint scripts/verify_contract.py applies, checked
+    here schema-only (no execution) so it runs fast in CI."""
+    from query_processing_over_streaming_data_using_flink_spark.registry import (
+        all_queries,
+        complex_toplevel_columns,
+    )
+
+    bad = {}
+    for name, fn in all_queries().items():
+        df = fn(spark, SF_ORACLE)
+        cols = complex_toplevel_columns(df.schema)
+        if cols:
+            bad[name] = cols
+    assert not bad, f"registered queries with complex top-level columns: {bad}"
