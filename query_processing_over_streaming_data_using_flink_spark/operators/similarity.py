@@ -200,27 +200,25 @@ def cosine_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFram
     )
 
 
-# IVF-flat coarse quantizer: cells seeded by vec_id % IVF_CELLS, one
-# element-wise aggregation pass. Centroid components are QUANTIZED SUMS
-# (floor(x·2^20) accumulated as integers): cosine is scale-invariant,
-# so sum ≡ mean for ranking, the integer aggregation is associative
-# (bit-identical in any engine/partitioning — floats aren't), and
-# floor (unlike round) has no .5 ties to disagree on.
+# IVF-flat coarse quantizer: cells seeded by vec_id % IVF_CELLS, then
+# IVF_REFINE Lloyd rounds (re-assign to nearest centroid, re-aggregate
+# — the same single aggregate repeated, no driver loop over data).
+# Centroid components are QUANTIZED SUMS (floor(x·2^20) accumulated as
+# integers): cosine is scale-invariant, so sum ≡ mean for ranking, the
+# integer aggregation is associative (bit-identical in any engine or
+# partitioning — floats aren't), and floor (unlike round) has no .5
+# ties to disagree on. Assignment ties break on lower cell id, so the
+# refinement round is deterministic end-to-end too.
 IVF_CELLS = 16
 IVF_NPROBE = 4
 IVF_QUANT = 1 << 20
+IVF_REFINE = 1
 
 
-def ivf_centroids(embeddings: DataFrame, cells: int = IVF_CELLS) -> DataFrame:
-    """(cell, cvec array<double>) — the coarse quantizer table. One
-    posexplode + one hash aggregate over (cell, dim): a single narrow
-    shuffle at any scale, no iterative driver loop (a fixed-seed
-    quantizer is the IVF shape; Lloyd refinement rounds would repeat
-    this same aggregate)."""
-    comp = embeddings.select(
-        (F.col("vec_id") % cells).alias("cell"),
-        F.posexplode(_as_double(F.col("embedding"))).alias("dim", "x"),
-    )
+def _centroid_sums(assigned: DataFrame) -> DataFrame:
+    """(cell, cvec) from (cell, vec) assignments: one posexplode + one
+    (cell, dim) hash aggregate — a single narrow shuffle at any scale."""
+    comp = assigned.select("cell", F.posexplode("vec").alias("dim", "x"))
     agg = comp.groupBy("cell", "dim").agg(
         F.sum(F.floor(F.col("x") * IVF_QUANT).cast("long")).alias("s")
     )
@@ -229,6 +227,24 @@ def ivf_centroids(embeddings: DataFrame, cells: int = IVF_CELLS) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("dim", "s"))), lambda t: t["s"].cast("double")
         ).alias("cvec")
     )
+
+
+def ivf_centroids(
+    embeddings: DataFrame, cells: int = IVF_CELLS, refine: int = IVF_REFINE
+) -> DataFrame:
+    """(cell, cvec array<double>) — the coarse quantizer table. Seeded
+    by `vec_id % cells`, then `refine` Lloyd rounds: re-assign every
+    vector to its nearest current centroid (broadcast centroids — no
+    corpus shuffle), repeat the quantized aggregate. Each round is one
+    linear corpus pass; cells emptied by a round simply vanish (their
+    inverted list would be empty anyway)."""
+    corpus = embeddings.select(
+        F.col("vec_id").alias("id"), _as_double(F.col("embedding")).alias("vec")
+    )
+    cents = _centroid_sums(corpus.withColumn("cell", (F.col("id") % cells)))
+    for _ in range(refine):
+        cents = _centroid_sums(_nearest_cells(corpus, cents, 1))
+    return cents
 
 
 def _nearest_cells(vectors: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:

@@ -625,10 +625,25 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANN_IVF_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-comp AS (
+comp0 AS (
   SELECT vec_id % {sim.IVF_CELLS} AS cell, t.i AS dim,
          sum(CAST(floor(vec[t.i] * {sim.IVF_QUANT}) AS BIGINT)) AS s
   FROM e, unnest(range(1, len(vec)+1)) AS t(i)
+  GROUP BY 1, 2
+),
+cents0 AS (SELECT cell, list(s::DOUBLE ORDER BY dim) AS cvec FROM comp0 GROUP BY cell),
+-- one Lloyd round: re-assign to nearest seed centroid, re-aggregate
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cosine_sql('e.vec', 'c.cvec')} DESC, c.cell) AS r
+    FROM e CROSS JOIN cents0 c) WHERE r = 1
+),
+comp AS (
+  SELECT a.cell, t.i AS dim,
+         sum(CAST(floor(vec[t.i] * {sim.IVF_QUANT}) AS BIGINT)) AS s
+  FROM e JOIN assign a USING (vec_id), unnest(range(1, len(vec)+1)) AS t(i)
   GROUP BY 1, 2
 ),
 cents AS (SELECT cell, list(s::DOUBLE ORDER BY dim) AS cvec FROM comp GROUP BY cell),

@@ -60,6 +60,47 @@ def topn_json_payload(top: DataFrame, ts: float | None = None) -> str:
     )
 
 
+def threads_json_payload(spark=None, ts: float | None = None) -> str:
+    """System-metrics broadcast — the reference's dashboard pushes a
+    `{"type":"threads","timestamp":...,"data":[{id,name,state,priority,
+    cpuTime}...]}` message every 2 s alongside the Top-N feed
+    (`TPCHQuery3_StreamProcessor.java:713-869`). The Spark analogue:
+    one entry per live Python thread (driver side: the scheduler /
+    emission / foreachBatch threads), plus — when a SparkSession is
+    given — a `spark` section from `sparkContext.statusTracker()`
+    (active jobs/stages, the cluster-facing signal the reference's
+    per-thread CPU times approximate on a single JVM)."""
+    import threading
+
+    doc: dict = {
+        "type": "threads",
+        "timestamp": int((time.time() if ts is None else ts) * 1000),
+        "data": [
+            {
+                "id": t.ident or 0,
+                "name": t.name,
+                "state": "RUNNABLE" if t.is_alive() else "TERMINATED",
+                "priority": 5,  # Python threads carry no priority; the
+                "cpuTime": 0,  # reference's fields kept for dashboard parity
+                "type": "important" if t is threading.main_thread() else "normal",
+            }
+            for t in threading.enumerate()
+        ],
+    }
+    if spark is not None:
+        tracker = spark.sparkContext.statusTracker()
+        active_stages = tracker.getActiveStageIds()
+        doc["spark"] = {
+            "activeJobs": list(tracker.getActiveJobsIds()),
+            "activeStages": list(active_stages),
+            "numActiveTasks": sum(
+                (info.numActiveTasks if info is not None else 0)
+                for info in (tracker.getStageInfo(s) for s in active_stages)
+            ),
+        }
+    return json.dumps(doc)
+
+
 class JsonLinesTopNSink:
     """foreachBatch progress hook appending one JSON payload per
     emission — pair with `IncrementalQ3` via run_streaming_q3's

@@ -177,12 +177,36 @@ class TopNWebSocketServer:
                 self._clients.remove(conn)
         conn.close()
 
-    # -- the push API --------------------------------------------------------
+    # -- system-metrics monitor ---------------------------------------------
 
-    def broadcast(self, payload: str) -> int:
-        """Send one TEXT frame to every connected client; returns the
-        number of clients that received it."""
-        self.last_payload = payload
+    def start_metrics_monitor(self, spark=None, interval: float = 2.0) -> None:
+        """Periodic `{"type":"threads",...}` broadcast — the reference's
+        dashboard system-metrics channel
+        (`TPCHQuery3_StreamProcessor.java:773-800` monitors every 2 s
+        and pushes only when clients are connected; same here). Runs
+        until `stop()`."""
+        from query_processing_over_streaming_data_using_flink_spark.streaming.sinks import (
+            threads_json_payload,
+        )
+
+        def loop() -> None:
+            import time as _time
+
+            while not self._stopping:
+                _time.sleep(interval)
+                with self._lock:
+                    has_clients = bool(self._clients)
+                if has_clients:
+                    try:
+                        self.broadcast_aux(threads_json_payload(spark))
+                    except Exception:
+                        pass  # metrics are best-effort, never kill the feed
+
+        threading.Thread(target=loop, daemon=True).start()
+
+    def broadcast_aux(self, payload: str) -> int:
+        """Broadcast WITHOUT updating the Top-N replay payload (metrics
+        frames must not replace the standings a late joiner receives)."""
         frame = _text_frame(payload)
         with self._lock:
             clients = list(self._clients)
@@ -194,3 +218,12 @@ class TopNWebSocketServer:
             except OSError:
                 self._drop(c)
         return sent
+
+    # -- the push API --------------------------------------------------------
+
+    def broadcast(self, payload: str) -> int:
+        """Send one TEXT frame to every connected client; returns the
+        number of clients that received it. The payload becomes the
+        replay sent to late joiners."""
+        self.last_payload = payload
+        return self.broadcast_aux(payload)

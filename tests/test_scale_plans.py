@@ -191,6 +191,7 @@ def test_global_rank_matches_row_number(spark):
 _BNLJ_ALLOWED = {
     "ann_bruteforce", "ann_bruteforce_pandas", "ann_ivf", "join_range_price_tiers",
     "ann_recall_ivf_vs_exact",  # composes the two allowed ANN operators
+    "ann_recall_lsh_vs_exact",  # exact-baseline side is the allowed brute force
 
     "resample_gap_fill",  # tiny spine x tiny type dim grid construction
     "q22_global_sales_opportunity",  # 1-row broadcast scalar-avg subquery

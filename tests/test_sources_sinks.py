@@ -296,6 +296,19 @@ def test_websocket_topn_push():
         assert srv.broadcast(payload) == 1
         msg, rest = read_frame(rest)
         assert msg == payload
+
+        # System-metrics channel (reference dashboard parity,
+        # TPCHQuery3_StreamProcessor.java:713-869): periodic
+        # {"type":"threads",...} frames with per-thread entries; they
+        # must NOT displace the Top-N replay payload for late joiners.
+        import json as _json
+
+        srv.start_metrics_monitor(interval=0.2)
+        msg, rest = read_frame(rest)
+        doc = _json.loads(msg)
+        assert doc["type"] == "threads" and doc["data"], doc
+        assert {"id", "name", "state", "priority", "cpuTime"} <= set(doc["data"][0])
+        assert srv.last_payload == payload, "metrics frame displaced the replay"
         c.close()
 
         # Plain GET serves the dashboard page.
