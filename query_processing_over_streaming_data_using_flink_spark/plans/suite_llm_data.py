@@ -1075,3 +1075,201 @@ SELECT CAST(-1 AS BIGINT), round(avg(recall_at_5), 6) FROM per_q
 """
 
 register("ann_recall_lsh_vs_exact", ann_recall_lsh_vs_exact, _ANN_RECALL_LSH_SQL)
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic relevance/keyword
+    extraction primitive over the corpus. One token explode, a
+    (doc, term) count, a broadcast term-document-frequency join, and a
+    per-doc window — every shuffle is on a key, nothing quadratic.
+    Determinism across engines: score = tf · ln((N+1)/(df+1)) is a pure
+    function of the integer pair (tf, df) — equal pairs give bit-equal
+    scores (ties break on term), distinct pairs differ by far more than
+    any ulp-level ln() disagreement."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+_TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, round(score, 6) AS score, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+register("tfidf_top_terms", tfidf_top_terms, _TFIDF_SQL)
+
+
+# BM25 keyword search: fixed query terms + standard constants. The
+# score is a FIXED three-term expression (not a float aggregation), so
+# the summation order is pinned and both engines evaluate the identical
+# expression tree — the cosine-fold discipline applied to ranking.
+BM25_QUERY = ("spark", "hash", "join")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for a keyword query under BM25 — the lexical
+    retrieval baseline next to the ANN vector path (hybrid search =
+    both). Corpus stats (per-term document frequencies, mean doc
+    length, N) reduce to ONE 1-row aggregate broadcast against the
+    per-doc term counts: a single corpus scan + a TakeOrderedAndProject
+    tail, no shuffle of the corpus at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
+
+    def tf_count(word: str) -> F.Column:
+        # One-parameter lambda: a second parameter would make PySpark
+        # pass the element INDEX as the extra argument.
+        return F.size(F.filter(F.col("toks"), lambda t: t == F.lit(word)))
+
+    per_doc = toks.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[tf_count(w).alias(f"tf{i}") for i, w in enumerate(BM25_QUERY)],
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(BM25_QUERY))
+        ],
+    )
+
+    def contrib(i: int) -> F.Column:
+        tf, df_ = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - df_ + F.lit(0.5)) / (df_ + F.lit(0.5))
+        )
+        norm = tf + F.lit(BM25_K1) * (
+            F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+        )
+        return idf * tf * F.lit(BM25_K1 + 1.0) / norm
+
+    scored = per_doc.crossJoin(F.broadcast(stats)).withColumn(
+        "score", contrib(0) + contrib(1) + contrib(2)
+    )
+    return (
+        scored.filter(F.col("score") > 0)
+        .select("doc_id", "tf0", "tf1", "tf2", "dl", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _bm25_sql() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, s -> s = '{w}')) AS tf{i}"
+        for i, w in enumerate(BM25_QUERY)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(BM25_QUERY))
+    )
+
+    def contrib(i: int) -> str:
+        idf = f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        norm = f"(tf{i} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
+        return f"({idf} * tf{i} * {BM25_K1 + 1.0} / {norm})"
+
+    score = " + ".join(contrib(i) for i in range(len(BM25_QUERY)))
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id, len(toks) AS dl, {tf_cols}
+  FROM (SELECT *, {_TOKENS} AS toks FROM documents)
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl, {df_cols} FROM per_doc),
+scored AS (
+  SELECT doc_id, tf0, tf1, tf2, dl, {score} AS score
+  FROM per_doc CROSS JOIN stats
+)
+SELECT doc_id, tf0, tf1, tf2, dl, round(score, 6) AS score
+FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+register("bm25_search", bm25_search, _bm25_sql())
+
+
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle novelty — what fraction of a doc's 3-gram
+    shingles appear in NO other document. The contamination/boilerplate
+    spectrum in one number: boilerplate-heavy docs score near 0, unique
+    content near 1 (the aggregate view of what the dedup family detects
+    pairwise). Reuses the relational shingle path (one narrow shuffle);
+    the global shingle-frequency join is on the hash key. All-integer
+    arithmetic until one final exact ratio — engine-portable with no
+    float-order concerns."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = tx.shingle_hash_rows(docs.select("doc_id", "text"))
+    freq = sh.groupBy("h").agg(F.count("*").alias("n_docs_with"))
+    return (
+        sh.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs_with") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            F.round(F.col("n_unique") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+    )
+
+
+_NOVELTY_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_shingle_hashes_sql()}) AS h
+  FROM (SELECT *, {_TOKENS} AS toks FROM documents)
+  WHERE len({_shingles_sql('toks')}) > 0
+),
+freq AS (SELECT h, count(*) AS n_docs_with FROM sh GROUP BY h)
+SELECT sh.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN freq.n_docs_with = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       round(sum(CASE WHEN freq.n_docs_with = 1 THEN 1 ELSE 0 END) / count(*), 6) AS novelty
+FROM sh JOIN freq USING (h)
+GROUP BY sh.doc_id
+"""
+
+
+register("doc_ngram_novelty", doc_ngram_novelty, _NOVELTY_SQL)

@@ -123,7 +123,9 @@ def q3_shipping_priority_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q3_sql_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q3_sql_stream(
+    spark: SparkSession, sf_dir: str, state_metrics: list | None = None
+) -> DataFrame:
     """The SAME Q3 SQL text evaluated under STREAMING semantics —
     reference implementation #2 parity (`TPCHQuery3SQL_Stream.java:27`
     runs the identical SQL in `inStreamingMode()`).
@@ -135,6 +137,19 @@ def q3_sql_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     triggers (state = running per-group sums, not reprocessed input).
     The drained result equals the batch evaluation of the same text —
     the convergence criterion the reference states (README.md:154-159).
+
+    STATE BOUND (the one complete-mode query in the repo): the
+    aggregation state holds one row per GROUP — (l_orderkey,
+    o_orderdate) pairs that survive the segment/date filters — which is
+    at most one row per qualifying order, NOT per streamed lineitem
+    row. Q3's filters keep a few percent of orders, so state is a small
+    fraction of the orders dimension and independent of stream length;
+    it does not grow with replayed or duplicate lineitem volume
+    (asserted against the engine's stateOperators metrics in
+    tests/test_llm_ops.py::test_q3_sql_stream_equals_batch). An
+    UNFILTERED complete-mode aggregate over an unbounded key space
+    would grow without bound — that shape belongs in the watermarked
+    append-mode pipelines instead.
     """
     import tempfile
     import uuid
@@ -163,6 +178,10 @@ def q3_sql_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
+    if state_metrics is not None and query.lastProgress is not None:
+        # Expose the engine's state-store metrics (rows held by the
+        # streaming aggregate) so tests can assert the state bound.
+        state_metrics.extend(query.lastProgress.get("stateOperators", []))
     # The memory sink holds the result; the staged stream input is done.
     import shutil
 

@@ -39,6 +39,9 @@ _PRIORITY_FIRST = [
     "embedding_label_centroids",
     # New in round 5 (never driver-checked):
     "ann_recall_lsh_vs_exact",
+    "tfidf_top_terms",
+    "bm25_search",
+    "doc_ngram_novelty",
     # The 12 stalest certifications (r1-green only, bumped for round-4
     # slots; VERDICT r4 ask #3 rotates them back in):
     "q17_small_quantity_revenue",
@@ -89,9 +92,9 @@ _PRIORITY_FIRST = [
     "q16_part_supplier_relationship",
     "q20_potential_promotion",
     "q21_suppliers_kept_waiting",
-    "changelog_scd2_customer",
-    "pit_orders_customer_segment",
-    "q4_order_priority",
+    # changelog_scd2_customer / pit_orders_customer_segment /
+    # q4_order_priority: displaced to the unlisted middle (positions
+    # 51-53) by the four round-5 queries — r3-green, rotate back in r6.
 ]
 _PUSH_LAST = [
     # Driver-green in round 4 (CORRECTNESS_r04, fresh certification;

@@ -45,10 +45,23 @@ _DASHBOARD_HTML = """<!DOCTYPE html>
 <div id="ts">waiting for data…</div>
 <table><thead><tr><th>rank</th><th>orderkey</th><th>revenue</th>
 <th>orderdate</th><th>pri</th></tr></thead><tbody id="rows"></tbody></table>
+<h3>system metrics</h3>
+<div id="spark"></div>
+<table><thead><tr><th>thread</th><th>state</th></tr></thead>
+<tbody id="threads"></tbody></table>
 <script>
  const ws = new WebSocket("ws://" + location.host + "/");
  ws.onmessage = (ev) => {
    const msg = JSON.parse(ev.data);
+   if (msg.type === "threads") {
+     // system-metrics channel (reference dashboard parity)
+     if (msg.spark) document.getElementById("spark").textContent =
+       `jobs: ${msg.spark.activeJobs.length}  stages: ` +
+       `${msg.spark.activeStages.length}  tasks: ${msg.spark.numActiveTasks}`;
+     document.getElementById("threads").innerHTML = msg.data.map(t =>
+       `<tr><td>${t.name}</td><td>${t.state}</td></tr>`).join("");
+     return;
+   }
    document.getElementById("ts").textContent =
      new Date(msg.timestamp).toISOString();
    document.getElementById("rows").innerHTML = msg.data.map(r =>

@@ -58,6 +58,10 @@ def main() -> None:
         print(f"dashboard: http://127.0.0.1:{server.port}/  (WebSocket on the same port)")
 
     spark = get_spark("stream_demo")
+    if server is not None:
+        # System-metrics channel (reference dashboard parity): periodic
+        # {"type":"threads",...} frames with Spark job/stage counts.
+        server.start_metrics_monitor(spark)
     work = tempfile.mkdtemp(prefix="streamq_demo_")
     try:
         n_total = sum(

@@ -326,15 +326,34 @@ def test_latest_per_key_compaction(spark):
 
 def test_q3_sql_stream_equals_batch(spark):
     """The identical Q3 SQL text drained under streaming evaluation
-    (complete mode, file-stream lineitem) == its batch evaluation."""
+    (complete mode, file-stream lineitem) == its batch evaluation — and
+    the aggregate's state stays bounded by Q3's GROUP COUNT (one row
+    per qualifying order), not by streamed lineitem volume (the
+    complete-mode state bound documented on q3_sql_stream)."""
+    from pyspark.sql import functions as F
+
     from query_processing_over_streaming_data_using_flink_spark.plans.tpch import (
+        Q3_CUTOFF,
         q3_shipping_priority,
         q3_sql_stream,
     )
+    from query_processing_over_streaming_data_using_flink_spark.sources.catalog import load_table
 
-    got = sorted(tuple(r) for r in q3_sql_stream(spark, SF_SMOKE).collect())
+    metrics: list = []
+    got = sorted(tuple(r) for r in q3_sql_stream(spark, SF_SMOKE, metrics).collect())
     want = sorted(tuple(r) for r in q3_shipping_priority(spark, SF_SMOKE).collect())
     assert got == want
+
+    assert metrics, "stream reported no state operators"
+    state_rows = max(m["numRowsTotal"] for m in metrics)
+    n_qualifying_orders = (
+        load_table(spark, SF_SMOKE, "orders")
+        .filter(F.col("o_orderdate") < F.lit(Q3_CUTOFF).cast("timestamp_ntz"))
+        .count()
+    )
+    n_lineitem = load_table(spark, SF_SMOKE, "lineitem").count()
+    assert 0 < state_rows <= n_qualifying_orders, (state_rows, n_qualifying_orders)
+    assert state_rows < n_lineitem, "state must not scale with the stream"
 
 
 def test_chunking_covers_document(spark):

@@ -195,6 +195,8 @@ _BNLJ_ALLOWED = {
 
     "resample_gap_fill",  # tiny spine x tiny type dim grid construction
     "q22_global_sales_opportunity",  # 1-row broadcast scalar-avg subquery
+    "tfidf_top_terms",  # 1-row broadcast corpus-size scalar
+    "bm25_search",  # 1-row broadcast corpus-stats scalar
     "q11_important_stock",  # 1-row broadcast scalar-total threshold
     "hll_union_daily_users",  # 1-row exact anchor x 1-row sketch rollup
 }

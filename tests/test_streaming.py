@@ -197,6 +197,65 @@ def test_native_streaming_session_window(spark, tmp_path):
     assert g == e
 
 
+def test_apply_in_pandas_with_state_sessionize(spark, tmp_path):
+    """The custom arbitrary-stateful operator (applyInPandasWithState +
+    event-time timers, streaming/session_state.py) must agree with the
+    batch sessionizer on every session it closes: same (user, start,
+    end, n_events), and integer-cent sums to dodge float-order noise."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_relational import (
+        sessionize_events,
+    )
+    from query_processing_over_streaming_data_using_flink_spark.streaming.session_state import (
+        sessionize_with_state,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    # Far-future sentinel (excluded below) pushes the final watermark
+    # past every real session's timeout so append mode closes them all.
+    sentinel = spark.createDataFrame(
+        [(-1, "2024-06-01 00:00:00", -1, "click", 0.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    src = str(tmp_path / "state_sess_src")
+    # Two chronological files → the operator crosses a batch boundary
+    # with open sessions held in GroupState.
+    events.filter(F.col("ts") < "2024-01-15").coalesce(1).write.mode("append").parquet(src)
+    (events.filter(F.col("ts") >= "2024-01-15").unionByName(sentinel)
+     .coalesce(1).write.mode("append").parquet(src))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        sessionize_with_state(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("state_sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("state_sessions").filter(F.col("user_id") >= 0).collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize_events(spark, SF_SMOKE)
+        .withColumn("session_start", F.col("session_start").cast("timestamp"))
+        .withColumn("session_end", F.col("session_end").cast("timestamp"))
+        .collect()
+    }
+    assert got, "no sessions were closed"
+    # Every closed session matches a batch session exactly; sessions
+    # still open at the final watermark may be absent.
+    assert got <= want, sorted(got - want)[:5]
+    assert len(got) >= len(want) - 10, (len(got), len(want))
+
+
 def test_streaming_exact_dedup(spark, tmp_path):
     """Duplicates split across micro-batches must still dedupe: the
     watermarked fingerprint state survives between triggers, and the
