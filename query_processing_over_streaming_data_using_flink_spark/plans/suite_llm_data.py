@@ -1273,3 +1273,145 @@ GROUP BY sh.doc_id
 
 
 register("doc_ngram_novelty", doc_ngram_novelty, _NOVELTY_SQL)
+
+
+# Reciprocal-rank-fusion constant (the standard 60 from the RRF paper).
+RRF_K = 60
+HYBRID_TOPK = 10
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 lexical ranking with the exact
+    vector ranking (neighbors of query vector 0 — doc_id and vec_id
+    are the same id space) by reciprocal rank fusion:
+    rrf = Σ 1/(K + rank), absent-from-a-list contributes 0. The modern
+    two-tower search composition, as a relational plan: two top-20
+    rankings (each already scale-safe), one full-outer join on doc_id,
+    a fixed-order two-term sum (no float-aggregation nondeterminism),
+    top-10. Integer ranks make the fused score an exact rational."""
+    from pyspark.sql.window import Window
+
+    lex = bm25_search(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("lex_rank"),
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    q0 = e.filter(F.col("vec_id") == 0)
+    vec = sim.knn_bruteforce(e, q0, k=20).select(
+        F.col("n_id").alias("doc_id"), F.col("rank").alias("ann_rank")
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "ann_rank",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("ann_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.select("doc_id", "lex_rank", "ann_rank", F.round("rrf", 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(HYBRID_TOPK)
+    )
+
+
+_HYBRID_SQL = f"""
+WITH lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+  FROM ({_bm25_sql()})
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+q0 AS (SELECT vec FROM e WHERE vec_id = 0),
+vec_ranked AS (
+  SELECT e.vec_id AS doc_id,
+         row_number() OVER (ORDER BY {_cosine_sql('q0.vec', 'e.vec')} DESC, e.vec_id)
+           AS ann_rank
+  FROM e CROSS JOIN q0 WHERE e.vec_id <> 0
+),
+vec AS (SELECT doc_id, ann_rank FROM vec_ranked WHERE ann_rank <= 20),
+fused AS (
+  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id, lex_rank, ann_rank,
+         coalesce(1.0 / ({RRF_K} + lex_rank), 0.0)
+           + coalesce(1.0 / ({RRF_K} + ann_rank), 0.0) AS rrf
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT doc_id, lex_rank, ann_rank, round(rrf, 6) AS rrf
+FROM fused ORDER BY rrf DESC, doc_id LIMIT {HYBRID_TOPK}
+"""
+
+
+register("hybrid_search_rrf", hybrid_search_rrf, _HYBRID_SQL)
+
+
+# int8 symmetric quantization: scale = max|x|, q = floor(x/scale·127).
+# Error terms are floor-quantized to integers (·10^12) before summing,
+# so the per-vector SSE is an associative integer aggregate —
+# bit-identical in any engine or partitioning.
+QUANT_ERR_SCALE = 1_000_000_000_000
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization report — the 4× storage compression
+    a 100 TB embedding corpus runs on, with its reconstruction error as
+    an oracle-checked NUMBER: (vec_id, scale, n_dims, sse_q, mse).
+    Pure array expressions (codegen'd, no shuffle at all): quantize,
+    reconstruct, square the error, integer-quantize each term, fold.
+    Zero vectors quantize to scale 0 with zero error by convention."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    with_scale = e.select(
+        "vec_id",
+        emb.alias("vec"),
+        F.array_max(F.transform(emb, lambda x: F.abs(x))).alias("scale"),
+    )
+
+    def err(x: F.Column) -> F.Column:
+        recon = F.floor(x / F.col("scale") * 127) * F.col("scale") / 127
+        return F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(x - recon)
+
+    err2q = F.transform(
+        F.col("vec"), lambda x: F.floor(err(x) * err(x) * QUANT_ERR_SCALE).cast("long")
+    )
+    out = with_scale.select(
+        "vec_id",
+        "scale",
+        F.size("vec").alias("n_dims"),
+        F.aggregate(err2q, F.lit(0).cast("long"), lambda a, b: a + b).alias("sse_q"),
+    )
+    return out.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        "n_dims",
+        "sse_q",
+        F.round(F.col("sse_q") / F.lit(float(QUANT_ERR_SCALE)) / F.col("n_dims"), 9).alias("mse"),
+    )
+
+
+_QUANT_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
+  FROM embeddings
+),
+folded AS (
+  SELECT vec_id, scale, len(vec) AS n_dims,
+         list_reduce(
+           list_transform(vec, x -> CAST(floor(
+             (CASE WHEN scale = 0 THEN 0.0
+                   ELSE x - floor(x / scale * 127) * scale / 127 END)
+             * (CASE WHEN scale = 0 THEN 0.0
+                     ELSE x - floor(x / scale * 127) * scale / 127 END)
+             * {QUANT_ERR_SCALE}) AS BIGINT)),
+           (a, b) -> a + b) AS sse_q
+  FROM e
+)
+SELECT vec_id, round(scale, 6) AS scale, n_dims, sse_q,
+       round(sse_q / {float(QUANT_ERR_SCALE)} / n_dims, 9) AS mse
+FROM folded
+"""
+
+
+register("embedding_quantize_int8", embedding_quantize_int8, _QUANT_SQL)

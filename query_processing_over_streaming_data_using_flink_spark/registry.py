@@ -42,6 +42,8 @@ _PRIORITY_FIRST = [
     "tfidf_top_terms",
     "bm25_search",
     "doc_ngram_novelty",
+    "hybrid_search_rrf",
+    "embedding_quantize_int8",
     # The 12 stalest certifications (r1-green only, bumped for round-4
     # slots; VERDICT r4 ask #3 rotates them back in):
     "q17_small_quantity_revenue",
@@ -90,11 +92,10 @@ _PRIORITY_FIRST = [
     "q13_customer_distribution",
     "q15_top_supplier",
     "q16_part_supplier_relationship",
-    "q20_potential_promotion",
-    "q21_suppliers_kept_waiting",
+    # q20_potential_promotion / q21_suppliers_kept_waiting /
     # changelog_scd2_customer / pit_orders_customer_segment /
     # q4_order_priority: displaced to the unlisted middle (positions
-    # 51-53) by the four round-5 queries — r3-green, rotate back in r6.
+    # 51-55) by the six round-5 queries — r3-green, rotate back in r6.
 ]
 _PUSH_LAST = [
     # Driver-green in round 4 (CORRECTNESS_r04, fresh certification;

@@ -447,6 +447,7 @@ def run_streaming_q3(
     top_n: int = 20,
     on_progress=None,
     checkpoint_dir: str | None = None,
+    compact_every: int | None = None,
 ) -> DataFrame:
     """Consume a parquet-directory changelog as a Structured Streaming
     source (micro-batches of whole files, like the reference's
@@ -464,12 +465,18 @@ def run_streaming_q3(
     to the state dir: pointing old state at a NEW checkpoint (whose
     batch ids restart at 0) hard-fails instead of silently dropping
     every batch — wipe state and checkpoint together.
+
+    `compact_every=N` folds the log-structured state back to net rows
+    after every N applied epochs — the scheduled OPTIMIZE that keeps
+    read amplification bounded on long-running streams (the append-only
+    commit itself never rewrites old state).
     """
     import json as _json
     import os as _os
 
     static = spark.read.parquet(changelog_dir)
     pipe = IncrementalQ3(spark, state_dir)
+    applied = {"n": 0}
 
     def bind_run() -> None:
         if checkpoint_dir is None:
@@ -483,7 +490,12 @@ def run_streaming_q3(
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         bind_run()
+        before = pipe.state.committed_epoch()
         pipe.process_batch(batch, epoch_id)
+        if pipe.state.committed_epoch() > before:
+            applied["n"] += 1
+            if compact_every is not None and applied["n"] % compact_every == 0:
+                pipe.compact_state()
         if on_progress is not None:
             on_progress(epoch_id, pipe.top_n(top_n))
 

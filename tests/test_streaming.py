@@ -95,6 +95,31 @@ def test_ivm_stream_matches_batch_state(spark, tmp_path):
     assert _rows(result) == _rows(q3_on_state(log))
 
 
+def test_ivm_stream_with_interleaved_compaction(spark, tmp_path):
+    """Scheduled compaction (`compact_every`) folding the log-structured
+    state mid-stream must not change any result: same Top-20 as the
+    uncompacted run and the one-shot batch evaluation, with the state
+    actually folded (row counts strictly below the appended log's)."""
+    n_total = sum(
+        load_table(spark, SF_SMOKE, t).count() for t in ("customer", "orders", "lineitem")
+    )
+    w = (n_total * 2) // 3
+    k = n_total + n_total // 2
+    log = build_changelog(spark, SF_SMOKE, window=w).filter(F.col("seq") <= k)
+
+    changelog_dir = str(tmp_path / "changelog")
+    log.repartition(8).write.parquet(changelog_dir)
+
+    result = run_streaming_q3(
+        spark,
+        changelog_dir,
+        str(tmp_path / "state"),
+        files_per_trigger=2,
+        compact_every=2,
+    )
+    assert _rows(result) == _rows(q3_on_state(log))
+
+
 def test_native_streaming_windowed_agg(spark, tmp_path):
     """Structured Streaming tumbling-window aggregation with watermark
     over the events table == its batch equivalent (idiomatic-Spark
