@@ -1,0 +1,157 @@
+"""Incrementally-maintained IVF-flat ANN index — vector search over an
+UNBOUNDED embedding stream, built on the same crash-atomic versioned
+bucketed state store as the Q3 IVM and the streaming near-dedup
+(`streaming/state_table.py`).
+
+No reference counterpart (the reference's stateful ops implement Q3 —
+SURVEY.md §2.3/2.4); this is the driver's similarity-search mandate
+(§2.11) made streaming-native: a training-data pipeline ingests
+embeddings continuously, and the index must absorb them without
+rebuilding — FAISS `add()` semantics, re-expressed relationally.
+
+Design:
+* centroids are FROZEN at index creation (caller-provided — e.g.
+  `operators/similarity.py:ivf_centroids` over a bootstrap corpus — or
+  trained on the first batch): the standard IVF discipline, assignment
+  stays deterministic forever after;
+* each micro-batch assigns its vectors to their nearest centroid (one
+  broadcast join against ≤ `cells` centroid rows — no corpus shuffle)
+  and APPENDS them to the inverted lists: state table `inv` is
+  bucketed BY CELL, so the append-mode commit writes only the delta
+  and a search's cell probes prune to `nprobe` bucket directories;
+* vectors are immutable (no retraction), so the log-structured state
+  needs no compaction — per-epoch cost is exactly the new vectors;
+* replayed epochs are skipped via the store's committed-epoch pointer:
+  exactly-once index maintenance under foreachBatch redelivery.
+
+Search equals the batch `knn_ivf` over the union of all ingested
+batches whenever both use the same centroids (equivalence-tested) —
+the stream-batch convergence criterion applied to an index structure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from query_processing_over_streaming_data_using_flink_spark.operators import similarity as sim
+from query_processing_over_streaming_data_using_flink_spark.streaming.state_table import (
+    VersionedBucketedState,
+)
+
+
+class IncrementalIVFIndex:
+    """foreachBatch handler maintaining IVF inverted lists across
+    micro-batches. `centroids` (cell, cvec array<double>) freezes the
+    coarse quantizer at creation; omit it to train on the first batch."""
+
+    _TABLES = {
+        "inv": "bucket int, n_id long, n_vec array<double>, cell int",
+        "cents": "bucket int, cell int, dim int, v double",
+    }
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        centroids: DataFrame | None = None,
+        nprobe: int = sim.IVF_NPROBE,
+        cells: int = sim.IVF_CELLS,
+    ) -> None:
+        self.spark = spark
+        self.nprobe = nprobe
+        self.cells = cells
+        self._bootstrap_cents = centroids
+        self.state = VersionedBucketedState(spark, state_dir, self._TABLES)
+        self.epoch = self.state.committed_epoch()
+
+    # -- centroids -----------------------------------------------------------
+
+    def _cents_long(self, cents: DataFrame) -> DataFrame:
+        """(cell, cvec) → the store's long format (bucket, cell, dim, v)."""
+        return cents.select(
+            F.lit(0).alias("bucket"),
+            # ivf_centroids emits cell as long (vec_id % cells); the
+            # state schema pins the narrower int.
+            F.col("cell").cast("int").alias("cell"),
+            F.posexplode("cvec").alias("dim", "v"),
+        )
+
+    def centroids(self) -> DataFrame:
+        """(cell, cvec) reassembled from state — the frozen quantizer."""
+        c = self.state.read("cents")
+        return c.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "v"))), lambda t: t["v"]
+            ).alias("cvec")
+        )
+
+    # -- ingestion -----------------------------------------------------------
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        """Ingest one micro-batch of (vec_id, embedding) rows."""
+        if epoch_id <= self.state.committed_epoch():
+            return  # redelivered epoch — its vectors are already indexed
+        first_epoch = self.state._current()[1] is None
+        if first_epoch:
+            cents = (
+                self._bootstrap_cents
+                if self._bootstrap_cents is not None
+                else sim.ivf_centroids(batch, cells=self.cells)
+            )
+            self.state.write_merged("cents", self._cents_long(cents))
+        else:
+            cents = self.centroids()
+        corpus = batch.select(
+            F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("vec")
+        )
+        assigned = sim._nearest_cells(corpus, cents, 1)
+        delta = assigned.select(
+            F.col("cell").cast("int").alias("bucket"),
+            F.col("id").alias("n_id"),
+            F.col("vec").alias("n_vec"),
+            F.col("cell").cast("int").alias("cell"),
+        )
+        self.state.write_merged("inv", delta)
+        # Append-mode commit: inverted lists only ever GROW — the new
+        # vectors' part files land next to the hard-linked old ones.
+        self.state.commit(epoch_id, append=True)
+        self.epoch = epoch_id
+
+    # -- search --------------------------------------------------------------
+
+    def search(self, queries: DataFrame, k: int = 5) -> DataFrame:
+        """Top-k cosine neighbors of (vec_id, embedding) query rows over
+        everything ingested so far — same output shape and semantics as
+        the batch `knn_ivf` (q_id, n_id, rank, sim). The probe join is
+        on `cell` == the state's bucket column, so only the probed
+        cells' directories are read."""
+        cents = self.centroids()
+        inv = self.state.read("inv")
+        probes = sim._nearest_cells(
+            queries.select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").cast("array<double>").alias("vec"),
+            ),
+            cents,
+            self.nprobe,
+        ).select(
+            F.col("id").alias("q_id"),
+            F.col("vec").alias("q_vec"),
+            "cell",
+            # bucket == cell by construction; joining on the partition
+            # column lets the scan prune to the probed cells' dirs.
+            F.col("cell").cast("int").alias("bucket"),
+        )
+        scored = (
+            inv.join(F.broadcast(probes), ["bucket", "cell"])
+            .filter(F.col("q_id") != F.col("n_id"))
+            .withColumn("sim", sim.cosine(F.col("q_vec"), F.col("n_vec")))
+        )
+        w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "rank", F.round("sim", 6).alias("sim"))
+        )

@@ -285,10 +285,20 @@ class IncrementalQ3:
             dc, do, dl = self._spill_deltas(*self._split(batch))
         finally:
             batch.unpersist()
-        # Emptiness probes on the spilled deltas (parquet footers — no
-        # recompute): a batch with no events for a relation contributes
-        # nothing through any term containing that Δ, so skip them.
-        have_c, have_o, have_l = (not d.isEmpty() for d in (dc, do, dl))
+        # Emptiness probes on the spilled deltas: the bucket-partitioned
+        # write creates bucket= subdirectories only for rows that exist,
+        # so a directory listing answers "any rows?" with zero Spark
+        # jobs. A batch with no events for a relation contributes
+        # nothing through any term containing that Δ — skip those terms.
+        import os as _os
+
+        def has_rows(name: str) -> bool:
+            tmp = self._tmp(name)
+            return _os.path.isdir(tmp) and any(
+                e.startswith("bucket=") for e in _os.listdir(tmp)
+            )
+
+        have_c, have_o, have_l = has_rows("c"), has_rows("o"), has_rows("l")
 
         c_old = self._read("c")
         o_old = self._read("o")      # bucketed by o_custkey

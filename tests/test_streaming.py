@@ -378,6 +378,40 @@ def test_near_dedup_restart_with_epoch_gap(spark, tmp_path):
     assert all_v.count() == 8
 
 
+def test_incremental_ivf_index_matches_batch(spark, tmp_path):
+    """The streaming IVF index (vectors ingested across 3 micro-batches,
+    inverted lists appended in the versioned state store) must return
+    EXACTLY the batch `knn_ivf` results when both share centroids —
+    stream-batch convergence applied to an index structure. Replayed
+    epochs must not duplicate index entries."""
+    from query_processing_over_streaming_data_using_flink_spark.operators import similarity as sim
+    from query_processing_over_streaming_data_using_flink_spark.streaming.ann_index import (
+        IncrementalIVFIndex,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = sim.ivf_centroids(emb)
+    idx = IncrementalIVFIndex(spark, str(tmp_path / "ivf"), centroids=cents)
+    for e in range(3):
+        idx.process_batch(emb.filter(F.col("vec_id") % 3 == e), e)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = _rows(idx.search(queries, k=5))
+    want = _rows(sim.knn_ivf(emb, queries, k=5))
+    assert got == want
+
+    # Redelivered epoch: skipped, index size unchanged.
+    n = idx.state.read("inv").count()
+    assert n == emb.count()
+    idx.process_batch(emb.filter(F.col("vec_id") % 3 == 2), 2)
+    assert idx.state.read("inv").count() == n
+
+    # The probe path reads only the probed cells' bucket directories
+    # (cell == partition column → partition filters prune the rest).
+    plan = idx.search(queries, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan.lower()
+
+
 NEW_CUST_KEY = 10**9 + 7
 
 
