@@ -101,6 +101,42 @@ def threads_json_payload(spark=None, ts: float | None = None) -> str:
     return json.dumps(doc)
 
 
+# The IVM pipeline topology as the dashboard's DAG view expects it —
+# the reference's simple_index.html renders a 9-node pipeline graph of
+# its Flink job; this is the engine's actual dataflow
+# (streaming/ivm.py): changelog source → relation split → bucketed
+# delta spills → 7-term delta expansion → Δresult fold → append commit
+# → Top-N emission.
+PIPELINE_NODES: tuple[tuple[str, str], ...] = (
+    ("source", "changelog source"),
+    ("split", "relation split ΔC/ΔO/ΔL"),
+    ("spill", "bucketed delta spill"),
+    ("expand", "7-term delta expansion"),
+    ("fold", "Δresult fold"),
+    ("commit", "append commit (epoch)"),
+    ("topn", "Top-N emission"),
+)
+PIPELINE_EDGES: tuple[tuple[str, str], ...] = (
+    ("source", "split"), ("split", "spill"), ("spill", "expand"),
+    ("expand", "fold"), ("fold", "commit"), ("commit", "topn"),
+)
+
+
+def pipeline_json_payload(epoch_id: int, ts: float | None = None) -> str:
+    """One `{"type":"pipeline",...}` frame per epoch — the dashboard's
+    job-graph view (reference `simple_index.html` pipeline DAG): node
+    list, edge list, and the epoch that just flowed through it."""
+    return json.dumps(
+        {
+            "type": "pipeline",
+            "timestamp": int((time.time() if ts is None else ts) * 1000),
+            "epoch": epoch_id,
+            "nodes": [{"id": nid, "name": name, "status": "ok"} for nid, name in PIPELINE_NODES],
+            "edges": [list(e) for e in PIPELINE_EDGES],
+        }
+    )
+
+
 class JsonLinesTopNSink:
     """foreachBatch progress hook appending one JSON payload per
     emission — pair with `IncrementalQ3` via run_streaming_q3's

@@ -45,6 +45,8 @@ _DASHBOARD_HTML = """<!DOCTYPE html>
 <div id="ts">waiting for data…</div>
 <table><thead><tr><th>rank</th><th>orderkey</th><th>revenue</th>
 <th>orderdate</th><th>pri</th></tr></thead><tbody id="rows"></tbody></table>
+<h3>pipeline</h3>
+<div id="pipeline" style="color:#9c9">waiting for first epoch…</div>
 <h3>system metrics</h3>
 <div id="spark"></div>
 <table><thead><tr><th>thread</th><th>state</th></tr></thead>
@@ -53,6 +55,12 @@ _DASHBOARD_HTML = """<!DOCTYPE html>
  const ws = new WebSocket("ws://" + location.host + "/");
  ws.onmessage = (ev) => {
    const msg = JSON.parse(ev.data);
+   if (msg.type === "pipeline") {
+     // job-graph view: nodes joined by arrows, epoch annotated
+     document.getElementById("pipeline").textContent =
+       msg.nodes.map(n => n.name).join(" → ") + `   [epoch ${msg.epoch}]`;
+     return;
+   }
    if (msg.type === "threads") {
      // system-metrics channel (reference dashboard parity)
      if (msg.spark) document.getElementById("spark").textContent =

@@ -83,10 +83,14 @@ def main() -> None:
                 json_sink(epoch, top)
             if server is not None:
                 from query_processing_over_streaming_data_using_flink_spark.streaming.sinks import (
+                    pipeline_json_payload,
                     topn_json_payload,
                 )
 
                 n = server.broadcast(topn_json_payload(top))
+                # Job-graph view (reference dashboard parity): one
+                # pipeline frame per epoch, not replayed to late joiners.
+                server.broadcast_aux(pipeline_json_payload(epoch))
                 print(f"  → pushed epoch {epoch} to {n} websocket client(s)")
 
         final = run_streaming_q3(

@@ -76,6 +76,14 @@ def test_topn_sinks(spark, tmp_path):
     assert len(lines) == 2
     assert json.loads(lines[1])["data"][0]["orderkey"] == payload["data"][0]["orderkey"]
 
+    # Pipeline (job-graph) frame: every edge endpoint must be a node,
+    # the epoch rides along, and the type tag routes the dashboard.
+    pipe = json.loads(sinks.pipeline_json_payload(7))
+    assert pipe["type"] == "pipeline" and pipe["epoch"] == 7
+    ids = {n["id"] for n in pipe["nodes"]}
+    assert all(a in ids and b in ids for a, b in pipe["edges"])
+    assert len(pipe["nodes"]) >= 7
+
 
 def test_wire_format_parse_reference_sample(spark):
     """Parse lines in the reference's documented wire format
