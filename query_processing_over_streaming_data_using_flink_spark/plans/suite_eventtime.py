@@ -427,3 +427,125 @@ GROUP BY 1, 2
 """
 
 register("events_retention_cohorts", events_retention_cohorts, RETENTION_SQL)
+
+
+def events_twa_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per (user, day) — the
+    hypertable `time_weight('locf')` aggregate for irregular samples:
+    each observation holds (LOCF) until the user's next event, and the
+    day's average weights each value by how long it held. Semantics
+    pinned for the oracle: a segment belongs to the day its START falls
+    in and only counts when the next event lands on the same day (no
+    midnight splitting); single-event days have no segments and are
+    absent. One user_id shuffle (the lead window) + one (user, day)
+    aggregate. Determinism: weights are integer microseconds and values
+    quantize to integer cents BEFORE the multiply-accumulate, so both
+    sums are associative integer aggregates; the final twa is one exact
+    long/long division (bounds: cents <= ~1e7, gap_us < 8.64e10, but a
+    segment product caps at cents * day_us ~ 1e12 * n_segments —
+    far inside int64)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    seg = (
+        ev.withColumn("us", us)
+        .withColumn("next_us", F.lead("us", 1).over(w))
+        .withColumn("next_day", F.to_date(F.lead("ts", 1).over(w)))
+        .withColumn("day", F.to_date("ts"))
+        .filter(F.col("next_us").isNotNull() & (F.col("next_day") == F.col("day")))
+        .select(
+            "user_id",
+            "day",
+            (F.col("next_us") - F.col("us")).alias("dur_us"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    return (
+        seg.groupBy("user_id", "day")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.col("cents") * F.col("dur_us")).alias("wsum"),
+            F.sum("dur_us").alias("dur_total"),
+        )
+        .select(
+            "user_id",
+            "day",
+            "n_segments",
+            F.round(F.col("wsum") / F.col("dur_total") / 100.0, 6).alias("twa"),
+        )
+    )
+
+
+TWA_SQL = """
+WITH seg AS (
+  SELECT user_id,
+         CAST(ts AS DATE) AS day,
+         CAST(ts AS DATE) = CAST(lead(ts) OVER w AS DATE) AS same_day,
+         epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dur_us,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, day,
+       count(*) AS n_segments,
+       round(CAST(sum(cents * dur_us) AS BIGINT)
+             / CAST(sum(dur_us) AS BIGINT) / 100.0, 6) AS twa
+FROM seg
+WHERE dur_us IS NOT NULL AND same_day
+GROUP BY user_id, day
+"""
+
+register("events_twa_daily", events_twa_daily, TWA_SQL)
+
+
+def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: days whose event count per type
+    deviates >= 2 sample standard deviations from that type's daily
+    mean. The variance comes from INTEGER power sums (sum n, sum n² —
+    exact in int64 at any scale), not a float stddev aggregate whose
+    partial-merge order would differ between engines: both sides
+    compute identical doubles from identical integers. Two narrow
+    aggregates (day grain, then type grain) + a broadcast-size join
+    back — the fact table shuffles once."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("d"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    joined = daily.join(F.broadcast(stats), "event_type")
+    mean = F.col("s1") / F.col("d")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("d")) / (F.col("d") - 1)
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        joined.select(
+            "event_type",
+            "day",
+            "n",
+            F.round(mean, 6).alias("mean_n"),
+            F.round(z, 4).alias("z"),
+        )
+        .filter(F.abs(F.col("z")) >= 2.0)
+    )
+
+
+ANOMALY_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, count(*) AS d, sum(n) AS s1, sum(n * n) AS s2
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, day, n,
+       round(s1 / d, 6) AS mean_n,
+       round((n - s1 / d) / sqrt((s2 - s1 * s1 / d) / (d - 1)), 4) AS z
+FROM daily JOIN stats USING (event_type)
+WHERE abs((n - s1 / d) / sqrt((s2 - s1 * s1 / d) / (d - 1))) >= 2.0
+"""
+
+register("events_daily_anomalies", events_daily_anomalies, ANOMALY_SQL)

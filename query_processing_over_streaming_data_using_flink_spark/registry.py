@@ -44,6 +44,8 @@ _PRIORITY_FIRST = [
     "doc_ngram_novelty",
     "hybrid_search_rrf",
     "embedding_quantize_int8",
+    "events_twa_daily",
+    "events_daily_anomalies",
     # The 12 stalest certifications (r1-green only, bumped for round-4
     # slots; VERDICT r4 ask #3 rotates them back in):
     "q17_small_quantity_revenue",
@@ -90,12 +92,11 @@ _PRIORITY_FIRST = [
     "q11_important_stock",
     "q12_late_shipment_priority",
     "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_relationship",
+    # q15_top_supplier / q16_part_supplier_relationship /
     # q20_potential_promotion / q21_suppliers_kept_waiting /
     # changelog_scd2_customer / pit_orders_customer_segment /
     # q4_order_priority: displaced to the unlisted middle (positions
-    # 51-55) by the six round-5 queries — r3-green, rotate back in r6.
+    # 51-57) by the eight round-5 queries — r3-green, rotate back in r6.
 ]
 _PUSH_LAST = [
     # Driver-green in round 4 (CORRECTNESS_r04, fresh certification;
