@@ -142,3 +142,96 @@ GROUP BY event_type
 register("approx_distinct_users", approx_distinct_users, APPROX_DISTINCT_SQL)
 register("hll_union_daily_users", hll_union_daily_users, HLL_UNION_SQL)
 register("approx_quantiles_event_value", approx_quantiles_event_value, APPROX_QUANTILES_SQL)
+
+
+# Count-min sketch geometry: CM_D independent hash rows of CM_W
+# counters. Error envelope: overestimate only, by at most
+# eps*N with eps = e/CM_W at confidence 1 - (1/e)^CM_D.
+CM_D = 4
+CM_W = 256
+
+
+def cm_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (top-20 users by event volume) read out of a
+    count-min sketch, next to their exact counts — the
+    frequency-estimation sketch that completes the approx family (HLL
+    distinct, GK quantiles, CM frequencies). The sketch is CM_D×CM_W
+    INTEGER counters built by one fixed-size aggregate — state is
+    constant no matter how many distinct users exist, and counters from
+    different partitions/days merge by addition (the 100 TB property).
+    Estimate = min over rows of the hashed counter; CM only ever
+    OVERESTIMATES, so `est >= exact` is asserted per row in the result
+    itself (`cm_ok`). md5-derived row hashes make the sketch
+    bit-identical in DuckDB — approximation, oracle-checked exactly."""
+    from query_processing_over_streaming_data_using_flink_spark.functions.scalar import md5_hash64
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+
+    def bucket(i: int, col):
+        return F.pmod(md5_hash64(F.concat(F.lit(f"cm{i}:"), col.cast("string"))), F.lit(CM_W))
+
+    rows = ev.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("row"), bucket(i, F.col("user_id")).alias("b"))
+                for i in range(CM_D)
+            ])
+        ).alias("rb")
+    ).select("rb.row", "rb.b")
+    counters = rows.groupBy("row", "b").agg(F.count("*").alias("c"))
+
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("n_exact"))
+    probes = exact.select(
+        "user_id",
+        "n_exact",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("row"), bucket(i, F.col("user_id")).alias("b"))
+                for i in range(CM_D)
+            ])
+        ).alias("rb"),
+    ).select("user_id", "n_exact", "rb.row", "rb.b")
+    est = (
+        probes.join(F.broadcast(counters), ["row", "b"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("c").alias("n_est"))
+    )
+    return (
+        est.select(
+            "user_id", "n_exact", "n_est", (F.col("n_est") >= F.col("n_exact")).alias("cm_ok")
+        )
+        .orderBy(F.desc("n_est"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+def _cm_sql() -> str:
+    from query_processing_over_streaming_data_using_flink_spark.functions.scalar import md5_hash64_sql
+
+    def bucket(i: int, expr: str) -> str:
+        h = md5_hash64_sql(f"'cm{i}:' || CAST({expr} AS VARCHAR)")
+        return f"(({h}) % {CM_W} + {CM_W}) % {CM_W}"
+
+    row_union = " UNION ALL ".join(
+        f"SELECT {i} AS row, {bucket(i, 'user_id')} AS b FROM events" for i in range(CM_D)
+    )
+    probe_union = " UNION ALL ".join(
+        f"SELECT user_id, n_exact, {i} AS row, {bucket(i, 'user_id')} AS b FROM exact"
+        for i in range(CM_D)
+    )
+    return f"""
+WITH rows_ AS ({row_union}),
+counters AS (SELECT row, b, count(*) AS c FROM rows_ GROUP BY row, b),
+exact AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY user_id),
+probes AS ({probe_union}),
+est AS (
+  SELECT user_id, n_exact, min(c) AS n_est
+  FROM probes JOIN counters USING (row, b)
+  GROUP BY user_id, n_exact
+)
+SELECT user_id, n_exact, n_est, n_est >= n_exact AS cm_ok
+FROM est ORDER BY n_est DESC, user_id LIMIT 20
+"""
+
+
+register("cm_sketch_heavy_hitters", cm_sketch_heavy_hitters, _cm_sql())

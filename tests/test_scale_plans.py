@@ -198,6 +198,7 @@ _BNLJ_ALLOWED = {
     "tfidf_top_terms",  # 1-row broadcast corpus-size scalar
     "bm25_search",  # 1-row broadcast corpus-stats scalar
     "hybrid_search_rrf",  # composes bm25 + the allowed brute-force side
+    "graph_pagerank_parts",  # 1-row broadcast node-count scalar
     "q11_important_stock",  # 1-row broadcast scalar-total threshold
     "hll_union_daily_users",  # 1-row exact anchor x 1-row sketch rollup
 }
