@@ -1415,3 +1415,102 @@ FROM folded
 
 
 register("embedding_quantize_int8", embedding_quantize_int8, _QUANT_SQL)
+
+
+def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash quality as oracle-checked NUMBERS (the dedup analogue of
+    the ANN recall certifications): for every LSH candidate pair, the
+    12-permutation Jaccard ESTIMATE (matching signature positions / 12)
+    next to the exact shingle-set Jaccard and their absolute error.
+    Certifies that the sketch the 100 TB dedup path trusts actually
+    tracks the quantity it estimates. Candidates come through the band
+    equi-join (never all pairs); the position-match count is an integer
+    fold, and est/jaccard are exact rationals — fully deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs)
+    bands = dd.band_keys(sigs)
+    left, right = bands.alias("x"), bands.alias("y")
+    cands = (
+        left.join(
+            right,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("sig").alias("sig_b"))
+    n_match = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda p, q: F.when(p == q, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    est = n_match / F.lit(float(len(dd.MINHASH_PERMS)))
+    jac = inter.cast("double") / union
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_match.alias("n_match"),
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(jac, 6).alias("jaccard"),
+            F.round(F.abs(est - jac), 6).alias("abs_err"),
+        )
+    )
+
+
+def _minhash_quality_sql() -> str:
+    perms = ", ".join(
+        f"list_min(list_transform(sh, h -> ({a} * (h % {dd.MINHASH_P}) + {b}) % {dd.MINHASH_P}))"
+        for a, b in dd.MINHASH_PERMS
+    )
+    band_rows = []
+    for band in range(dd.MINHASH_BANDS):
+        concat = " || ',' || ".join(
+            f"CAST(sig[{band * dd.MINHASH_ROWS + r + 1}] AS VARCHAR)"
+            for r in range(dd.MINHASH_ROWS)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {band} AS band, "
+            f"{_H64.format(x=concat)} AS band_key FROM sigs"
+        )
+    bands_union = " UNION ALL ".join(band_rows)
+    n_perms = len(dd.MINHASH_PERMS)
+    n_match = (
+        "list_reduce([CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END "
+        f"for i in range(1, {n_perms + 1})], (p, q) -> p + q)"
+    )
+    jac = (
+        "len(list_intersect(a.sh, b.sh)) "
+        "/ (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+    )
+    return f"""
+WITH docs_sh AS (
+  SELECT doc_id, {_shingle_hashes_sql()} AS sh
+  FROM (SELECT *, {_TOKENS} AS toks FROM documents)
+),
+sigs AS (
+  SELECT doc_id, sh, [{perms}] AS sig FROM docs_sh WHERE len(sh) > 0
+),
+bands AS ({bands_union}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b,
+       {n_match} AS n_match,
+       round({n_match} / {float(n_perms)}, 6) AS est_jaccard,
+       round({jac}, 6) AS jaccard,
+       round(abs({n_match} / {float(n_perms)} - {jac}), 6) AS abs_err
+FROM cand JOIN sigs a ON cand.doc_a = a.doc_id JOIN sigs b ON cand.doc_b = b.doc_id
+"""
+
+
+register("minhash_estimate_quality", minhash_estimate_quality, _minhash_quality_sql())
