@@ -1514,3 +1514,69 @@ FROM cand JOIN sigs a ON cand.doc_a = a.doc_id JOIN sigs b ON cand.doc_b = b.doc
 
 
 register("minhash_estimate_quality", minhash_estimate_quality, _minhash_quality_sql())
+
+
+def multimodal_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode, oracle-certified end-to-end: every doc gets a
+    genuine container blob (even ids → binary PPM images, odd ids →
+    RIFF/WAV-PCM16 audio — actual formats, pure-numpy codecs in
+    `operators/media_codec.py`), and the decode stage parses the BYTES
+    (header walk, chunk alignment, raster/sample extraction) to emit
+    per-modality features. Because the synthesized content follows
+    closed-form rules, the DuckDB oracle computes the expected
+    features INDEPENDENTLY from doc_id arithmetic — a hash-match means
+    encoder, container layout, and decoder all agree with the spec.
+    This replaces the round-4 `real_decode` stub: NotImplementedError
+    now marks only formats that genuinely need external codecs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.decode_media_meta(mm.synthesize_media(docs))
+
+
+_REAL_MM_SQL = """
+WITH img_px AS (
+  SELECT doc_id, CAST(sum((doc_id % 256 + i) % 256) AS BIGINT) AS pix_sum
+  FROM (SELECT doc_id, unnest(range(0, (8 + doc_id % 16) * (6 + doc_id % 12) * 3)) AS i
+        FROM documents WHERE doc_id % 2 = 0)
+  GROUP BY doc_id
+),
+img AS (
+  SELECT d.doc_id,
+         'image/x-portable-pixmap' AS media_type,
+         CAST(length('P6' || chr(10) || CAST(8 + d.doc_id % 16 AS VARCHAR) || ' '
+                     || CAST(6 + d.doc_id % 12 AS VARCHAR) || chr(10) || '255' || chr(10))
+              + (8 + d.doc_id % 16) * (6 + d.doc_id % 12) * 3 AS BIGINT) AS n_bytes,
+         CAST(8 + d.doc_id % 16 AS INT) AS width,
+         CAST(6 + d.doc_id % 12 AS INT) AS height,
+         CAST((8 + d.doc_id % 16) * (6 + d.doc_id % 12) * 3 AS BIGINT) AS n_pixel_bytes,
+         p.pix_sum,
+         CAST(NULL AS INT) AS n_samples,
+         CAST(NULL AS INT) AS sample_rate,
+         CAST(NULL AS BIGINT) AS sum_sq
+  FROM documents d JOIN img_px p USING (doc_id)
+),
+aud_sq AS (
+  SELECT doc_id,
+         CAST(sum(((doc_id * 31 + i * 7) % 2048 - 1024)
+                  * ((doc_id * 31 + i * 7) % 2048 - 1024)) AS BIGINT) AS sum_sq
+  FROM (SELECT doc_id, unnest(range(0, 100 + doc_id % 400)) AS i
+        FROM documents WHERE doc_id % 2 = 1)
+  GROUP BY doc_id
+),
+aud AS (
+  SELECT d.doc_id,
+         'audio/wav' AS media_type,
+         CAST(44 + 2 * (100 + d.doc_id % 400) AS BIGINT) AS n_bytes,
+         CAST(NULL AS INT) AS width,
+         CAST(NULL AS INT) AS height,
+         CAST(NULL AS BIGINT) AS n_pixel_bytes,
+         CAST(NULL AS BIGINT) AS pix_sum,
+         CAST(100 + d.doc_id % 400 AS INT) AS n_samples,
+         CAST(8000 AS INT) AS sample_rate,
+         s.sum_sq
+  FROM documents d JOIN aud_sq s USING (doc_id)
+)
+SELECT * FROM img UNION ALL SELECT * FROM aud
+"""
+
+
+register("multimodal_real_roundtrip", multimodal_real_roundtrip, _REAL_MM_SQL)

@@ -153,12 +153,94 @@ def test_multimodal_plumbing(spark):
     assert reassembled == bytes(rows[0]["content"])
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
+def test_multimodal_real_decode_boundary(spark):
+    """real_decode=True decodes the formats the built-in codecs cover;
+    a media type that genuinely needs an external codec (an opaque
+    octet-stream here, JPEG in real life) must still raise — the honest
+    boundary, now behind real PPM/WAV decoders instead of a blanket
+    stub."""
     docs = load_table(spark, SF_SMOKE, "documents").limit(1)
     media = mm.attach_binary_content(docs)
     with pytest.raises(Exception) as exc_info:
         mm.decode_image_meta(media, real_decode=True).collect()
-    assert "NotImplementedError" in str(exc_info.value) or "not installed" in str(exc_info.value)
+    assert "NotImplementedError" in str(exc_info.value) or "no built-in codec" in str(exc_info.value)
+
+
+def test_media_codec_wav_cross_checks_stdlib():
+    """Our pure-numpy WAV reader must decode bytes written by the
+    stdlib `wave` module (an independent encoder), and the stdlib must
+    read ours — interchange, not a private format. No Spark needed."""
+    import io
+    import wave as stdwave
+
+    import numpy as np
+
+    from query_processing_over_streaming_data_using_flink_spark.operators import media_codec as mc
+
+    samples, rate = mc.synth_audio_samples(123)
+
+    # stdlib-written bytes -> our reader
+    buf = io.BytesIO()
+    with stdwave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    got, got_rate = mc.decode_wav_pcm16(buf.getvalue())
+    assert got_rate == rate
+    assert np.array_equal(got, samples)
+
+    # our bytes -> stdlib reader
+    ours = mc.encode_wav_pcm16(samples, rate)
+    with stdwave.open(io.BytesIO(ours), "rb") as r:
+        assert r.getnchannels() == 1 and r.getsampwidth() == 2
+        assert r.getframerate() == rate
+        assert np.array_equal(
+            np.frombuffer(r.readframes(r.getnframes()), dtype="<i2"), samples
+        )
+
+
+def test_media_codec_ppm_comments_and_resize():
+    """The PPM reader must handle the spec's comment lines (real files
+    have them) and round-trip pixels exactly; nearest-neighbor resize
+    halves dimensions with exact index arithmetic."""
+    import numpy as np
+
+    from query_processing_over_streaming_data_using_flink_spark.operators import media_codec as mc
+
+    px = mc.synth_image_pixels(42)
+    data = mc.encode_ppm(px)
+    assert np.array_equal(mc.decode_ppm(data), px)
+
+    # Inject a netpbm comment between header tokens.
+    h, w = px.shape[0], px.shape[1]
+    commented = (
+        f"P6\n# written by some tool\n{w} {h}\n# maxval next\n255\n".encode()
+        + px.tobytes()
+    )
+    assert np.array_equal(mc.decode_ppm(commented), px)
+
+    small = mc.resize_nearest(px, w // 2, h // 2)
+    assert small.shape == (h // 2, w // 2, 3)
+    # Nearest-neighbor: every output pixel is an exact input pixel.
+    assert np.array_equal(small[0, 0], px[0, 0])
+
+
+def test_multimodal_resize_roundtrip(spark):
+    """resize_image re-encodes real PPM bytes: decoded output has the
+    target dimensions; audio rows pass through byte-identical."""
+    from query_processing_over_streaming_data_using_flink_spark.operators import media_codec as mc
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 10)
+    media = mm.synthesize_media(docs)
+    before = {r["doc_id"]: bytes(r["content"]) for r in media.collect()}
+    resized = mm.resize_image(media, 4, 3)
+    for r in resized.collect():
+        if r["media_type"] == mm.PPM_TYPE:
+            px = mc.decode_ppm(bytes(r["content"]))
+            assert px.shape == (3, 4, 3)
+        else:
+            assert bytes(r["content"]) == before[r["doc_id"]]
 
 
 def test_text_quality_bounds(spark):

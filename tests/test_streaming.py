@@ -412,6 +412,34 @@ def test_incremental_ivf_index_matches_batch(spark, tmp_path):
     assert "bucket" in plan.lower()
 
 
+def test_incremental_ivf_index_restart(spark, tmp_path):
+    """A fresh handler on an existing index dir must recover the
+    committed epoch, keep the FROZEN centroids (not retrain on the next
+    batch), and continue ingesting — searches over pre- and
+    post-restart vectors agree with the batch index."""
+    from query_processing_over_streaming_data_using_flink_spark.operators import similarity as sim
+    from query_processing_over_streaming_data_using_flink_spark.streaming.ann_index import (
+        IncrementalIVFIndex,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = sim.ivf_centroids(emb)
+    d = str(tmp_path / "ivf")
+    idx = IncrementalIVFIndex(spark, d, centroids=cents)
+    idx.process_batch(emb.filter(F.col("vec_id") % 2 == 0), 0)
+
+    # Restart: no centroids passed — they must come from state, frozen.
+    idx2 = IncrementalIVFIndex(spark, d)
+    assert idx2.epoch == 0
+    idx2.process_batch(emb.filter(F.col("vec_id") % 2 == 1), 1)
+    assert idx2.state.read("inv").count() == emb.count()
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = _rows(idx2.search(queries, k=5))
+    want = _rows(sim.knn_ivf(emb, queries, k=5))
+    assert got == want
+
+
 NEW_CUST_KEY = 10**9 + 7
 
 
