@@ -226,6 +226,34 @@ def test_media_codec_ppm_comments_and_resize():
     assert np.array_equal(small[0, 0], px[0, 0])
 
 
+def test_media_codec_roundtrip_property():
+    """Property: ANY rgb array / int16 signal round-trips bit-exactly
+    through the codecs (not just the synthesized patterns)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from query_processing_over_streaming_data_using_flink_spark.operators import media_codec as mc
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1))
+    def check_ppm(w, h, seed):
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(mc.decode_ppm(mc.encode_ppm(px)), px)
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.integers(0, 2000), st.integers(1, 96000), st.integers(0, 2**32 - 1))
+    def check_wav(n, rate, seed):
+        rng = np.random.RandomState(seed)
+        samples = rng.randint(-32768, 32768, size=n).astype(np.int16)
+        got, got_rate = mc.decode_wav_pcm16(mc.encode_wav_pcm16(samples, rate))
+        assert got_rate == rate and np.array_equal(got, samples)
+
+    check_ppm()
+    check_wav()
+
+
 def test_multimodal_resize_roundtrip(spark):
     """resize_image re-encodes real PPM bytes: decoded output has the
     target dimensions; audio rows pass through byte-identical."""

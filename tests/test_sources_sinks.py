@@ -245,6 +245,27 @@ def test_loader_schema_drift_fails_loudly(spark, tmp_path):
         load_table(spark, str(tmp_path), "region")
 
 
+def test_type_compat_families_and_array_elements():
+    """The schema-drift checker must accept family siblings
+    (float<->double, ts<->long — the load normalizes them), compare
+    array ELEMENT types recursively (a blanket ArrayType pass hid
+    element drift — round-4 advice), and reject real drift."""
+    from pyspark.sql import types as T
+
+    from query_processing_over_streaming_data_using_flink_spark.sources.catalog import _types_compatible
+
+    assert _types_compatible(T.DoubleType(), T.FloatType())
+    assert _types_compatible(T.TimestampType(), T.LongType())
+    assert _types_compatible(
+        T.ArrayType(T.FloatType()), T.ArrayType(T.DoubleType())
+    )
+    assert not _types_compatible(T.StringType(), T.BinaryType())
+    assert not _types_compatible(
+        T.ArrayType(T.FloatType()), T.ArrayType(T.StringType())
+    )
+    assert not _types_compatible(T.ArrayType(T.FloatType()), T.FloatType())
+
+
 def test_websocket_topn_push():
     """End-to-end RFC-6455 check without Spark: handshake (accept-key
     verified against an independent computation), late-joiner replay,
