@@ -1092,7 +1092,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        # No broadcast hint on the df table: a bounded vocabulary
+        # broadcasts via AQE's runtime size check anyway, while an open
+        # web-scale vocabulary (10^8+ terms) must shuffle on `term` —
+        # the key both sides already hash on.
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
