@@ -43,6 +43,25 @@ def test_query_matches_oracle(spark, duck, name):
     assert_matches_oracle(fn(spark, SF_ORACLE), duck, sql)
 
 
+def test_engine_facade(spark):
+    """The one-import user surface: named queries, catalog tables,
+    ad-hoc SQL over registered views, and helpful unknown-name errors."""
+    from tests.conftest import SF_SMOKE
+    from query_processing_over_streaming_data_using_flink_spark.api import Engine
+
+    eng = Engine(SF_SMOKE, spark=spark)
+    assert "q3_shipping_priority" in eng.names()
+    assert eng.query("q3_shipping_priority").columns == [
+        "l_orderkey", "revenue", "o_orderdate", "o_shippriority",
+    ]
+    assert eng.table("nation").count() == 25
+    n = eng.sql("SELECT count(*) AS n FROM customer").collect()[0]["n"]
+    assert n == eng.table("customer").count()
+    assert "SELECT" in (eng.oracle_sql("q3_shipping_priority") or "").upper()
+    with pytest.raises(KeyError, match="did you mean"):
+        eng.query("q3_shiping_priority")
+
+
 def test_registry_priority_names_are_real():
     """A typo in the prefix ordering lists would silently change which
     queries the driver certifies — every listed name must exist, the
