@@ -549,3 +549,49 @@ WHERE abs((n - s1 / d) / sqrt((s2 - s1 * s1 / d) / (d - 1))) >= 2.0
 """
 
 register("events_daily_anomalies", events_daily_anomalies, ANOMALY_SQL)
+
+
+def events_moving_7d_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving average of daily event counts per type —
+    the RANGE window frame (value-based bounds over sparse days: a day
+    preceded by a data gap still looks back 7 CALENDAR days, which a
+    ROWS frame gets wrong). Ordered by integer epoch-day so Spark's
+    numeric rangeBetween and DuckDB's RANGE INTERVAL frame agree
+    exactly; the average is an integer-sum / integer-count division —
+    engine-exact. One day-grain aggregate + one per-type window, both
+    on the same small keyspace."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    epoch_day = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(epoch_day)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(w).alias("n_7d"),
+        F.count("n").over(w).alias("d_7d"),
+        F.round(F.sum("n").over(w) / F.count("n").over(w), 6).alias("avg_7d"),
+    )
+
+
+MOVING_7D_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n,
+       CAST(sum(n) OVER w AS BIGINT) AS n_7d,
+       count(n) OVER w AS d_7d,
+       round(CAST(sum(n) OVER w AS BIGINT) / count(n) OVER w, 6) AS avg_7d
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+register("events_moving_7d_avg", events_moving_7d_avg, MOVING_7D_SQL)

@@ -50,6 +50,7 @@ _PRIORITY_FIRST = [
     "graph_pagerank_parts",
     "minhash_estimate_quality",
     "multimodal_real_roundtrip",
+    "events_moving_7d_avg",
     # The 12 stalest certifications (r1-green only, bumped for round-4
     # slots; VERDICT r4 ask #3 rotates them back in):
     "q17_small_quantity_revenue",
@@ -91,8 +92,7 @@ _PRIORITY_FIRST = [
     "topk_orders",
     "set_ops_active_keys",
     "q2_min_cost_supplier",
-    "q8_national_market_share",
-    # q9_product_type_profit / q11_important_stock /
+    # q8_national_market_share / q9_product_type_profit / q11_important_stock /
     # q12_late_shipment_priority / q13_customer_distribution /
     # q15_top_supplier / q16_part_supplier_relationship /
     # q20_potential_promotion / q21_suppliers_kept_waiting /
