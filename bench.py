@@ -151,6 +151,11 @@ def main() -> None:
                 load_table(spark, tmp, t).count()
                 for t in ("customer", "orders", "lineitem")
             )
+            # Flagship batch query AT SF-1 (6M lineitems): the direct
+            # scale datapoint for the Q3 plan itself.
+            t0 = time.time()
+            _run(q3_shipping_priority(spark, tmp))
+            q3_sf1 = round(time.time() - t0, 3)
             # The baseline's 71s consumes a PRE-GENERATED streamdata.csv
             # (generation is an offline StreamDataProcessor.py step in
             # the reference). Mirror that: stage the changelog to disk
@@ -183,6 +188,7 @@ def main() -> None:
             ivm_sec = round(time.time() - t0, 3)
             extra["sf1"] = {
                 "sf": 1,
+                "q3_batch_sec": q3_sf1,
                 "consume_q3_sec": consume,
                 "events": 2 * n1,
                 "events_per_sec": round(2 * n1 / consume, 1),

@@ -140,15 +140,33 @@ def pipeline_json_payload(epoch_id: int, ts: float | None = None) -> str:
 class JsonLinesTopNSink:
     """foreachBatch progress hook appending one JSON payload per
     emission — pair with `IncrementalQ3` via run_streaming_q3's
-    on_progress."""
+    on_progress.
+
+    EXACTLY-ONCE under epoch redelivery: each emission first lands in
+    an epoch-named sidecar file (atomic rename from a temp name), so a
+    replayed epoch overwrites its own record instead of appending a
+    duplicate line; the aggregate `.jsonl` view is rebuilt from the
+    sidecars on every write. A plain append sink would double-emit on
+    every crash-retry — the classic at-least-once sink bug."""
 
     def __init__(self, path: str) -> None:
         self.path = path
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self.dir = (os.path.dirname(path) or ".") + "/.epochs_" + os.path.basename(path)
+        os.makedirs(self.dir, exist_ok=True)
 
     def __call__(self, epoch_id: int, top: DataFrame) -> None:
-        with open(self.path, "a", encoding="utf-8") as fh:
-            fh.write(topn_json_payload(top) + "\n")
+        payload = topn_json_payload(top)
+        final = os.path.join(self.dir, f"epoch_{epoch_id:012d}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(payload + "\n")
+        os.replace(tmp, final)  # idempotent: redelivery overwrites
+        with open(self.path + ".tmp", "w", encoding="utf-8") as out:
+            for name in sorted(os.listdir(self.dir)):
+                if name.endswith(".json"):
+                    with open(os.path.join(self.dir, name), encoding="utf-8") as fh:
+                        out.write(fh.read())
+        os.replace(self.path + ".tmp", self.path)
 
 
 class ConsoleTopNSink:

@@ -75,6 +75,10 @@ def test_topn_sinks(spark, tmp_path):
     lines = open(out).read().strip().splitlines()
     assert len(lines) == 2
     assert json.loads(lines[1])["data"][0]["orderkey"] == payload["data"][0]["orderkey"]
+    # Exactly-once: a redelivered epoch overwrites its own record
+    # instead of appending a duplicate line.
+    sink(1, top)
+    assert len(open(out).read().strip().splitlines()) == 2
 
     # Pipeline (job-graph) frame: every edge endpoint must be a node,
     # the epoch rides along, and the type tag routes the dashboard.
