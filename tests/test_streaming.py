@@ -378,6 +378,46 @@ def test_near_dedup_restart_with_epoch_gap(spark, tmp_path):
     assert all_v.count() == 8
 
 
+def test_ivm_checkpoint_restart_end_to_end(spark, tmp_path):
+    """THE exactly-once demonstration at the stream level (not just
+    process_batch): run the checkpointed stream over a PARTIAL file
+    set, let it drain and stop, then restart with the same checkpoint +
+    state dir after the remaining files arrive. The restarted stream
+    must resume from the acknowledged offset (no double-apply of the
+    already-committed epochs — the run-id binding and replay-skip do
+    their jobs with the real checkpoint mechanism) and converge to the
+    batch evaluation of the full changelog."""
+    n_total = sum(
+        load_table(spark, SF_SMOKE, t).count() for t in ("customer", "orders", "lineitem")
+    )
+    w = (n_total * 2) // 3
+    k = n_total + n_total // 2
+    log = build_changelog(spark, SF_SMOKE, window=w).filter(F.col("seq") <= k)
+
+    changelog_dir = str(tmp_path / "changelog")
+    parts = log.repartition(8)
+    # First run sees only half the files...
+    parts.filter(F.spark_partition_id() < 4).write.parquet(changelog_dir)
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    run_streaming_q3(spark, changelog_dir, state, files_per_trigger=2,
+                     checkpoint_dir=ckpt)
+    from query_processing_over_streaming_data_using_flink_spark.streaming.ivm import IncrementalQ3
+
+    mid_epoch = IncrementalQ3(spark, state).epoch
+    assert mid_epoch >= 0, "first run must have committed epochs"
+
+    # ...the rest of the stream arrives, and the pipeline restarts on
+    # the SAME checkpoint + state.
+    parts.filter(F.spark_partition_id() >= 4).write.mode("append").parquet(changelog_dir)
+    result = run_streaming_q3(spark, changelog_dir, state, files_per_trigger=2,
+                              checkpoint_dir=ckpt)
+    final_epoch = IncrementalQ3(spark, state).epoch
+    assert final_epoch > mid_epoch, "restart must process the new files"
+    assert _rows(result) == _rows(q3_on_state(log))
+
+
 def test_incremental_ivf_index_matches_batch(spark, tmp_path):
     """The streaming IVF index (vectors ingested across 3 micro-batches,
     inverted lists appended in the versioned state store) must return
