@@ -1,0 +1,49 @@
+"""Partitioning-determinism checks: the repo's correctness story
+claims every registered query is deterministic under ANY partitioning
+(integer-quantized aggregation, pinned fold orders, md5 draws). This
+test makes that mechanical for the round-5 families: run each query
+under two different shuffle-partition settings and require identical
+rows — the same check OPERATIONS.md proposes as a cluster-scale
+regression harness."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.conftest import SF_ORACLE
+
+QUERIES = [
+    "tfidf_top_terms",
+    "bm25_search",
+    "doc_ngram_novelty",
+    "hybrid_search_rrf",
+    "embedding_quantize_int8",
+    "events_twa_daily",
+    "events_daily_anomalies",
+    "cm_sketch_heavy_hitters",
+    "graph_pagerank_parts",
+    "minhash_estimate_quality",
+    "multimodal_real_roundtrip",
+    "events_moving_7d_avg",
+]
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_independent_of_partitioning(spark, name):
+    from query_processing_over_streaming_data_using_flink_spark.registry import all_queries
+
+    fn = all_queries()[name]
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = sorted(tuple(r) for r in fn(spark, SF_ORACLE).collect())
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        b = sorted(tuple(r) for r in fn(spark, SF_ORACLE).collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
+    assert a == b, f"{name} changed under repartitioning"
