@@ -46,7 +46,9 @@ _DASHBOARD_HTML = """<!DOCTYPE html>
 <table><thead><tr><th>rank</th><th>orderkey</th><th>revenue</th>
 <th>orderdate</th><th>pri</th></tr></thead><tbody id="rows"></tbody></table>
 <h3>pipeline</h3>
-<div id="pipeline" style="color:#9c9">waiting for first epoch…</div>
+<div id="pipeline" style="display:flex;align-items:center;flex-wrap:wrap;gap:4px">
+waiting for first epoch…</div>
+<div id="epoch" style="color:#888"></div>
 <h3>system metrics</h3>
 <div id="spark"></div>
 <table><thead><tr><th>thread</th><th>state</th></tr></thead>
@@ -56,9 +58,12 @@ _DASHBOARD_HTML = """<!DOCTYPE html>
  ws.onmessage = (ev) => {
    const msg = JSON.parse(ev.data);
    if (msg.type === "pipeline") {
-     // job-graph view: nodes joined by arrows, epoch annotated
-     document.getElementById("pipeline").textContent =
-       msg.nodes.map(n => n.name).join(" → ") + `   [epoch ${msg.epoch}]`;
+     // job-graph view: one box per operator node, arrows between
+     document.getElementById("pipeline").innerHTML = msg.nodes.map(n =>
+       `<span style="border:1px solid ${n.status === "ok" ? "#4a4" : "#a44"};` +
+       `border-radius:4px;padding:2px 8px;background:#1a2a1a">${n.name}</span>`
+     ).join(`<span style="color:#8bf">→</span>`);
+     document.getElementById("epoch").textContent = `epoch ${msg.epoch}`;
      return;
    }
    if (msg.type === "threads") {
