@@ -40,10 +40,12 @@ def test_result_independent_of_partitioning(spark, name):
     fn = all_queries()[name]
     original = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        # key=repr: plain tuple sort raises on None-vs-value columns
+        # (rollup-style NULL group labels, outer-join padding).
         spark.conf.set("spark.sql.shuffle.partitions", "7")
-        a = sorted(tuple(r) for r in fn(spark, SF_ORACLE).collect())
+        a = sorted((tuple(r) for r in fn(spark, SF_ORACLE).collect()), key=repr)
         spark.conf.set("spark.sql.shuffle.partitions", "29")
-        b = sorted(tuple(r) for r in fn(spark, SF_ORACLE).collect())
+        b = sorted((tuple(r) for r in fn(spark, SF_ORACLE).collect()), key=repr)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", original)
     assert a == b, f"{name} changed under repartitioning"
