@@ -1584,3 +1584,101 @@ SELECT * FROM img UNION ALL SELECT * FROM aud
 
 
 register("multimodal_real_roundtrip", multimodal_real_roundtrip, _REAL_MM_SQL)
+
+
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture construction — the step that turns a raw
+    corpus into a training mix: spend half the corpus's estimated
+    tokens, split equally across sources, by deriving a per-source
+    Bernoulli keep-rate from the corpus's own per-source token counts
+    (sources smaller than their share are kept whole; larger ones are
+    downsampled to fit). Unlike `sample_weighted_sources` (rates given
+    a priori), the rates here are *computed from the data*, so the
+    operator is two passes: a per-source token aggregate (tiny — one
+    row per source), then a broadcast of those rates back onto the
+    corpus for the deterministic md5 draw.
+
+    Everything that decides a draw is integer arithmetic (token sums
+    are bigint, rates are integer parts-per-10000 via DIV), so the
+    sample is bit-identical in any engine, partitioning, or retry —
+    no IEEE rounding can flip a row near the threshold.
+
+    At 100 TB: one scan + low-cardinality aggregate (map-side
+    partials), a broadcast join of the per-source rate table (a few
+    rows), one more scan-filter-aggregate. No fact-table shuffle
+    beyond the groupBy on `source`.
+
+    Emits the audit table a mixture run should log: (source, n_docs,
+    est_tokens, keep_rate, kept_docs, kept_tokens)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id", "source", tx.token_estimate_bpe(F.col("text")).alias("toks")
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("toks").alias("est_tokens")
+    )
+    totals = per_src.agg(
+        F.sum("est_tokens").alias("total"), F.count("*").alias("n_sources")
+    )
+    rates = (
+        per_src.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "rate_ppm",
+            F.least(
+                F.lit(10000).cast("long"),
+                F.expr("(((total DIV 2) DIV n_sources) * 10000) DIV est_tokens"),
+            ),
+        )
+        .select("source", "n_docs", "est_tokens", "rate_ppm")
+    )
+    draw = F.pmod(
+        md5_hash64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+        F.lit(10000),
+    )
+    kept = (
+        per_doc.join(F.broadcast(rates.select("source", "rate_ppm")), "source")
+        .filter(draw < F.col("rate_ppm"))
+        .groupBy("source")
+        .agg(F.count("*").alias("kept_docs"), F.sum("toks").alias("kept_tokens"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "est_tokens",
+            F.round(F.col("rate_ppm") / 10000.0, 6).alias("keep_rate"),
+            F.coalesce(F.col("kept_docs"), F.lit(0)).alias("kept_docs"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).alias("kept_tokens"),
+        )
+    )
+
+
+_MIXTURE_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id, source, CAST(ceil(length(text) / 4.0) AS BIGINT) AS toks
+  FROM documents
+), per_src AS (
+  SELECT source, count(*) AS n_docs, sum(toks) AS est_tokens
+  FROM per_doc GROUP BY source
+), tot AS (
+  SELECT sum(est_tokens) AS total, count(*) AS n_sources FROM per_src
+), rates AS (
+  SELECT source, n_docs, est_tokens,
+         least(10000, (((total // 2) // n_sources) * 10000) // est_tokens) AS rate_ppm
+  FROM per_src, tot
+), kept AS (
+  SELECT d.source, count(*) AS kept_docs, sum(d.toks) AS kept_tokens
+  FROM per_doc d JOIN rates r USING (source)
+  WHERE ({_H64.format(x="'mix:' || CAST(doc_id AS VARCHAR)")}) % 10000 < r.rate_ppm
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.est_tokens,
+       round(r.rate_ppm / 10000.0, 6) AS keep_rate,
+       coalesce(k.kept_docs, 0) AS kept_docs,
+       coalesce(k.kept_tokens, 0) AS kept_tokens
+FROM rates r LEFT JOIN kept k USING (source)
+"""
+
+
+register("mixture_token_budget", mixture_token_budget, _MIXTURE_SQL)

@@ -51,6 +51,7 @@ _PRIORITY_FIRST = [
     "minhash_estimate_quality",
     "multimodal_real_roundtrip",
     "events_moving_7d_avg",
+    "mixture_token_budget",
     # The 12 stalest certifications (r1-green only, bumped for round-4
     # slots; VERDICT r4 ask #3 rotates them back in):
     "q17_small_quantity_revenue",
@@ -91,14 +92,14 @@ _PRIORITY_FIRST = [
     "sample_fixed_k_per_lang",
     "topk_orders",
     "set_ops_active_keys",
-    "q2_min_cost_supplier",
-    # q8_national_market_share / q9_product_type_profit / q11_important_stock /
+    # q2_min_cost_supplier / q8_national_market_share /
+    # q9_product_type_profit / q11_important_stock /
     # q12_late_shipment_priority / q13_customer_distribution /
     # q15_top_supplier / q16_part_supplier_relationship /
     # q20_potential_promotion / q21_suppliers_kept_waiting /
     # changelog_scd2_customer / pit_orders_customer_segment /
     # q4_order_priority: displaced to the unlisted middle (positions
-    # 51-61) by the twelve round-5 queries — r3-green, rotate back
+    # 51-62) by the fourteen round-5 queries — r3-green, rotate back
     # in r6.
 ]
 _PUSH_LAST = [

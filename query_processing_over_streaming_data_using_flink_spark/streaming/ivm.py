@@ -31,7 +31,11 @@ rewrite even when the delta was tiny):
   that makes Spark's dynamic partition pruning attach a
   ``dynamicpruningexpression`` to every state-table scan, so each delta
   join READS only the buckets the delta touches (asserted in
-  tests/test_streaming.py).
+  tests/test_streaming.py). The broadcast hint that arms DPP is
+  ADAPTIVE: it is applied only when the spilled delta files are small
+  (real bytes, no Spark job); a bulk micro-batch (drain, backfill)
+  would be slower collected to the driver than shuffled, so large
+  deltas are left unhinted and AQE picks the join from runtime sizes.
 * The COMMIT is append-only: the spilled delta files themselves become
   the epoch's state write — the new version directory hard-links every
   previous file (metadata only, zero row data) and moves the delta
@@ -176,24 +180,34 @@ class IncrementalQ3:
     # -- delta extraction ----------------------------------------------------
 
     def _split(self, batch: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
-        """Project + filter each relation's delta, aggregated to
-        (key → net weight) — filters are weight-preserving (SURVEY §7)."""
+        """Project + filter each relation's delta as signed-weight ROWS
+        — filters are weight-preserving (SURVEY §7). Deliberately NOT
+        netted per batch: state tables are weight multisets and every
+        delta join is linear in each side, so duplicate keys are exactly
+        correct — and in a sliding-window changelog an insert and its
+        delete are `window` positions apart (≫ one micro-batch), so a
+        per-batch groupBy would cancel nothing while costing a full
+        extra shuffle per relation (measured ~30% of SF-1 epoch time).
+        Netting happens where it actually reclaims rows:
+        `compact_state`."""
         cut = ts_lit(self.cutoff)
         dc = (
             batch.filter((F.col("relation") == "customer") & (F.col("mktsegment") == self.segment))
-            .groupBy(F.col("custkey").alias("c_custkey"))
-            .agg(F.sum("op").alias("w_c"))
-            .withColumn("bucket", _bucket(F.col("c_custkey")))
+            .select(
+                F.col("custkey").alias("c_custkey"),
+                F.col("op").cast("long").alias("w_c"),
+                _bucket(F.col("custkey")).alias("bucket"),
+            )
         )
         do = (
             batch.filter((F.col("relation") == "orders") & (F.col("orderdate") < cut))
-            .groupBy(
+            .select(
                 F.col("orderkey").alias("o_orderkey"),
                 F.col("o_custkey"),
                 F.col("orderdate").alias("o_orderdate"),
+                F.col("op").cast("long").alias("w_o"),
+                _bucket(F.col("o_custkey")).alias("bucket"),
             )
-            .agg(F.sum("op").alias("w_o"))
-            .withColumn("bucket", _bucket(F.col("o_custkey")))
         )
         dl = (
             batch.filter((F.col("relation") == "lineitem") & (F.col("shipdate") > cut))
@@ -206,10 +220,8 @@ class IncrementalQ3:
                         F.col("extendedprice") * (F.lit(1.0) - F.col("discount")) * 10000, 0
                     ).cast("long")
                 ).alias("w_cents"),
+                _bucket(F.col("orderkey")).alias("bucket"),
             )
-            .groupBy("l_orderkey", "linenumber")
-            .agg(F.sum("w_cents").alias("w_cents"))
-            .withColumn("bucket", _bucket(F.col("l_orderkey")))
         )
         return dc, do, dl
 
@@ -298,6 +310,30 @@ class IncrementalQ3:
                 e.startswith("bucket=") for e in _os.listdir(tmp)
             )
 
+        def spill_bytes(name: str) -> int:
+            total = 0
+            for root, _dirs, files in _os.walk(self._tmp(name)):
+                total += sum(_os.path.getsize(_os.path.join(root, f)) for f in files)
+            return total
+
+        # Adaptive physical strategy, sized from the spilled delta files
+        # (real bytes, zero Spark jobs): a SMALL delta is force-broadcast
+        # against the bucketed state — that is the plan whose
+        # dynamicpruningexpression makes each probe read only touched
+        # buckets, the right shape for trickle streaming. A LARGE delta
+        # (bulk drain, backfill: millions of rows would be collected to
+        # the driver and rebuilt as a hash map on every task) is left
+        # unhinted, and AQE picks the join from runtime sizes — the
+        # same escape hatch a 1000-executor cluster needs when a
+        # micro-batch is a whole partition backfill.
+        _SMALL = 16 << 20
+        small_c = spill_bytes("c") < _SMALL
+        small_o = spill_bytes("o") < _SMALL
+        small_l = spill_bytes("l") < _SMALL
+
+        def bc(df: DataFrame, small: bool) -> DataFrame:
+            return F.broadcast(df) if small else df
+
         have_c, have_o, have_l = has_rows("c"), has_rows("o"), has_rows("l")
 
         c_old = self._read("c")
@@ -307,11 +343,11 @@ class IncrementalQ3:
 
         REKEY = _bucket(F.col("o_orderkey")).alias("bucket")
 
-        def probe_l(co: DataFrame, lhs_l: DataFrame) -> DataFrame:
+        def probe_l(co: DataFrame, lhs_l: DataFrame, small: bool) -> DataFrame:
             """(C⋈O)-shaped rows ⋈ a lineitem side on (bucket, orderkey)."""
             return (
                 lhs_l.join(
-                    F.broadcast(co),
+                    bc(co, small),
                     (lhs_l["bucket"] == co["bucket"]) & (F.col("l_orderkey") == F.col("o_orderkey")),
                 )
                 .select(
@@ -328,7 +364,7 @@ class IncrementalQ3:
             dc_b = dc.select(F.col("bucket"), F.col("c_custkey"), F.col("w_c"))
             co_parts.append(
                 o_old.join(
-                    F.broadcast(dc_b),
+                    bc(dc_b, small_c),
                     (o_old["bucket"] == dc_b["bucket"]) & (F.col("o_custkey") == F.col("c_custkey")),
                 )
                 .select(REKEY, "o_orderkey", "o_orderdate", (F.col("w_c") * F.col("w_o")).alias("w"))
@@ -340,7 +376,7 @@ class IncrementalQ3:
             )
             co_parts.append(
                 c_old.join(
-                    F.broadcast(do_c),
+                    bc(do_c, small_o),
                     (F.col("bucket") == F.col("b_c")) & (F.col("c_custkey") == F.col("o_custkey")),
                 )
                 .select(REKEY, "o_orderkey", "o_orderdate", (F.col("w_c") * F.col("w_o")).alias("w"))
@@ -358,8 +394,9 @@ class IncrementalQ3:
             co_old_sides = co_parts[0]
             for part in co_parts[1:]:
                 co_old_sides = co_old_sides.unionByName(part)
-            # {ΔC·O + C·ΔO + ΔC·ΔO} ⋈ L — the old-lineitem probe.
-            terms.append(probe_l(co_old_sides, l_old))
+            # {ΔC·O + C·ΔO + ΔC·ΔO} ⋈ L — the old-lineitem probe. The
+            # derived delta inherits its sources' smallness.
+            terms.append(probe_l(co_old_sides, l_old, small_c and small_o))
             if have_l:
                 # (ΔC·O + C·ΔO + ΔC·ΔO) ⋈ ΔL — the remaining ΔL-crossed
                 # terms. (C·O·ΔL is the chain below; together that's all
@@ -380,7 +417,7 @@ class IncrementalQ3:
             # orders projection, then the customer side.
             dl_o = (
                 o2_old.join(
-                    F.broadcast(dl),
+                    bc(dl, small_l),
                     (o2_old["bucket"] == dl["bucket"]) & (o2_old["o_orderkey"] == dl["l_orderkey"]),
                 )
                 .select(
@@ -391,7 +428,7 @@ class IncrementalQ3:
             )
             terms.append(
                 c_old.join(
-                    F.broadcast(dl_o),
+                    bc(dl_o, small_l),
                     (c_old["bucket"] == dl_o["b_c"]) & (F.col("c_custkey") == F.col("o_custkey")),
                 )
                 .select(

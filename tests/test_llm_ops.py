@@ -488,3 +488,29 @@ def test_chunking_covers_document(spark):
         for cid, start, ctext in cs:
             assert text[start:start + len(ctext)] == ctext
             assert len(ctext) == 200 or (cid == last_id)
+
+
+def test_mixture_token_budget_invariants(spark):
+    """The mixture audit must respect its own arithmetic: rates in
+    (0, 1], kept <= available per source, total kept tokens within the
+    half-corpus budget plus one expected-draw slack per source, and
+    fully-kept sources (rate 1.0) keep every doc."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        mixture_token_budget,
+    )
+
+    rows = mixture_token_budget(spark, SF_SMOKE).collect()
+    assert rows, "expected at least one source"
+    total = sum(r.est_tokens for r in rows)
+    budget = total // 2
+    kept_total = sum(r.kept_tokens for r in rows)
+    for r in rows:
+        assert 0 < r.keep_rate <= 1.0
+        assert r.kept_docs <= r.n_docs
+        assert r.kept_tokens <= r.est_tokens
+        if r.keep_rate == 1.0:
+            assert r.kept_docs == r.n_docs
+            assert r.kept_tokens == r.est_tokens
+    # Bernoulli draws land near rate*tokens; allow generous slack of the
+    # largest per-doc contribution times sqrt-ish noise: 25% per source.
+    assert kept_total <= budget + sum(int(0.25 * r.est_tokens) for r in rows)

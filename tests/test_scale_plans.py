@@ -201,6 +201,7 @@ _BNLJ_ALLOWED = {
     "graph_pagerank_parts",  # 1-row broadcast node-count scalar
     "q11_important_stock",  # 1-row broadcast scalar-total threshold
     "hll_union_daily_users",  # 1-row exact anchor x 1-row sketch rollup
+    "mixture_token_budget",  # 1-row broadcast corpus-total x per-source rate table
 }
 
 
