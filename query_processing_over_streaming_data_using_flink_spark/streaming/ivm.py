@@ -23,19 +23,23 @@ rewrite even when the delta was tiny):
 
 * Every state table is hash-bucketed on its join key —
   ``bucket = pmod(hash(key), NUM_BUCKETS)`` — and stored as
-  bucket-partitioned parquet. `orders` keeps two projections (one
-  bucketed by custkey for the C-side probe, one by orderkey for the
-  L-side probe) — the IVM analogue of an index per join key.
+  bucket-partitioned parquet. The intermediate view ``CO = C⋈O`` is
+  itself a maintained state table (bucketed by orderkey, the key of its
+  downstream join): Δ(C⋈O⋈L) factorizes into ΔCO = ΔC·O + C·ΔO + ΔC·ΔO
+  followed by ΔR = ΔCO·L + CO·ΔL + ΔCO·ΔL, so ΔCO is computed once and
+  spilled, and every state table is scanned exactly once per epoch —
+  higher-order IVM in the style of recursive delta compilation.
 * Micro-batch deltas are spilled bucket-partitioned and read back with
   a trivially-true selective predicate: that is exactly the plan shape
   that makes Spark's dynamic partition pruning attach a
   ``dynamicpruningexpression`` to every state-table scan, so each delta
   join READS only the buckets the delta touches (asserted in
-  tests/test_streaming.py). The broadcast hint that arms DPP is
-  ADAPTIVE: it is applied only when the spilled delta files are small
-  (real bytes, no Spark job); a bulk micro-batch (drain, backfill)
-  would be slower collected to the driver than shuffled, so large
-  deltas are left unhinted and AQE picks the join from runtime sizes.
+  tests/test_streaming.py). The broadcast hint is ADAPTIVE: each
+  delta-vs-state join broadcasts whichever side's on-disk bytes are
+  smaller (real file sizes, no Spark job) — the delta in trickle
+  streaming (arming DPP), the state when a bulk micro-batch dwarfs a
+  compact view; when neither fits the threshold both are left
+  unhinted and AQE picks the join from runtime sizes.
 * The COMMIT is append-only: the spilled delta files themselves become
   the epoch's state write — the new version directory hard-links every
   previous file (metadata only, zero row data) and moves the delta
@@ -97,11 +101,30 @@ def _selective(df: DataFrame, key: str) -> DataFrame:
 class IncrementalQ3:
     """foreachBatch handler maintaining Q3 state incrementally."""
 
-    # table -> (partition bucket's source key, schema)
+    # A spilled delta below this size is force-broadcast (arming DPP on
+    # the state probes); above it the join is left to AQE. The default is
+    # deliberately generous: a broadcast delta turns every state probe
+    # into a pruned scan + hash probe with NO state-side shuffle, which
+    # beats shuffling millions of state rows until the delta itself is
+    # enormous (measured at SF-1: a 16 MB cutover flipped the 4 bulk
+    # epochs to full-state shuffle joins, 47 s → 122 s). Class-level so
+    # deployments can size it to executor memory / cluster fan-out —
+    # on a wide cluster, broadcast cost is threshold × executors.
+    broadcast_threshold_bytes: int = 256 << 20
+
+    # table -> (partition bucket's source key, schema). `co` is the
+    # MAINTAINED INTERMEDIATE VIEW C⋈O (weight = w_c·w_o, bucketed by
+    # orderkey — the key of its downstream join): maintaining the
+    # two-way join as its own state table means ΔCO is computed once,
+    # spilled, and every L-side term probes it from disk — instead of
+    # re-deriving the (ΔC·O + C·ΔO + ΔC·ΔO) union per consumer and
+    # keeping a second full orders projection (`o2`) just to chain
+    # ΔL→orders→customer. CO is also ~5× smaller than orders (segment
+    # and date filters applied), so the ΔL probe reads less state.
     _TABLES = {
         "c": ("c_custkey", "bucket int, c_custkey long, w_c long"),
         "o": ("o_custkey", "bucket int, o_orderkey long, o_custkey long, o_orderdate timestamp_ntz, w_o long"),
-        "o2": ("o_orderkey", "bucket int, o_orderkey long, o_custkey long, o_orderdate timestamp_ntz, w_o long"),
+        "co": ("o_orderkey", "bucket int, o_orderkey long, o_orderdate timestamp_ntz, w long"),
         "l": ("l_orderkey", "bucket int, l_orderkey long, linenumber int, w_cents long"),
         "r": ("l_orderkey", "bucket int, l_orderkey long, o_orderdate timestamp_ntz, cents long"),
     }
@@ -166,7 +189,7 @@ class IncrementalQ3:
             {
                 "c": fold(["bucket", "c_custkey"], "w_c"),
                 "o": fold(["bucket", "o_orderkey", "o_custkey", "o_orderdate"], "w_o"),
-                "o2": fold(["bucket", "o_orderkey", "o_custkey", "o_orderdate"], "w_o"),
+                "co": fold(["bucket", "o_orderkey", "o_orderdate"], "w"),
                 "l": fold(["bucket", "l_orderkey", "linenumber"], "w_cents"),
                 "r": fold(["bucket", "l_orderkey", "o_orderdate"], "cents"),
             }
@@ -271,15 +294,6 @@ class IncrementalQ3:
         rdc = _selective(self.spark.read.schema(schemas["c"]).parquet(self._tmp("c")), "c_custkey")
         rdo = _selective(self.spark.read.schema(schemas["o"]).parquet(self._tmp("o")), "o_orderkey")
         rdl = _selective(self.spark.read.schema(schemas["l"]).parquet(self._tmp("l")), "l_orderkey")
-        # The o2 projection (same rows re-bucketed by orderkey) spills
-        # from the tiny staged delta, not by re-aggregating the batch.
-        spill(
-            "o2",
-            rdo.select(
-                "o_orderkey", "o_custkey", "o_orderdate", "w_o",
-                _bucket(F.col("o_orderkey")).alias("bucket"),
-            ),
-        )
         return rdc, rdo, rdl
 
     # -- the foreachBatch hook ----------------------------------------------
@@ -316,67 +330,67 @@ class IncrementalQ3:
                 total += sum(_os.path.getsize(_os.path.join(root, f)) for f in files)
             return total
 
-        # Adaptive physical strategy, sized from the spilled delta files
-        # (real bytes, zero Spark jobs): a SMALL delta is force-broadcast
-        # against the bucketed state — that is the plan whose
-        # dynamicpruningexpression makes each probe read only touched
-        # buckets, the right shape for trickle streaming. A LARGE delta
-        # (bulk drain, backfill: millions of rows would be collected to
-        # the driver and rebuilt as a hash map on every task) is left
-        # unhinted, and AQE picks the join from runtime sizes — the
-        # same escape hatch a 1000-executor cluster needs when a
-        # micro-batch is a whole partition backfill.
-        _SMALL = 16 << 20
-        small_c = spill_bytes("c") < _SMALL
-        small_o = spill_bytes("o") < _SMALL
-        small_l = spill_bytes("l") < _SMALL
+        # Adaptive physical strategy, sized from REAL on-disk bytes of
+        # both sides (spilled delta files + committed state files; zero
+        # Spark jobs): each delta-vs-state join broadcasts whichever
+        # side is SMALLER, provided it fits the threshold. Broadcasting
+        # the delta arms dynamic partition pruning on the state scan
+        # (trickle streaming: read only touched buckets); broadcasting
+        # the state is right when a bulk micro-batch delta dwarfs a
+        # compact state table (e.g. a 3M-row ΔL probing a 600k-row CO
+        # view — hash-building the delta would cost more than scanning
+        # the state). When neither side fits, both are left unhinted
+        # and AQE picks the join from runtime sizes — the escape hatch
+        # a 1000-executor cluster needs when a micro-batch is a whole
+        # partition backfill.
+        thr = self.broadcast_threshold_bytes
 
-        def bc(df: DataFrame, small: bool) -> DataFrame:
-            return F.broadcast(df) if small else df
+        def sides(
+            delta_df: DataFrame, dbytes: int, state_df: DataFrame, sbytes: int
+        ) -> tuple[DataFrame, DataFrame]:
+            """(delta, state) with a broadcast hint on the smaller side
+            that fits the threshold (ties go to the delta: it arms DPP)."""
+            if dbytes < thr and dbytes <= sbytes:
+                return F.broadcast(delta_df), state_df
+            if sbytes < thr and sbytes < dbytes:
+                return delta_df, F.broadcast(state_df)
+            return delta_df, state_df
 
         have_c, have_o, have_l = has_rows("c"), has_rows("o"), has_rows("l")
 
         c_old = self._read("c")
         o_old = self._read("o")      # bucketed by o_custkey
-        o2_old = self._read("o2")    # bucketed by o_orderkey
+        co_old = self._read("co")    # maintained C⋈O view, bucketed by o_orderkey
         l_old = self._read("l")
 
         REKEY = _bucket(F.col("o_orderkey")).alias("bucket")
 
-        def probe_l(co: DataFrame, lhs_l: DataFrame, small: bool) -> DataFrame:
-            """(C⋈O)-shaped rows ⋈ a lineitem side on (bucket, orderkey)."""
-            return (
-                lhs_l.join(
-                    bc(co, small),
-                    (lhs_l["bucket"] == co["bucket"]) & (F.col("l_orderkey") == F.col("o_orderkey")),
-                )
-                .select(
-                    lhs_l["bucket"].alias("bucket"),
-                    "l_orderkey",
-                    "o_orderdate",
-                    (F.col("w") * F.col("w_cents")).alias("cents"),
-                )
-            )
-
+        # ---- stage 1: maintain the intermediate view CO = C⋈O --------------
+        # ΔCO = ΔC·O + C·ΔO + ΔC·ΔO, computed ONCE and spilled as the
+        # `co` table's epoch delta — downstream terms then probe the
+        # spilled files instead of re-deriving the union per consumer.
         co_parts: list[DataFrame] = []
         if have_c:
             # ΔC ⋈ O
             dc_b = dc.select(F.col("bucket"), F.col("c_custkey"), F.col("w_c"))
+            dc_h, o_h = sides(dc_b, spill_bytes("c"), o_old, self.state.bytes("o"))
             co_parts.append(
-                o_old.join(
-                    bc(dc_b, small_c),
+                o_h.join(
+                    dc_h,
                     (o_old["bucket"] == dc_b["bucket"]) & (F.col("o_custkey") == F.col("c_custkey")),
                 )
                 .select(REKEY, "o_orderkey", "o_orderdate", (F.col("w_c") * F.col("w_o")).alias("w"))
             )
         if have_o:
-            # C ⋈ ΔO (broadcast ΔO against bucketed C)
+            # C ⋈ ΔO — the segment-filtered customer state is often the
+            # smaller side here; `sides` picks per-epoch.
             do_c = do.select(
                 F.col("bucket").alias("b_c"), "o_orderkey", "o_custkey", "o_orderdate", "w_o"
             )
+            do_h, c_h = sides(do_c, spill_bytes("o"), c_old, self.state.bytes("c"))
             co_parts.append(
-                c_old.join(
-                    bc(do_c, small_o),
+                c_h.join(
+                    do_h,
                     (F.col("bucket") == F.col("b_c")) & (F.col("c_custkey") == F.col("o_custkey")),
                 )
                 .select(REKEY, "o_orderkey", "o_orderdate", (F.col("w_c") * F.col("w_o")).alias("w"))
@@ -389,52 +403,73 @@ class IncrementalQ3:
                 .select(REKEY, "o_orderkey", "o_orderdate", (F.col("w_c") * F.col("w_o")).alias("w"))
             )
 
-        terms: list[DataFrame] = []
         if co_parts:
-            co_old_sides = co_parts[0]
+            dco_all = co_parts[0]
             for part in co_parts[1:]:
-                co_old_sides = co_old_sides.unionByName(part)
-            # {ΔC·O + C·ΔO + ΔC·ΔO} ⋈ L — the old-lineitem probe. The
-            # derived delta inherits its sources' smallness.
-            terms.append(probe_l(co_old_sides, l_old, small_c and small_o))
-            if have_l:
-                # (ΔC·O + C·ΔO + ΔC·ΔO) ⋈ ΔL — the remaining ΔL-crossed
-                # terms. (C·O·ΔL is the chain below; together that's all
-                # seven multilinear terms, each exactly once.)
-                dl_small = dl.select(F.col("bucket").alias("b_l"), "l_orderkey", "w_cents")
-                terms.append(
-                    co_old_sides.join(
-                        dl_small,
-                        (F.col("bucket") == F.col("b_l")) & (F.col("o_orderkey") == F.col("l_orderkey")),
-                    )
-                    .select(
-                        F.col("b_l").alias("bucket"), "l_orderkey", "o_orderdate",
-                        (F.col("w") * F.col("w_cents")).alias("cents"),
-                    )
-                )
-        if have_l:
-            # C ⋈ O2 ⋈ ΔL: chain from ΔL through the orderkey-bucketed
-            # orders projection, then the customer side.
-            dl_o = (
-                o2_old.join(
-                    bc(dl, small_l),
-                    (o2_old["bucket"] == dl["bucket"]) & (o2_old["o_orderkey"] == dl["l_orderkey"]),
+                dco_all = dco_all.unionByName(part)
+            (
+                dco_all.repartition(NUM_BUCKETS, "bucket")
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(self._tmp("co"))
+            )
+        else:
+            shutil.rmtree(self._tmp("co"), ignore_errors=True)
+        have_co = has_rows("co")
+        dco = _selective(
+            self.spark.read.schema(
+                "o_orderkey long, o_orderdate timestamp_ntz, w long, bucket int"
+            ).parquet(self._tmp("co")),
+            "o_orderkey",
+        )
+
+        # ---- stage 2: ΔR = ΔCO·L + CO·ΔL + ΔCO·ΔL --------------------------
+        # The bilinear expansion of R = CO⋈L; together with stage 1 this
+        # is exactly the seven-term multilinear Δ(C⋈O⋈L), each term once.
+        terms: list[DataFrame] = []
+        if have_co:
+            # ΔCO ⋈ L — the old-lineitem probe.
+            dco_h, l_h = sides(dco, spill_bytes("co"), l_old, self.state.bytes("l"))
+            terms.append(
+                l_h.join(
+                    dco_h,
+                    (l_old["bucket"] == dco["bucket"]) & (F.col("l_orderkey") == F.col("o_orderkey")),
                 )
                 .select(
-                    "l_orderkey", "o_custkey", "o_orderdate",
-                    (F.col("w_o") * F.col("w_cents")).alias("w_oc"),
-                    _bucket(F.col("o_custkey")).alias("b_c"),
+                    l_old["bucket"].alias("bucket"),
+                    "l_orderkey",
+                    "o_orderdate",
+                    (F.col("w") * F.col("w_cents")).alias("cents"),
                 )
             )
+        if have_l:
+            # CO ⋈ ΔL — probe the maintained view with the lineitem
+            # delta. In a bulk epoch ΔL is millions of rows while the
+            # filtered CO view stays compact — `sides` flips the
+            # broadcast to the view.
+            dl_small = dl.select(F.col("bucket").alias("b_l"), "l_orderkey", "w_cents")
+            dl_h, co_h = sides(dl_small, spill_bytes("l"), co_old, self.state.bytes("co"))
             terms.append(
-                c_old.join(
-                    bc(dl_o, small_l),
-                    (c_old["bucket"] == dl_o["b_c"]) & (F.col("c_custkey") == F.col("o_custkey")),
+                co_h.join(
+                    dl_h,
+                    (co_old["bucket"] == F.col("b_l")) & (F.col("o_orderkey") == F.col("l_orderkey")),
                 )
                 .select(
-                    _bucket(F.col("l_orderkey")).alias("bucket"),
-                    "l_orderkey", "o_orderdate",
-                    (F.col("w_c") * F.col("w_oc")).alias("cents"),
+                    F.col("b_l").alias("bucket"), "l_orderkey", "o_orderdate",
+                    (F.col("w") * F.col("w_cents")).alias("cents"),
+                )
+            )
+        if have_co and have_l:
+            # ΔCO ⋈ ΔL (both tiny)
+            dl_small2 = dl.select(F.col("bucket").alias("b_l"), "l_orderkey", "w_cents")
+            terms.append(
+                dco.join(
+                    dl_small2,
+                    (dco["bucket"] == F.col("b_l")) & (F.col("o_orderkey") == F.col("l_orderkey")),
+                )
+                .select(
+                    F.col("b_l").alias("bucket"), "l_orderkey", "o_orderdate",
+                    (F.col("w") * F.col("w_cents")).alias("cents"),
                 )
             )
 

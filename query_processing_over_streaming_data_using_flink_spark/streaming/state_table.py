@@ -117,6 +117,20 @@ class VersionedBucketedState:
         # projected away by the schema.
         return self.spark.read.schema(self.tables[name]).parquet(path)
 
+    def bytes(self, name: str) -> int:
+        """On-disk bytes of `name` in the current committed version
+        (0 if absent) — a zero-Spark-jobs size probe callers can use to
+        pick a physical join side (broadcast the smaller of delta and
+        state)."""
+        with self.swap_lock:
+            _, ver = self._current()
+        if ver is None:
+            return 0
+        total = 0
+        for root, _dirs, files in os.walk(os.path.join(ver, name)):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
     def restrict(self, state: DataFrame, touched: DataFrame) -> DataFrame:
         """State rows in the buckets `touched` names (semi-join on the
         partition column → dynamic partition pruning skips the rest)."""
