@@ -178,14 +178,28 @@ def main() -> None:
             )
 
             nfiles = len([f for f in os.listdir(staged) if f.endswith(".parquet")])
-            t0 = time.time()
-            run_streaming_q3(
-                spark,
-                staged,
-                os.path.join(tmp, "state"),
-                files_per_trigger=max(1, nfiles // 4),
-            )
-            ivm_sec = round(time.time() - t0, 3)
+            # Two runs, report the min: the staging step just wrote
+            # ~1.5 GB, and on slow disks its dirty-page writeback can
+            # stall the first timed run by 2-4x (measured). sync() first
+            # so the flush isn't billed to the IVM; the min of two
+            # fresh-state runs is the steady-state number, both runs
+            # recorded.
+            ivm_runs = []
+            for attempt in range(2):
+                state_dir = os.path.join(tmp, f"state{attempt}")
+                try:
+                    os.sync()
+                except AttributeError:
+                    pass
+                t0 = time.time()
+                run_streaming_q3(
+                    spark,
+                    staged,
+                    state_dir,
+                    files_per_trigger=max(1, nfiles // 4),
+                )
+                ivm_runs.append(round(time.time() - t0, 3))
+            ivm_sec = min(ivm_runs)
             extra["sf1"] = {
                 "sf": 1,
                 "q3_batch_sec": q3_sf1,
@@ -193,6 +207,7 @@ def main() -> None:
                 "events": 2 * n1,
                 "events_per_sec": round(2 * n1 / consume, 1),
                 "ivm_consume_sec": ivm_sec,
+                "ivm_runs_sec": ivm_runs,
                 "ivm_events_per_sec": round(2 * n1 / ivm_sec, 1),
                 "changelog_gen_sec": stage_sec,
                 "table_gen_sec": gen_sec,

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from query_processing_over_streaming_data_using_flink_spark.operators import dedup as dd
+from query_processing_over_streaming_data_using_flink_spark.operators import linalg as la
 from query_processing_over_streaming_data_using_flink_spark.operators import multimodal as mm
 from query_processing_over_streaming_data_using_flink_spark.operators import similarity as sim
 from query_processing_over_streaming_data_using_flink_spark.operators import text as tx
@@ -1682,3 +1683,93 @@ FROM rates r LEFT JOIN kept k USING (source)
 
 
 register("mixture_token_budget", mixture_token_budget, _MIXTURE_SQL)
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sample covariance matrix of the embedding corpus in long
+    format (i, j, n, cov) — the statistic behind whitening, drift
+    monitoring, and PCA. One `mapInPandas` pass accumulates a d×d
+    int64 gram partial per partition (vectors never leave their
+    partition; the only shuffle is partitions × d² tiny rows), then a
+    (i, j) hash aggregate — see `operators/linalg.py` for the 100 TB
+    rationale. Quantized-integer sums make the result bit-identical
+    across engines and partitionings."""
+    return la.covariance_long(load_table(spark, sf_dir, "embeddings")).orderBy("i", "j")
+
+
+_COV_SQL = """
+WITH q AS (
+  SELECT vec_id, i - 1 AS dim, CAST(floor(embedding[i] * 1024) AS BIGINT) AS qx
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)
+)
+SELECT a.dim AS i, b.dim AS j, count(*) AS n,
+       round((sum(a.qx * b.qx) / count(*)
+              - (sum(a.qx) / count(*)) * (sum(b.qx) / count(*)))
+             / 1048576.0, 6) + 0.0 AS cov
+FROM q a JOIN q b USING (vec_id)
+GROUP BY a.dim, b.dim
+ORDER BY i, j
+"""
+
+
+def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered, n-normalized) gram
+    matrix by 3 renormalized matrix squarings + 8 rounds of
+    integer-exact power iteration (≈ a G⁶⁴ power — near-isotropic
+    corpora have a tiny spectral gap, and squaring doubles the log-gap
+    per step) — every step a join + groupBy on the d²-row gram table,
+    so per-step shuffles move kilobytes at ANY corpus scale; only the
+    one-pass gram computation touches the data. Renormalization uses
+    max|entry| (order-independent) and truncating integer division
+    (identical in Spark `DIV` and DuckDB `//`), so the trajectory is
+    bit-identical in both engines. `rayleigh` (vs the unsquared Gn)
+    converges to the top eigenvalue."""
+    g = la.gram_long(load_table(spark, sf_dir, "embeddings"))
+    return la.power_iteration_top_eig(g, iters=8).orderBy("dim")
+
+
+def _pca_sql(iters: int = 8, squarings: int = 3) -> str:
+    ctes = ["""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS dim, CAST(floor(embedding[i] * 1024) AS BIGINT) AS qx
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)
+), g AS MATERIALIZED (
+  SELECT a.dim AS i, b.dim AS j, sum(a.qx * b.qx) AS sxy, count(*) AS n
+  FROM q a JOIN q b USING (vec_id) GROUP BY a.dim, b.dim
+), gn AS MATERIALIZED (
+  SELECT i, j, sxy // n AS gn FROM g
+), b0 AS MATERIALIZED (
+  SELECT i, j, (gn * 1024) // (SELECT max(abs(gn)) FROM gn) AS gn FROM gn
+)"""]
+    for s in range(1, squarings + 1):
+        ctes.append(f""", p{s} AS MATERIALIZED (
+  SELECT a.i, b.j, sum(a.gn * b.gn) AS gn
+  FROM b{s-1} a JOIN b{s-1} b ON a.j = b.i GROUP BY a.i, b.j
+), b{s} AS MATERIALIZED (
+  SELECT i, j, (gn * 1024) // (SELECT max(abs(gn)) FROM p{s}) AS gn FROM p{s}
+)""")
+    bb = f"b{squarings}"
+    ctes.append(""", v0 AS MATERIALIZED (
+  SELECT i AS dim, CAST(1024 AS BIGINT) AS v FROM gn WHERE i = j
+)""")
+    for k in range(1, iters + 1):
+        ctes.append(f""", m{k} AS MATERIALIZED (
+  SELECT bb.i AS dim, sum(bb.gn * v{k-1}.v) AS m
+  FROM {bb} bb JOIN v{k-1} ON bb.j = v{k-1}.dim GROUP BY bb.i
+), v{k} AS MATERIALIZED (
+  SELECT dim, (m * 1024) // (SELECT max(abs(m)) FROM m{k}) AS v FROM m{k}
+)""")
+    last = iters
+    ctes.append(f""", mfin AS MATERIALIZED (
+  SELECT gn.i AS dim, sum(gn.gn * v{last}.v) AS m
+  FROM gn JOIN v{last} ON gn.j = v{last}.dim GROUP BY gn.i
+)
+SELECT v{last}.dim, round(v{last}.v / 1024.0, 6) + 0.0 AS component,
+       CASE WHEN v{last}.v != 0 THEN round(mfin.m * 1.0 / v{last}.v, 6) + 0.0 END AS rayleigh
+FROM v{last} JOIN mfin USING (dim)
+ORDER BY dim""")
+    return "".join(ctes)
+
+
+register("embedding_covariance", embedding_covariance, _COV_SQL)
+register("embedding_pca_power_iter", embedding_pca_power_iter, _pca_sql())

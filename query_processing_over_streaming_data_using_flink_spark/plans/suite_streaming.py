@@ -235,3 +235,40 @@ register(
      AND (v.valid_to IS NULL OR v.valid_to > o.seq)
     """,
 )
+
+
+def changelog_monthly_revenue_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous monthly-revenue rollup's CURRENT VIEW at event K
+    — the batch rendering of `streaming/incragg.py`'s incrementally
+    maintained aggregate (`Δagg(R) = agg(ΔR)`: linearity makes the
+    batch fold and the micro-batched maintenance provably identical;
+    the equivalence is also tested stream-vs-batch). Money is
+    fixed-point quantized before summation, so any batching or engine
+    produces bit-identical cents."""
+    from query_processing_over_streaming_data_using_flink_spark.streaming.incragg import (
+        monthly_revenue_delta,
+        present_monthly_revenue,
+    )
+
+    w, k = _totals(spark, sf_dir)
+    log = build_changelog(spark, sf_dir, window=w).filter(F.col("seq") <= k)
+    return present_monthly_revenue(monthly_revenue_delta(log))
+
+
+register(
+    "changelog_monthly_revenue_state",
+    changelog_monthly_revenue_state,
+    f"""
+    WITH events AS ({_events_prefix_sql()})
+    SELECT CAST(date_trunc('month', shipdate) AS DATE) AS ship_month,
+           CAST(sum(op) AS BIGINT) AS net_lines,
+           CAST(sum(op * CAST(round(extendedprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS gross_revenue,
+           CAST(sum(op * CAST(round(extendedprice * (1 - discount) * 10000) AS BIGINT)) AS BIGINT)
+             / 10000.0 AS disc_revenue
+    FROM events
+    WHERE relation = 'lineitem'
+    GROUP BY date_trunc('month', shipdate)
+    HAVING sum(op) > 0
+    """,
+)

@@ -30,6 +30,9 @@ QUERIES = [
     "minhash_estimate_quality",
     "multimodal_real_roundtrip",
     "events_moving_7d_avg",
+    "mixture_token_budget",
+    "embedding_covariance",
+    "embedding_pca_power_iter",
 ]
 
 

@@ -514,3 +514,51 @@ def test_mixture_token_budget_invariants(spark):
     # Bernoulli draws land near rate*tokens; allow generous slack of the
     # largest per-doc contribution times sqrt-ish noise: 25% per source.
     assert kept_total <= budget + sum(int(0.25 * r.est_tokens) for r in rows)
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """The distributed map-side-partial covariance must equal a plain
+    NumPy covariance of the SAME quantized components, for every (i,j)
+    cell — proving the partial-gram accumulation and the de-quantized
+    formula are exact."""
+    import numpy as np
+
+    from query_processing_over_streaming_data_using_flink_spark.operators import linalg as la
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = la.covariance_long(emb).collect()
+    X = np.stack([r.embedding for r in emb.select("embedding").collect()]).astype("float64")
+    Q = np.floor(X * la.Q_COMP)
+    n = Q.shape[0]
+    expect = (Q.T @ Q) / n - np.outer(Q.sum(axis=0) / n, Q.sum(axis=0) / n)
+    expect /= float(la.Q_COMP * la.Q_COMP)
+    got = {(r.i, r.j): r.cov for r in rows}
+    assert len(got) == X.shape[1] ** 2
+    for (i, j), c in got.items():
+        assert abs(c - expect[i, j]) < 1e-5, (i, j, c, expect[i, j])
+
+
+def test_power_iteration_finds_top_eigvec(spark):
+    """After 8 integer-exact rounds the iterate must align with NumPy's
+    top eigenvector of the same n-normalized quantized gram matrix
+    (|cosine| > 0.99), and the rayleigh diagnostic must approximate the
+    top eigenvalue."""
+    import numpy as np
+
+    from query_processing_over_streaming_data_using_flink_spark.operators import linalg as la
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = la.power_iteration_top_eig(la.gram_long(emb), iters=8).collect()
+    X = np.stack([r.embedding for r in emb.select("embedding").collect()]).astype("float64")
+    Q = np.floor(X * la.Q_COMP).astype("int64")
+    Gn = (Q.T @ Q) // Q.shape[0]
+    w, V = np.linalg.eigh(Gn.astype("float64"))
+    top = V[:, np.argmax(w)]
+    v = np.array([r.component for r in sorted(out, key=lambda r: r.dim)])
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.99, cos
+    rays = [r.rayleigh for r in out if r.rayleigh is not None and abs(r.component) > 0.2]
+    lam = max(w)
+    assert rays, "expected rayleigh values on large components"
+    for r in rays:
+        assert abs(r - lam) / lam < 0.1, (r, lam)

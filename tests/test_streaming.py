@@ -1013,3 +1013,43 @@ def test_streaming_hourly_rollup_composes_to_daily(spark, tmp_path):
         if k in full_days:
             assert got[k] == want[k], (k, got[k], want[k])
     assert len(full_days) >= len(want) - 10, (len(full_days), len(want))
+
+
+def test_incragg_rollup_stream_matches_batch(spark, tmp_path):
+    """The generic grouped-aggregate maintainer (incragg.py) over
+    unordered micro-batches must fold to exactly the batch rendering of
+    the same rollup — linearity of the signed-weight aggregate — and a
+    mid-stream compaction must not change the view."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_streaming import (
+        changelog_monthly_revenue_state,
+    )
+    from query_processing_over_streaming_data_using_flink_spark.streaming.incragg import (
+        monthly_revenue_rollup,
+        present_monthly_revenue,
+        run_streaming_rollup,
+    )
+
+    n_total = sum(
+        load_table(spark, SF_SMOKE, t).count() for t in ("customer", "orders", "lineitem")
+    )
+    w = (n_total * 2) // 3
+    k = n_total + n_total // 2
+    log = build_changelog(spark, SF_SMOKE, window=w).filter(F.col("seq") <= k)
+
+    changelog_dir = str(tmp_path / "changelog")
+    log.repartition(8).write.parquet(changelog_dir)
+
+    result = run_streaming_rollup(
+        spark, changelog_dir, str(tmp_path / "state"), files_per_trigger=2
+    )
+    expect = changelog_monthly_revenue_state(spark, SF_SMOKE)
+    assert sorted(map(tuple, result.collect())) == sorted(map(tuple, expect.collect()))
+
+    # Compaction folds the appended epoch deltas without changing the view.
+    pipe = monthly_revenue_rollup(spark, str(tmp_path / "state"))
+    before = pipe.state.read(pipe.TABLE).count()
+    pipe.compact()
+    after = pipe.state.read(pipe.TABLE).count()
+    assert after <= before
+    folded = present_monthly_revenue(pipe.result())
+    assert sorted(map(tuple, folded.collect())) == sorted(map(tuple, expect.collect()))
