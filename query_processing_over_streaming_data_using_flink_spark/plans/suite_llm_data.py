@@ -1773,3 +1773,93 @@ ORDER BY dim""")
 
 register("embedding_covariance", embedding_covariance, _COV_SQL)
 register("embedding_pca_power_iter", embedding_pca_power_iter, _pca_sql())
+
+
+def mixture_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing (alpha = 0.5): spend half the
+    corpus's tokens with per-source budgets proportional to
+    tok_s^alpha — the standard reweighting that up-samples small
+    domains relative to proportional sampling (alpha=1 is proportional;
+    `mixture_token_budget` is the equal-split limit alpha=0). The
+    source weight is floor(sqrt(tok_s)) — IEEE sqrt is correctly
+    rounded, so the integer weight is engine-identical — and all later
+    arithmetic is integer parts-per-10000 with a FIXED operation order,
+    so the per-document Bernoulli draw is bit-identical anywhere. At
+    extreme corpus sizes (B·10⁴ approaching int64) a deployment widens
+    the ppm arithmetic to DECIMAL(38,0); the shape is unchanged.
+
+    Same scale profile as `mixture_token_budget`: one token aggregate,
+    a broadcast rate table, one more scan-filter-aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id", "source", tx.token_estimate_bpe(F.col("text")).alias("toks")
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("toks").alias("est_tokens")
+    ).withColumn("ws", F.floor(F.sqrt(F.col("est_tokens").cast("double"))).cast("long"))
+    totals = per_src.agg(
+        F.sum("est_tokens").alias("total"), F.sum("ws").alias("w_total")
+    )
+    rates = (
+        per_src.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "rate_ppm",
+            F.least(
+                F.lit(10000).cast("long"),
+                F.expr("((((total DIV 2) * 10000) DIV w_total) * ws) DIV est_tokens"),
+            ),
+        )
+        .select("source", "n_docs", "est_tokens", "ws", "rate_ppm")
+    )
+    draw = F.pmod(
+        md5_hash64(F.concat(F.lit("temp:"), F.col("doc_id").cast("string"))),
+        F.lit(10000),
+    )
+    kept = (
+        per_doc.join(F.broadcast(rates.select("source", "rate_ppm")), "source")
+        .filter(draw < F.col("rate_ppm"))
+        .groupBy("source")
+        .agg(F.count("*").alias("kept_docs"), F.sum("toks").alias("kept_tokens"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "est_tokens",
+            F.round(F.col("rate_ppm") / 10000.0, 6).alias("keep_rate"),
+            F.coalesce(F.col("kept_docs"), F.lit(0)).alias("kept_docs"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).alias("kept_tokens"),
+        )
+    )
+
+
+_TEMP_MIX_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id, source, CAST(ceil(length(text) / 4.0) AS BIGINT) AS toks
+  FROM documents
+), per_src AS (
+  SELECT source, count(*) AS n_docs, sum(toks) AS est_tokens,
+         CAST(floor(sqrt(CAST(sum(toks) AS DOUBLE))) AS BIGINT) AS ws
+  FROM per_doc GROUP BY source
+), tot AS (
+  SELECT sum(est_tokens) AS total, sum(ws) AS w_total FROM per_src
+), rates AS (
+  SELECT source, n_docs, est_tokens, ws,
+         least(10000, ((((total // 2) * 10000) // w_total) * ws) // est_tokens) AS rate_ppm
+  FROM per_src, tot
+), kept AS (
+  SELECT d.source, count(*) AS kept_docs, sum(d.toks) AS kept_tokens
+  FROM per_doc d JOIN rates r USING (source)
+  WHERE ({_H64.format(x="'temp:' || CAST(doc_id AS VARCHAR)")}) % 10000 < r.rate_ppm
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.est_tokens,
+       round(r.rate_ppm / 10000.0, 6) AS keep_rate,
+       coalesce(k.kept_docs, 0) AS kept_docs,
+       coalesce(k.kept_tokens, 0) AS kept_tokens
+FROM rates r LEFT JOIN kept k USING (source)
+"""
+
+
+register("mixture_temperature_sampling", mixture_temperature_sampling, _TEMP_MIX_SQL)

@@ -31,8 +31,10 @@ QUERIES = [
     "multimodal_real_roundtrip",
     "events_moving_7d_avg",
     "mixture_token_budget",
+    "mixture_temperature_sampling",
     "embedding_covariance",
     "embedding_pca_power_iter",
+    "changelog_monthly_revenue_state",
 ]
 
 

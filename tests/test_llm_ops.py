@@ -562,3 +562,33 @@ def test_power_iteration_finds_top_eigvec(spark):
     assert rays, "expected rayleigh values on large components"
     for r in rays:
         assert abs(r - lam) / lam < 0.1, (r, lam)
+
+
+def test_mixture_temperature_upsamples_small_sources(spark):
+    """alpha=0.5 temperature must give SMALL sources a keep-rate at
+    least as high as proportionally larger ones (the point of
+    temperature sampling), with the same budget/consistency invariants
+    as the equal-split mixture."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        mixture_temperature_sampling,
+    )
+
+    rows = mixture_temperature_sampling(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.keep_rate <= 1.0
+        assert r.kept_docs <= r.n_docs
+        assert r.kept_tokens <= r.est_tokens
+    by_tokens = sorted(rows, key=lambda r: r.est_tokens)
+    # Monotone up to quantization: the weight is floor(sqrt(tokens)),
+    # so a smaller source's rate can undershoot by at most ~one weight
+    # unit (relative 1/sqrt(tokens)).
+    for small, big in zip(by_tokens, by_tokens[1:]):
+        slack = 1.0 / max(1.0, float(small.est_tokens) ** 0.5)
+        assert small.keep_rate >= big.keep_rate * (1 - slack) - 1e-9, (small, big)
+    # And the extremes are genuinely reordered vs proportional: the
+    # smallest source's rate beats the largest source's by the
+    # sqrt-compression factor (when neither is capped at 1.0).
+    lo, hi = by_tokens[0], by_tokens[-1]
+    if lo.keep_rate < 1.0 and hi.keep_rate < 1.0:
+        assert lo.keep_rate > hi.keep_rate
