@@ -162,6 +162,17 @@ def _matsquare(mat: DataFrame, col: str) -> DataFrame:
     return _renorm(sq, col)
 
 
+def power_iteration_vec(
+    gram: DataFrame, iters: int = 8, squarings: int = 3
+) -> DataFrame:
+    """The RAW integer iterate: (dim, v, m) with v the quantized
+    eigenvector component (|v| <= 2¹⁰, exact) and m the final unsquared
+    matvec ``(Gn·v)_dim``. Downstream integer consumers (projections)
+    MUST use this — rebuilding v from the rounded `component` of
+    `power_iteration_top_eig` truncates one quantization unit."""
+    return _power_iteration_raw(gram, iters, squarings)
+
+
 def power_iteration_top_eig(
     gram: DataFrame, iters: int = 8, squarings: int = 3
 ) -> DataFrame:
@@ -182,6 +193,17 @@ def power_iteration_top_eig(
     ORIGINAL Gn — it approaches Gn's top eigenvalue as v converges.
     Starts from the all-ones vector (never orthogonal to the top
     eigenvector of a PSD gram)."""
+    vec = power_iteration_vec(gram, iters, squarings)
+    return vec.select(
+        "dim",
+        (F.round(F.col("v") / float(Q_VEC), 6) + F.lit(0.0)).alias("component"),
+        F.when(
+            F.col("v") != 0, F.round(F.col("m") / F.col("v"), 6) + F.lit(0.0)
+        ).alias("rayleigh"),
+    )
+
+
+def _power_iteration_raw(gram: DataFrame, iters: int, squarings: int) -> DataFrame:
     # Gn = G DIV n: bounds matvec magnitudes independently of corpus
     # size, so int64 never overflows at any n.
     gn = _pin(gram.select("i", "j", F.expr("sxy DIV n").alias("gn")))
@@ -211,13 +233,4 @@ def power_iteration_top_eig(
         .groupBy("i")
         .agg(F.sum(F.col("gn") * F.col("v")).alias("m"))
     )
-    return (
-        v.join(last_m, v["dim"] == last_m["i"])
-        .select(
-            "dim",
-            (F.round(F.col("v") / float(Q_VEC), 6) + F.lit(0.0)).alias("component"),
-            F.when(
-                F.col("v") != 0, F.round(F.col("m") / F.col("v"), 6) + F.lit(0.0)
-            ).alias("rayleigh"),
-        )
-    )
+    return v.join(last_m, v["dim"] == last_m["i"]).select("dim", "v", "m")

@@ -1863,3 +1863,59 @@ FROM rates r LEFT JOIN kept k USING (source)
 
 
 register("mixture_temperature_sampling", mixture_temperature_sampling, _TEMP_MIX_SQL)
+
+
+def embedding_top_pc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector's score along the corpus's top principal direction
+    — the projection used for spectral filtering / outlier triage.
+    Scale shape: the 64-row eigenvector is folded into ONE array row
+    (collect_list inside an aggregate of an already-KB-sized table) and
+    broadcast; each vector's score is a `zip_with` + `aggregate` dot
+    product computed IN PLACE — no posexplode, no per-vector shuffle,
+    zero data movement beyond the 1-row broadcast. Integer quantized
+    products (components and eigenvector both ·2¹⁰) keep the score
+    bit-identical everywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    eig = la.power_iteration_vec(la.gram_long(emb), iters=8)
+    varr = eig.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "v"))),
+            lambda t: t["v"],
+        ).alias("v")
+    )
+    qemb = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * la.Q_COMP).cast("long"),
+    )
+    dot = F.aggregate(
+        F.zip_with(qemb, F.col("v"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.crossJoin(F.broadcast(varr))
+        .select(
+            "vec_id",
+            "label",
+            (F.round(dot / float(la.Q_COMP * la.Q_VEC), 6) + F.lit(0.0)).alias(
+                "pc1_score"
+            ),
+        )
+    )
+
+
+def _pc_projection_sql() -> str:
+    base = _pca_sql()
+    head = base[: base.index("SELECT v8.dim")]
+    return head + """, pc AS MATERIALIZED (
+  SELECT dim, v FROM v8
+)
+SELECT e.vec_id, e.label,
+       round(sum(CAST(floor(e.embedding[q.dim + 1] * 1024) AS BIGINT) * q.v)
+             / 1048576.0, 6) + 0.0 AS pc1_score
+FROM embeddings e, pc q
+GROUP BY e.vec_id, e.label
+"""
+
+
+register("embedding_top_pc_projection", embedding_top_pc_projection, _pc_projection_sql())

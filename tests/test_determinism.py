@@ -34,6 +34,7 @@ QUERIES = [
     "mixture_temperature_sampling",
     "embedding_covariance",
     "embedding_pca_power_iter",
+    "embedding_top_pc_projection",
     "changelog_monthly_revenue_state",
 ]
 
