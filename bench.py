@@ -118,6 +118,10 @@ def main() -> None:
     bench("dedup_minhash_lsh", lambda: _run(llm.dedup_minhash_lsh(spark, sf_dir)))
     bench("ann_bruteforce", lambda: _run(llm.ann_bruteforce(spark, sf_dir)))
     bench("text_stats", lambda: _run(llm.text_stats(spark, sf_dir)))
+    bench(
+        "embedding_covariance",
+        lambda: _run(llm.embedding_covariance(spark, sf_dir)),
+    )
 
     # SF-1 parity datapoint: BASELINE.md measures the reference at SF-1
     # (15.3M events, ~71s best). No sf1 testdata directory exists, so

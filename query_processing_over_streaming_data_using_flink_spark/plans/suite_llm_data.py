@@ -1660,7 +1660,7 @@ WITH per_doc AS (
   SELECT doc_id, source, CAST(ceil(length(text) / 4.0) AS BIGINT) AS toks
   FROM documents
 ), per_src AS (
-  SELECT source, count(*) AS n_docs, sum(toks) AS est_tokens
+  SELECT source, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS est_tokens
   FROM per_doc GROUP BY source
 ), tot AS (
   SELECT sum(est_tokens) AS total, count(*) AS n_sources FROM per_src
@@ -1669,7 +1669,7 @@ WITH per_doc AS (
          least(10000, (((total // 2) // n_sources) * 10000) // est_tokens) AS rate_ppm
   FROM per_src, tot
 ), kept AS (
-  SELECT d.source, count(*) AS kept_docs, sum(d.toks) AS kept_tokens
+  SELECT d.source, count(*) AS kept_docs, CAST(sum(d.toks) AS BIGINT) AS kept_tokens
   FROM per_doc d JOIN rates r USING (source)
   WHERE ({_H64.format(x="'mix:' || CAST(doc_id AS VARCHAR)")}) % 10000 < r.rate_ppm
   GROUP BY d.source
@@ -1839,7 +1839,7 @@ WITH per_doc AS (
   SELECT doc_id, source, CAST(ceil(length(text) / 4.0) AS BIGINT) AS toks
   FROM documents
 ), per_src AS (
-  SELECT source, count(*) AS n_docs, sum(toks) AS est_tokens,
+  SELECT source, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS est_tokens,
          CAST(floor(sqrt(CAST(sum(toks) AS DOUBLE))) AS BIGINT) AS ws
   FROM per_doc GROUP BY source
 ), tot AS (
@@ -1849,7 +1849,7 @@ WITH per_doc AS (
          least(10000, ((((total // 2) * 10000) // w_total) * ws) // est_tokens) AS rate_ppm
   FROM per_src, tot
 ), kept AS (
-  SELECT d.source, count(*) AS kept_docs, sum(d.toks) AS kept_tokens
+  SELECT d.source, count(*) AS kept_docs, CAST(sum(d.toks) AS BIGINT) AS kept_tokens
   FROM per_doc d JOIN rates r USING (source)
   WHERE ({_H64.format(x="'temp:' || CAST(doc_id AS VARCHAR)")}) % 10000 < r.rate_ppm
   GROUP BY d.source

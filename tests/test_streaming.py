@@ -1053,3 +1053,73 @@ def test_incragg_rollup_stream_matches_batch(spark, tmp_path):
     assert after <= before
     folded = present_monthly_revenue(pipe.result())
     assert sorted(map(tuple, folded.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_incragg_replay_is_idempotent(spark, tmp_path):
+    """Redelivering an epoch to the grouped-aggregate maintainer (crash
+    between commit and checkpoint ack) must not double the weights —
+    same replay-skip contract as the join IVM."""
+    from query_processing_over_streaming_data_using_flink_spark.streaming.incragg import (
+        monthly_revenue_rollup,
+        present_monthly_revenue,
+    )
+
+    log = build_changelog(spark, SF_SMOKE).filter(F.col("seq") <= 2000)
+    pipe = monthly_revenue_rollup(spark, str(tmp_path / "state"))
+    pipe.process_batch(log, 0)
+    once = sorted(map(tuple, present_monthly_revenue(pipe.result()).collect()))
+    pipe.process_batch(log, 0)  # replayed epoch
+    twice = sorted(map(tuple, present_monthly_revenue(pipe.result()).collect()))
+    assert once == twice
+
+
+def test_two_pipelines_share_one_source_scan(spark, tmp_path):
+    """Operator multiplexing: ONE readStream drives BOTH the Q3 join
+    IVM and the monthly rollup from the same foreachBatch handle (the
+    micro-batch is scanned once per pipeline spill, not re-read from
+    the source) — each maintains its own state dir and both converge to
+    their batch renderings."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_streaming import (
+        changelog_monthly_revenue_state,
+    )
+    from query_processing_over_streaming_data_using_flink_spark.streaming.incragg import (
+        monthly_revenue_rollup,
+        present_monthly_revenue,
+    )
+    from query_processing_over_streaming_data_using_flink_spark.streaming.ivm import IncrementalQ3
+
+    n_total = sum(
+        load_table(spark, SF_SMOKE, t).count() for t in ("customer", "orders", "lineitem")
+    )
+    w = (n_total * 2) // 3
+    k = n_total + n_total // 2
+    log = build_changelog(spark, SF_SMOKE, window=w).filter(F.col("seq") <= k)
+
+    changelog_dir = str(tmp_path / "changelog")
+    log.repartition(6).write.parquet(changelog_dir)
+
+    q3 = IncrementalQ3(spark, str(tmp_path / "q3_state"))
+    roll = monthly_revenue_rollup(spark, str(tmp_path / "roll_state"))
+
+    def handle(batch, epoch_id):
+        batch.persist()
+        try:
+            q3.process_batch(batch, epoch_id)
+            roll.process_batch(batch, epoch_id)
+        finally:
+            batch.unpersist()
+
+    static = spark.read.parquet(changelog_dir)
+    (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(changelog_dir)
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert _rows(q3.top_n(20)) == _rows(q3_on_state(log))
+    got = sorted(map(tuple, present_monthly_revenue(roll.result()).collect()))
+    want = sorted(map(tuple, changelog_monthly_revenue_state(spark, SF_SMOKE).collect()))
+    assert got == want
