@@ -1123,3 +1123,47 @@ def test_two_pipelines_share_one_source_scan(spark, tmp_path):
     got = sorted(map(tuple, present_monthly_revenue(roll.result()).collect()))
     want = sorted(map(tuple, changelog_monthly_revenue_state(spark, SF_SMOKE).collect()))
     assert got == want
+
+
+def test_incremental_gram_maintenance(spark, tmp_path):
+    """Composing the frameworks: the gram matrix is a grouped integer
+    sum, so IncrementalGroupedAgg can maintain it over an append-only
+    embedding stream — the folded state equals the one-shot gram, and
+    the power iteration run on the MAINTAINED state produces the same
+    eigenvector as on the batch gram (bit-identical integer sums)."""
+    from query_processing_over_streaming_data_using_flink_spark.operators import linalg as la
+    from query_processing_over_streaming_data_using_flink_spark.streaming.incragg import (
+        IncrementalGroupedAgg,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    stream_dir = str(tmp_path / "embstream")
+    emb.repartition(6).write.parquet(stream_dir)
+
+    pipe = IncrementalGroupedAgg(
+        spark,
+        str(tmp_path / "state"),
+        group_cols=["i", "j"],
+        measure_cols=["sxy", "si", "sj", "n"],
+        schema="bucket int, i int, j int, sxy long, si long, sj long, n long",
+        delta_fn=lambda batch: la.gram_long(batch.select("embedding")),
+    )
+
+    static = spark.read.parquet(stream_dir)
+    (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stream_dir)
+        .writeStream.foreachBatch(pipe.process_batch)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    maintained = pipe.result()
+    batch_gram = la.gram_long(emb)
+    assert sorted(map(tuple, maintained.collect())) == sorted(
+        map(tuple, batch_gram.collect())
+    )
+    v_stream = sorted(map(tuple, la.power_iteration_vec(maintained).collect()))
+    v_batch = sorted(map(tuple, la.power_iteration_vec(batch_gram).collect()))
+    assert v_stream == v_batch
