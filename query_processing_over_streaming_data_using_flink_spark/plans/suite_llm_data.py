@@ -1919,3 +1919,93 @@ GROUP BY e.vec_id, e.label
 
 
 register("embedding_top_pc_projection", embedding_top_pc_projection, _pc_projection_sql())
+
+
+def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source corpus health dashboard a curation run logs:
+    document/token volume, mean quality, exact-duplicate rate, and the
+    dominant language with its share — one composite profiling pass.
+    Quality scores are floored to integer micro-units BEFORE the
+    per-source sum (float sums are order-dependent; integer sums are
+    not), duplicate detection is the exact-fingerprint groupBy, and the
+    language mode breaks ties lexicographically. Scale shape: one scan
+    + three modest shuffles (fingerprint, source, (source, lang)) — no
+    joins larger than doc-count, nothing quadratic."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        tx.token_estimate_bpe(text).alias("toks"),
+        F.floor(tx.quality_score(text) * 1_000_000).cast("long").alias("q_micro"),
+        tx.doc_fingerprint(text).alias("fp"),
+    )
+    canon = per_doc.groupBy("fp").agg(F.min("doc_id").alias("canonical_id"))
+    flagged = per_doc.join(canon, "fp").withColumn(
+        "is_dup", (F.col("doc_id") != F.col("canonical_id")).cast("long")
+    )
+    per_src = flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks").alias("est_tokens"),
+        F.sum("q_micro").alias("q_sum"),
+        F.sum("is_dup").alias("exact_dup_docs"),
+    )
+    langc = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    topl = (
+        langc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("top_lang"), F.col("n").alias("top_lang_docs"))
+    )
+    return per_src.join(topl, "source").select(
+        "source",
+        "n_docs",
+        "est_tokens",
+        F.round(F.col("est_tokens") / F.col("n_docs"), 2).alias("mean_tokens"),
+        F.round(F.col("q_sum") / F.col("n_docs") / 1000000.0, 6).alias("mean_quality"),
+        "exact_dup_docs",
+        F.round(F.col("exact_dup_docs") / F.col("n_docs"), 6).alias("dup_rate"),
+        "top_lang",
+        F.round(F.col("top_lang_docs") / F.col("n_docs"), 6).alias("top_lang_share"),
+    )
+
+
+_QUALITY_EXPR = f"""least(1.0, len(toks) / 50.0) * 0.4
+             + (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / length(text)) * 0.3
+             + least(1.0, ({_stop_hits_sql('en')} / len(toks)) * 5.0) * 0.3"""
+
+_CORPUS_REPORT_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id, source,
+         CAST(ceil(length(text) / 4.0) AS BIGINT) AS toks,
+         CAST(floor(({_QUALITY_EXPR}) * 1000000) AS BIGINT) AS q_micro,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM (SELECT *, {_TOKENS} AS toks FROM documents)
+), canon AS (
+  SELECT fp, min(doc_id) AS canonical_id FROM per_doc GROUP BY fp
+), per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(toks) AS BIGINT) AS est_tokens,
+         CAST(sum(q_micro) AS BIGINT) AS q_sum,
+         CAST(sum(CASE WHEN d.doc_id != c.canonical_id THEN 1 ELSE 0 END) AS BIGINT) AS exact_dup_docs
+  FROM per_doc d JOIN canon c USING (fp)
+  GROUP BY source
+), topl AS (
+  SELECT source, lang AS top_lang, count(*) AS top_lang_docs,
+         row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang) AS rk
+  FROM documents GROUP BY source, lang
+)
+SELECT s.source, s.n_docs, s.est_tokens,
+       round(s.est_tokens / s.n_docs, 2) AS mean_tokens,
+       round(s.q_sum / s.n_docs / 1000000.0, 6) AS mean_quality,
+       s.exact_dup_docs,
+       round(s.exact_dup_docs / s.n_docs, 6) AS dup_rate,
+       t.top_lang,
+       round(t.top_lang_docs / s.n_docs, 6) AS top_lang_share
+FROM per_src s JOIN topl t ON s.source = t.source AND t.rk = 1
+"""
+
+
+register("corpus_quality_report", corpus_quality_report, _CORPUS_REPORT_SQL)

@@ -36,6 +36,7 @@ QUERIES = [
     "embedding_pca_power_iter",
     "embedding_top_pc_projection",
     "changelog_monthly_revenue_state",
+    "corpus_quality_report",
 ]
 
 
