@@ -72,3 +72,30 @@ class Engine:
             register_views(self.spark, self.data_dir, TABLES)
             self._views_registered = True
         return self.spark.sql(query)
+
+    # -- streaming -----------------------------------------------------------
+
+    def stream_q3(
+        self, changelog_dir: str, state_dir: str, **kwargs
+    ) -> DataFrame:
+        """Consume a parquet changelog directory and maintain TPC-H Q3
+        incrementally (the reference's flagship pipeline); returns the
+        final Top-N. See `streaming.ivm.run_streaming_q3` for
+        checkpointing / compaction / progress options."""
+        from query_processing_over_streaming_data_using_flink_spark.streaming.ivm import (
+            run_streaming_q3,
+        )
+
+        return run_streaming_q3(self.spark, changelog_dir, state_dir, **kwargs)
+
+    def stream_rollup(
+        self, changelog_dir: str, state_dir: str, **kwargs
+    ) -> DataFrame:
+        """Maintain the monthly revenue rollup (continuous aggregate)
+        over a parquet changelog directory; returns the final view. See
+        `streaming.incragg.run_streaming_rollup`."""
+        from query_processing_over_streaming_data_using_flink_spark.streaming.incragg import (
+            run_streaming_rollup,
+        )
+
+        return run_streaming_rollup(self.spark, changelog_dir, state_dir, **kwargs)

@@ -1167,3 +1167,20 @@ def test_incremental_gram_maintenance(spark, tmp_path):
     v_stream = sorted(map(tuple, la.power_iteration_vec(maintained).collect()))
     v_batch = sorted(map(tuple, la.power_iteration_vec(batch_gram).collect()))
     assert v_stream == v_batch
+
+
+def test_engine_facade_streaming(spark, tmp_path):
+    """The one-import facade drives both streaming pipelines end to
+    end (thin wiring over run_streaming_q3 / run_streaming_rollup)."""
+    from query_processing_over_streaming_data_using_flink_spark.api import Engine
+
+    eng = Engine(SF_SMOKE, spark=spark)
+    log = build_changelog(spark, SF_SMOKE).filter(F.col("seq") <= 3000)
+    changelog_dir = str(tmp_path / "changelog")
+    log.repartition(4).write.parquet(changelog_dir)
+
+    top = eng.stream_q3(changelog_dir, str(tmp_path / "q3_state"), files_per_trigger=2)
+    assert _rows(top) == _rows(q3_on_state(log))
+    roll = eng.stream_rollup(changelog_dir, str(tmp_path / "roll_state"), files_per_trigger=2)
+    assert roll.columns == ["ship_month", "net_lines", "gross_revenue", "disc_revenue"]
+    assert roll.count() > 0
