@@ -57,7 +57,13 @@ def _gram_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         if len(pdf) == 0:
             continue
-        X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        try:
+            X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        except ValueError as e:
+            raise ValueError(
+                "gram_long requires a fixed-width embedding column; "
+                f"got ragged or null vectors in this partition ({e})"
+            ) from None
         Q = np.floor(X * Q_COMP).astype("int64")
         if G is None:
             G = Q.T @ Q
