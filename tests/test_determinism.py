@@ -40,6 +40,26 @@ QUERIES = [
 ]
 
 
+def _canon_cell(v):
+    """Exact-comparison cell canonicalization: None sorts (plain tuple
+    sort raises on None-vs-value), NaN compares (NaN != NaN would
+    false-fail identical runs), and -0.0 folds into 0.0 (== -equal but
+    repr-distinct, so a repr sort could order equal multisets
+    differently). No rounding — this check is about EXACT determinism."""
+    if v is None:
+        return v
+    if isinstance(v, float):
+        if v != v:
+            return "nan"
+        if v == 0.0:
+            return 0.0
+    return v
+
+
+def canon_rows(rows):
+    return sorted((tuple(_canon_cell(v) for v in r) for r in rows), key=repr)
+
+
 @pytest.mark.parametrize("name", QUERIES)
 def test_result_independent_of_partitioning(spark, name):
     from query_processing_over_streaming_data_using_flink_spark.registry import all_queries
@@ -47,12 +67,10 @@ def test_result_independent_of_partitioning(spark, name):
     fn = all_queries()[name]
     original = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        # key=repr: plain tuple sort raises on None-vs-value columns
-        # (rollup-style NULL group labels, outer-join padding).
         spark.conf.set("spark.sql.shuffle.partitions", "7")
-        a = sorted((tuple(r) for r in fn(spark, SF_ORACLE).collect()), key=repr)
+        a = canon_rows(fn(spark, SF_ORACLE).collect())
         spark.conf.set("spark.sql.shuffle.partitions", "29")
-        b = sorted((tuple(r) for r in fn(spark, SF_ORACLE).collect()), key=repr)
+        b = canon_rows(fn(spark, SF_ORACLE).collect())
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", original)
     assert a == b, f"{name} changed under repartitioning"
