@@ -64,6 +64,14 @@ def _gram_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "gram_long requires a fixed-width embedding column; "
                 f"got ragged or null vectors in this partition ({e})"
             ) from None
+        if not np.isfinite(X).all():
+            # floor(NaN).astype(int64) is INT64_MIN with only a numpy
+            # warning — it would silently poison every (i, j) sum this
+            # partition contributes to. Fail loudly instead.
+            raise ValueError(
+                "gram_long requires finite embedding components; got "
+                "NaN/inf in this partition — filter or impute upstream"
+            )
         Q = np.floor(X * Q_COMP).astype("int64")
         if G is None:
             G = Q.T @ Q

@@ -1979,7 +1979,7 @@ _QUALITY_EXPR = f"""least(1.0, len(toks) / 50.0) * 0.4
 _CORPUS_REPORT_SQL = f"""
 WITH per_doc AS (
   SELECT doc_id, source,
-         CAST(ceil(length(text) / 4.0) AS BIGINT) AS toks,
+         CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_toks,
          CAST(floor(({_QUALITY_EXPR}) * 1000000) AS BIGINT) AS q_micro,
          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
   FROM (SELECT *, {_TOKENS} AS toks FROM documents)
@@ -1987,7 +1987,7 @@ WITH per_doc AS (
   SELECT fp, min(doc_id) AS canonical_id FROM per_doc GROUP BY fp
 ), per_src AS (
   SELECT source, count(*) AS n_docs,
-         CAST(sum(toks) AS BIGINT) AS est_tokens,
+         CAST(sum(est_toks) AS BIGINT) AS est_tokens,
          CAST(sum(q_micro) AS BIGINT) AS q_sum,
          CAST(sum(CASE WHEN d.doc_id != c.canonical_id THEN 1 ELSE 0 END) AS BIGINT) AS exact_dup_docs
   FROM per_doc d JOIN canon c USING (fp)

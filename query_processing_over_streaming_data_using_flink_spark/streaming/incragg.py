@@ -186,10 +186,27 @@ def run_streaming_rollup(
     maintain the monthly rollup; returns the final view. Same
     exactly-once contract as `run_streaming_q3` (atomic epoch commit +
     replay skip + optional checkpoint binding)."""
+    import json as _json
+    import os as _os
+
     static = spark.read.parquet(changelog_dir)
     pipe = monthly_revenue_rollup(spark, state_dir)
 
+    def bind_run() -> None:
+        # Bind the state dir to the checkpoint's stream UUID (same
+        # defense as run_streaming_q3): a recreated checkpoint restarts
+        # epoch ids at 0, and without the binding the replay-skip guard
+        # would silently drop every new batch against old state.
+        if checkpoint_dir is None:
+            return
+        try:
+            with open(_os.path.join(checkpoint_dir, "metadata")) as fh:
+                pipe.state.check_run(_json.load(fh)["id"])
+        except FileNotFoundError:
+            pass
+
     def handle(batch: DataFrame, epoch_id: int) -> None:
+        bind_run()
         pipe.process_batch(batch, epoch_id)
 
     writer = (

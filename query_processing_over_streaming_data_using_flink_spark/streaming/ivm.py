@@ -416,12 +416,17 @@ class IncrementalQ3:
         else:
             shutil.rmtree(self._tmp("co"), ignore_errors=True)
         have_co = has_rows("co")
-        dco = _selective(
-            self.spark.read.schema(
-                "o_orderkey long, o_orderdate timestamp_ntz, w long, bucket int"
-            ).parquet(self._tmp("co")),
-            "o_orderkey",
-        )
+        # Guarded: with no C/O events this epoch the co tmp dir does
+        # not exist, and spark.read.parquet fails EAGERLY on a missing
+        # path (a lineitem-only micro-batch must not kill the stream).
+        dco = None
+        if have_co:
+            dco = _selective(
+                self.spark.read.schema(
+                    "o_orderkey long, o_orderdate timestamp_ntz, w long, bucket int"
+                ).parquet(self._tmp("co")),
+                "o_orderkey",
+            )
 
         # ---- stage 2: ΔR = ΔCO·L + CO·ΔL + ΔCO·ΔL --------------------------
         # The bilinear expansion of R = CO⋈L; together with stage 1 this
@@ -460,11 +465,10 @@ class IncrementalQ3:
                 )
             )
         if have_co and have_l:
-            # ΔCO ⋈ ΔL (both tiny)
-            dl_small2 = dl.select(F.col("bucket").alias("b_l"), "l_orderkey", "w_cents")
+            # ΔCO ⋈ ΔL (both tiny; dl_small defined in the have_l branch)
             terms.append(
                 dco.join(
-                    dl_small2,
+                    dl_small,
                     (dco["bucket"] == F.col("b_l")) & (F.col("o_orderkey") == F.col("l_orderkey")),
                 )
                 .select(

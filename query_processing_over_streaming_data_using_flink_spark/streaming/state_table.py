@@ -53,6 +53,15 @@ _POINTER = "CURRENT"
 _KEEP_PREDECESSORS = 2
 
 
+def dir_bytes(path: str) -> int:
+    """Total bytes of files under `path` (0 if absent) — shared by the
+    committed-state and tmp-spill size probes."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
 class VersionedBucketedState:
     """Crash-atomic, hard-link-versioned, bucket-partitioned parquet
     state tables. `tables` maps table name -> DDL schema string whose
@@ -67,6 +76,33 @@ class VersionedBucketedState:
         # timers may already hold it around a read.
         self.swap_lock = threading.RLock()
         os.makedirs(state_dir, exist_ok=True)
+        self._check_layout()
+
+    def _check_layout(self) -> None:
+        """Hard-fail on a state dir written by a DIFFERENT table
+        layout: a committed version containing table dirs this pipeline
+        does not declare means the pipeline's state schema changed
+        (e.g. a renamed or removed state table) — silently resuming
+        would read EMPTY DataFrames for the missing tables and produce
+        wrong results with no error. (Declared tables may legitimately
+        be absent — an epoch that produced no rows for them — so only
+        UNKNOWN dirs are fatal.)"""
+        _, ver = self._current()
+        if ver is None:
+            return
+        found = {
+            e
+            for e in os.listdir(ver)
+            if not e.startswith("_") and os.path.isdir(os.path.join(ver, e))
+        }
+        unknown = found - set(self.tables)
+        if unknown:
+            raise RuntimeError(
+                f"state dir {self.state_dir} contains table(s) {sorted(unknown)} "
+                f"unknown to this pipeline's layout {sorted(self.tables)}: it was "
+                "written by a different pipeline version — wipe the state dir "
+                "together with its checkpoint"
+            )
 
     # -- pointer -------------------------------------------------------------
 
@@ -126,10 +162,7 @@ class VersionedBucketedState:
             _, ver = self._current()
         if ver is None:
             return 0
-        total = 0
-        for root, _dirs, files in os.walk(os.path.join(ver, name)):
-            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
-        return total
+        return dir_bytes(os.path.join(ver, name))
 
     def restrict(self, state: DataFrame, touched: DataFrame) -> DataFrame:
         """State rows in the buckets `touched` names (semi-join on the

@@ -1184,3 +1184,44 @@ def test_engine_facade_streaming(spark, tmp_path):
     roll = eng.stream_rollup(changelog_dir, str(tmp_path / "roll_state"), files_per_trigger=2)
     assert roll.columns == ["ship_month", "net_lines", "gross_revenue", "disc_revenue"]
     assert roll.count() > 0
+
+
+def test_ivm_lineitem_only_batch(spark, tmp_path):
+    """A micro-batch with NO qualifying customer/orders events (so no
+    ΔCO spill) must not kill the stream — regression: the co delta
+    read-back used to hit a missing path eagerly. The lineitem-only
+    epoch still applies CO_old ⋈ ΔL correctly."""
+    from query_processing_over_streaming_data_using_flink_spark.streaming.ivm import IncrementalQ3
+
+    log = build_changelog(spark, SF_SMOKE)
+    pipe = IncrementalQ3(spark, str(tmp_path / "state"))
+    # Epoch 0: customers + orders only (builds CO state, no lineitems).
+    pipe.process_batch(log.filter(F.col("relation") != "lineitem"), 0)
+    # Epoch 1: lineitem-only — co_parts is empty, tmp("co") absent.
+    pipe.process_batch(log.filter(F.col("relation") == "lineitem"), 1)
+    assert _rows(pipe.top_n(20)) == _rows(q3_on_state(log))
+
+
+def test_state_layout_mismatch_hard_fails(spark, tmp_path):
+    """Re-attaching a pipeline to a state dir written under a DIFFERENT
+    table layout (e.g. the pre-round-5 `o2` projection) must fail
+    loudly — silently reading empty DataFrames for missing tables would
+    under-count with no error."""
+    import pytest as _pytest
+
+    from query_processing_over_streaming_data_using_flink_spark.streaming.state_table import (
+        VersionedBucketedState,
+    )
+
+    old = VersionedBucketedState(
+        spark, str(tmp_path / "state"), {"o2": "bucket int, k long"}
+    )
+    spark.range(3).selectExpr("0 as bucket", "id as k").write.partitionBy(
+        "bucket"
+    ).mode("overwrite").parquet(old._tmp("o2"))
+    old.commit(0, append=True)
+
+    with _pytest.raises(RuntimeError, match="different pipeline version"):
+        VersionedBucketedState(
+            spark, str(tmp_path / "state"), {"co": "bucket int, k long"}
+        )
