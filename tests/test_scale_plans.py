@@ -296,3 +296,17 @@ def test_partitioned_read_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(lang" in plan, plan[:1500]
     n_en = docs.filter(F.col("lang") == "en").count()
     assert back.count() == n_en
+
+
+def test_covariance_gram_partial_plan(spark):
+    """The covariance plan must be the map-side-partial shape: a
+    single-column parquet scan into MapInPandas (per-partition gram
+    accumulation) and exactly ONE exchange — the (i, j) hash aggregate.
+    A second exchange would mean vectors are being shuffled."""
+    from query_processing_over_streaming_data_using_flink_spark.operators import linalg as la
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = _plan(la.covariance_long(emb))
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange") == 1, plan
+    assert "ReadSchema: struct<embedding:array<float>>" in plan, plan
