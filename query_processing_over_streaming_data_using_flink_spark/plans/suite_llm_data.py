@@ -2009,3 +2009,55 @@ FROM per_src s JOIN topl t ON s.source = t.source AND t.rk = 1
 
 
 register("corpus_quality_report", corpus_quality_report, _CORPUS_REPORT_SQL)
+
+
+def dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup — the incremental-crawl question: which
+    documents of the NEW batch (the top fifth of doc_ids, a
+    data-derived split) are novel vs the historical snapshot (the
+    rest)? A left-anti-style flag via one equi-join on the 16-byte
+    content fingerprint: both sides shuffle once on the digest, no
+    driver-side set, no quadratic work — the shape that holds when the
+    history is 100 TB and the batch is a day's crawl. Flat
+    (doc_id, source, is_novel) output."""
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = docs.agg(
+        F.expr("(count(*) * 4) DIV 5").cast("long").alias("cutoff")
+    )
+    fp = docs.crossJoin(F.broadcast(cutoff)).select(
+        "doc_id", "source", "cutoff", tx.doc_fingerprint(F.col("text")).alias("fp")
+    )
+    history_fps = (
+        fp.filter(F.col("doc_id") < F.col("cutoff")).select("fp").distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    return (
+        fp.filter(F.col("doc_id") >= F.col("cutoff"))
+        .join(history_fps, "fp", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.col("seen").isNull().alias("is_novel"),
+        )
+    )
+
+
+_CROSS_SNAPSHOT_SQL = """
+WITH cut AS (
+  SELECT (count(*) * 4) // 5 AS cutoff FROM documents
+), fp AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), hist AS (
+  SELECT DISTINCT f.fp FROM fp f, cut WHERE f.doc_id < cut.cutoff
+)
+SELECT f.doc_id, f.source, h.fp IS NULL AS is_novel
+FROM fp f
+CROSS JOIN cut
+LEFT JOIN hist h ON f.fp = h.fp
+WHERE f.doc_id >= cut.cutoff
+"""
+
+
+register("dedup_cross_snapshot", dedup_cross_snapshot, _CROSS_SNAPSHOT_SQL)

@@ -58,6 +58,7 @@ _PRIORITY_FIRST = [
     "mixture_temperature_sampling",
     "embedding_top_pc_projection",
     "corpus_quality_report",
+    "dedup_cross_snapshot",
     # The 12 stalest certifications (r1-green only, bumped for round-4
     # slots; VERDICT r4 ask #3 rotates them back in):
     "q17_small_quantity_revenue",
@@ -91,7 +92,6 @@ _PRIORITY_FIRST = [
     # r3-green, not re-checked since (r3 was two rounds ago):
     "changelog_build",
     "changelog_state_counts",
-    "changelog_q3_current_state",
     # q2_min_cost_supplier / q8_national_market_share /
     # q9_product_type_profit / q11_important_stock /
     # q12_late_shipment_priority / q13_customer_distribution /
@@ -100,9 +100,10 @@ _PRIORITY_FIRST = [
     # changelog_scd2_customer / pit_orders_customer_segment /
     # q4_order_priority / topk_orders / set_ops_active_keys /
     # sample_fixed_k_per_lang / pack_training_sequences /
-    # text_pii_scrub / text_quality_quartiles: displaced to the
-    # unlisted middle (positions 51-70) by the twenty round-5
-    # queries — r3-green, rotate back in r6.
+    # text_pii_scrub / text_quality_quartiles /
+    # changelog_q3_current_state: displaced to the unlisted middle
+    # (positions 51-71) by the twenty-one round-5 queries — r3-green,
+    # rotate back in r6.
 ]
 _PUSH_LAST = [
     # Driver-green in round 4 (CORRECTNESS_r04, fresh certification;

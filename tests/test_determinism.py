@@ -37,6 +37,7 @@ QUERIES = [
     "embedding_top_pc_projection",
     "changelog_monthly_revenue_state",
     "corpus_quality_report",
+    "dedup_cross_snapshot",
 ]
 
 

@@ -205,6 +205,7 @@ _BNLJ_ALLOWED = {
     "mixture_temperature_sampling",  # same shape, temperature-weighted rates
     "embedding_pca_power_iter",  # 1-row broadcast max|m| normalizer per iteration
     "embedding_top_pc_projection",  # composes the above + 1-row eigvec-array broadcast
+    "dedup_cross_snapshot",  # 1-row broadcast snapshot-cutoff scalar
 }
 
 
