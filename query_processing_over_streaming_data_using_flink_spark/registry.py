@@ -34,10 +34,73 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 _PRIORITY_FIRST = [
     # flagship stays first — it's also entry()
     "q3_shipping_priority",
-    # The one red r4 row (array column crashed the driver canonicalizer;
-    # reshaped to long format this round) — must record green.
+    # New in round 6 (never driver-checked):
+    "dedup_cross_snapshot_minhash",
+    "image_phash_near_dup",
+    "ann_ivf_refreshed_recall",
+    "changelog_windowed_churn_state",
+    # Stalest certifications: last driver-green in round 1 (the three
+    # API variants were parked past the cap as redundant; rotate them in
+    # once so nothing in the registry stays r1-only):
+    "topk_orders",
+    "set_ops_active_keys",
+    "q3_shipping_priority_sql",
+    "ann_bruteforce_pandas",
+    "join_customer_orders",
+    # r3-green block — 3 rounds stale by r6, exactly the staleness bound
+    # (VERDICT r5 ask #1 rotates the displaced twenty back in; the rest
+    # of the r3-greens from _PUSH_LAST rotate too so the whole registry
+    # stays within the bound):
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q8_national_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_relationship",
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
+    "changelog_scd2_customer",
+    "pit_orders_customer_segment",
+    "changelog_q3_current_state",
+    "sample_fixed_k_per_lang",
+    "pack_training_sequences",
+    "text_pii_scrub",
+    "text_quality_quartiles",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
+    "text_stats",
+    "text_lang_id",
+    "doc_fingerprints",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    # Tail of the 50-slot prefix: stalest r4-greens (2 rounds stale),
+    # registration order; anything past position 50 waits for r7.
+    "sessionize_events",
+    "funnel_click_to_purchase",
+    "events_tumbling_hourly",
+    "events_sliding_30m_15m",
+    "events_session_window",
+    "attr_interval_join_pairs",
+    "attr_last_touch",
+    "approx_distinct_users",
+]
+_PUSH_LAST = [
+    # Driver-green in round 5 (CORRECTNESS_r05, fresh certification;
+    # scripts/verify_contract.py still checks them every round) — safe
+    # past the 50-entry cap.
     "embedding_label_centroids",
-    # New in round 5 (never driver-checked):
     "ann_recall_lsh_vs_exact",
     "tfidf_top_terms",
     "bm25_search",
@@ -59,8 +122,6 @@ _PRIORITY_FIRST = [
     "embedding_top_pc_projection",
     "corpus_quality_report",
     "dedup_cross_snapshot",
-    # The 12 stalest certifications (r1-green only, bumped for round-4
-    # slots; VERDICT r4 ask #3 rotates them back in):
     "q17_small_quantity_revenue",
     "scalar_expressions",
     "join_range_price_tiers",
@@ -73,9 +134,6 @@ _PRIORITY_FIRST = [
     "join_outer_order_counts",
     "join_snowflake_dims",
     "agg_lineitem_pricing_summary",
-    # Next-stalest block: r1-green, re-certified r4 or earlier but not
-    # since r1 except via verify_contract; keep cycling so nothing ages
-    # past 3 rounds without a driver row.
     "ann_bruteforce",
     "ann_lsh",
     "ann_ivf",
@@ -89,83 +147,8 @@ _PRIORITY_FIRST = [
     "filter_project_customer",
     "filter_dates_orders",
     "join_orders_lineitem_revenue",
-    # r3-green, not re-checked since (r3 was two rounds ago):
     "changelog_build",
     "changelog_state_counts",
-    # q2_min_cost_supplier / q8_national_market_share /
-    # q9_product_type_profit / q11_important_stock /
-    # q12_late_shipment_priority / q13_customer_distribution /
-    # q15_top_supplier / q16_part_supplier_relationship /
-    # q20_potential_promotion / q21_suppliers_kept_waiting /
-    # changelog_scd2_customer / pit_orders_customer_segment /
-    # q4_order_priority / topk_orders / set_ops_active_keys /
-    # sample_fixed_k_per_lang / pack_training_sequences /
-    # text_pii_scrub / text_quality_quartiles /
-    # changelog_q3_current_state: displaced to the unlisted middle
-    # (positions 51-71) by the twenty-one round-5 queries — r3-green,
-    # rotate back in r6.
-]
-_PUSH_LAST = [
-    # Driver-green in round 4 (CORRECTNESS_r04, fresh certification;
-    # scripts/verify_contract.py still checks them every round) or
-    # semantically redundant API variants — safe past the 50-entry cap.
-    "sessionize_events",
-    "funnel_click_to_purchase",
-    "events_tumbling_hourly",
-    "events_sliding_30m_15m",
-    "events_session_window",
-    "attr_interval_join_pairs",
-    "attr_last_touch",
-    "approx_distinct_users",
-    "hll_union_daily_users",
-    "approx_quantiles_event_value",
-    "enrich_segment_activity",
-    "join_salted_user_nation",
-    "events_json_extract",
-    "events_to_json",
-    "agg_events_daily",
-    "pivot_event_counts",
-    "agg_events_by_type",
-    "agg_grouping_sets_events",
-    "join_asof_purchase",
-    "resample_gap_fill",
-    "q3_sql_stream",
-    "text_token_count",
-    "dedup_keep_best",
-    "cdc_latest_per_key",
-    "sample_weighted_sources",
-    "rollup_hourly_daily",
-    "chunk_documents_overlap",
-    "dq_referential_integrity",
-    "dq_profile_orders",
-    "clean_winsorize_values",
-    "unpivot_lineitem_amounts",
-    "agg_filtered_counts",
-    "ann_recall_ivf_vs_exact",
-    "events_retention_cohorts",
-    "basket_part_pairs",
-    "orders_backlog_curve",
-    # API variants / subsumed plans:
-    "q3_shipping_priority_sql",   # same plan+oracle family as q3_shipping_priority
-    "ann_bruteforce_pandas",      # pandas-UDF variant of ann_bruteforce
-    "join_customer_orders",       # subsumed by join_orders_lineitem_revenue / q3
-    # r3-green block (certified with hash-match in CORRECTNESS_r03):
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q22_global_sales_opportunity",
-    "text_stats",
-    "text_lang_id",
-    "doc_fingerprints",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
 ]
 
 
