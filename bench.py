@@ -79,10 +79,20 @@ def main() -> None:
                 pass  # warmup is best-effort; the timed run decides
     extra["warmup_sec"] = round(time.time() - t0, 3)
 
+    # Suite queries run twice and report the min (single runs drifted
+    # ±10% round-over-round, polluting regression detection); both runs
+    # are recorded in extra.query_runs.
+    query_runs: dict[str, list[float]] = {}
+    extra["query_runs"] = query_runs
+
     def bench(name: str, thunk) -> None:
-        t0 = time.time()
-        thunk()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            thunk()
+            runs.append(round(time.time() - t0, 3))
+        query_runs[name] = runs
+        timings[name] = min(runs)
 
     # Flagship batch Q3 (the reference's canonical query).
     bench("q3_shipping_priority", lambda: _run(q3_shipping_priority(spark, sf_dir)))
@@ -201,6 +211,12 @@ def main() -> None:
                     staged,
                     state_dir,
                     files_per_trigger=max(1, nfiles // 4),
+                    # local[32] with 128 GiB has the headroom for large
+                    # broadcasts; the cluster-conservative class default
+                    # (256 MB est. in-memory) would shuffle the bulk
+                    # epochs here. 1 GiB est. in-memory ≈ 256 MB on-disk
+                    # — the measured-good local value (OPERATIONS.md).
+                    broadcast_threshold_bytes=1 << 30,
                 )
                 ivm_runs.append(round(time.time() - t0, 3))
             ivm_sec = min(ivm_runs)

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 # accumulation overflows only past ~2^43 rows per partition.
 Q_COMP = 1 << 10
 
-_GRAM_SCHEMA = "i int, j int, sxy long, si long, sj long, n long"
+_GRAM_SCHEMA = "i int, j int, sxy long, si long, sj long, n long, d int"
 
 
 def _gram_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -92,6 +92,12 @@ def _gram_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "si": np.repeat(s, d),
             "sj": np.tile(s, d),
             "n": np.full(d * d, n, dtype="int64"),
+            # Observed embedding width: np.stack only catches ragged
+            # vectors WITHIN a partition; the aggregate asserts a single
+            # distinct d ACROSS partitions (internally-consistent
+            # partitions of different widths would otherwise silently
+            # mix dimensions).
+            "d": np.full(d * d, d, dtype="int32"),
         }
     )
 
@@ -103,11 +109,37 @@ def gram_long(emb: DataFrame) -> DataFrame:
     ``n`` — the sufficient statistics for covariance, correlation and
     uncentered PCA in one pass."""
     parts = emb.select("embedding").mapInPandas(_gram_partials, _GRAM_SCHEMA)
-    return parts.groupBy("i", "j").agg(
+    agg = parts.groupBy("i", "j").agg(
         F.sum("sxy").alias("sxy"),
         F.sum("si").alias("si"),
         F.sum("sj").alias("sj"),
         F.sum("n").alias("n"),
+        # min/max (not count_distinct, which would plan a second
+        # exchange) — mixed widths surface as min ≠ max.
+        F.min("d").alias("_dmin"),
+        F.max("d").alias("_dmax"),
+    )
+    # Cross-partition width guard: cell (0, 0) receives a partial from
+    # EVERY non-empty partition, so mixed widths always surface as
+    # _dmin ≠ _dmax there. The check lives inside sxy's expression (not
+    # a droppable extra column) so Catalyst column pruning can't elide
+    # it.
+    return agg.select(
+        "i",
+        "j",
+        F.when(F.col("_dmin") == F.col("_dmax"), F.col("sxy"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "gram_long: partitions disagree on embedding width — "
+                    "ragged corpus; fix the embedding column upstream"
+                )
+            ).cast("long")
+        )
+        .alias("sxy"),
+        "si",
+        "sj",
+        "n",
     )
 
 
@@ -142,6 +174,20 @@ def covariance_long(emb: DataFrame) -> DataFrame:
 Q_VEC = 1 << 10
 
 
+def _nonzero(col: str) -> str:
+    """SQL guard for the truncating divisions: an all-zero matrix (a
+    degenerate/empty-ish corpus) would make ``x DIV 0`` yield NULLs in
+    non-ANSI Spark — silent NULL eigenvector rows — while DuckDB's
+    ``//`` errors. Raise loudly in BOTH engines instead (the oracle's
+    ``//`` already does)."""
+    return (
+        f"(CASE WHEN {col} = 0 THEN raise_error("
+        "'power iteration: all-zero matrix (degenerate gram); "
+        "nothing to normalize') "
+        f"ELSE {col} END)"
+    )
+
+
 def _pin(df: DataFrame) -> DataFrame:
     """Materialize a KB-sized intermediate (localCheckpoint) — each
     squaring / iteration step references its input TWICE (self-join;
@@ -158,7 +204,7 @@ def _renorm(mat: DataFrame, col: str) -> DataFrame:
     mat = _pin(mat)
     mx = mat.agg(F.max(F.abs(F.col(col))).alias("mx"))
     return mat.crossJoin(F.broadcast(mx)).select(
-        "i", "j", F.expr(f"({col} * {Q_VEC}) DIV mx").alias(col)
+        "i", "j", F.expr(f"({col} * {Q_VEC}) DIV {_nonzero('mx')}").alias(col)
     )
 
 
@@ -239,7 +285,7 @@ def _power_iteration_raw(gram: DataFrame, iters: int, squarings: int) -> DataFra
             m.crossJoin(F.broadcast(mx))
             .select(
                 F.col("i").alias("dim"),
-                F.expr(f"(m * {Q_VEC}) DIV mx").alias("v"),
+                F.expr(f"(m * {Q_VEC}) DIV {_nonzero('mx')}").alias("v"),
             )
         )
     last_m = (

@@ -80,6 +80,7 @@ from pyspark.sql import functions as F
 from query_processing_over_streaming_data_using_flink_spark.functions.scalar import ts_lit
 from query_processing_over_streaming_data_using_flink_spark.streaming.state_table import (
     VersionedBucketedState,
+    dir_bytes,
 )
 
 # Bucket count for the state tables. Local default; on a cluster size it
@@ -101,16 +102,27 @@ def _selective(df: DataFrame, key: str) -> DataFrame:
 class IncrementalQ3:
     """foreachBatch handler maintaining Q3 state incrementally."""
 
-    # A spilled delta below this size is force-broadcast (arming DPP on
-    # the state probes); above it the join is left to AQE. The default is
-    # deliberately generous: a broadcast delta turns every state probe
-    # into a pruned scan + hash probe with NO state-side shuffle, which
-    # beats shuffling millions of state rows until the delta itself is
-    # enormous (measured at SF-1: a 16 MB cutover flipped the 4 bulk
-    # epochs to full-state shuffle joins, 47 s → 122 s). Class-level so
-    # deployments can size it to executor memory / cluster fan-out —
-    # on a wide cluster, broadcast cost is threshold × executors.
+    # A side whose ESTIMATED IN-MEMORY size (on-disk parquet bytes ×
+    # PARQUET_EXPANSION — the hash relation built from snappy-compressed
+    # columnar files is several× larger than the files) is below this
+    # threshold is force-broadcast (arming DPP on the state probes);
+    # above it the join is left to AQE. The default is cluster-
+    # conservative — 256 MB estimated in-memory ≈ 64 MB on-disk — since
+    # on a wide cluster broadcast cost is threshold × executors and an
+    # under-estimated relation OOMs the executors (Spark's own
+    # autoBroadcastJoinThreshold defaults to 10 MB for the same reason).
+    # A broadcast delta turns every state probe into a pruned scan +
+    # hash probe with NO state-side shuffle, which beats shuffling
+    # millions of state rows until the delta itself is enormous
+    # (measured at SF-1 local[32]: a 16 MB on-disk cutover flipped the
+    # 4 bulk epochs to full-state shuffle joins, 47 s → 122 s) — so
+    # single-node deployments with memory headroom should RAISE this
+    # (bench.py passes 1 GiB ≈ 256 MB on-disk, the measured-good
+    # local[32] value; sizing rule in OPERATIONS.md).
     broadcast_threshold_bytes: int = 256 << 20
+    # Conservative decompression/expansion factor from on-disk snappy
+    # parquet bytes to an in-memory BroadcastHashJoin relation.
+    PARQUET_EXPANSION: int = 4
 
     # table -> (partition bucket's source key, schema). `co` is the
     # MAINTAINED INTERMEDIATE VIEW C⋈O (weight = w_c·w_o, bucketed by
@@ -136,9 +148,12 @@ class IncrementalQ3:
         segment: str = "BUILDING",
         cutoff: str = "1995-03-15",
         run_id: str | None = None,
+        broadcast_threshold_bytes: int | None = None,
     ) -> None:
         self.spark = spark
         self.state_dir = state_dir
+        if broadcast_threshold_bytes is not None:
+            self.broadcast_threshold_bytes = broadcast_threshold_bytes
         self.segment = segment
         self.cutoff = cutoff
         # All state mechanics (versioned dirs, hard-link carry-over,
@@ -325,10 +340,7 @@ class IncrementalQ3:
             )
 
         def spill_bytes(name: str) -> int:
-            total = 0
-            for root, _dirs, files in _os.walk(self._tmp(name)):
-                total += sum(_os.path.getsize(_os.path.join(root, f)) for f in files)
-            return total
+            return dir_bytes(self._tmp(name))
 
         # Adaptive physical strategy, sized from REAL on-disk bytes of
         # both sides (spilled delta files + committed state files; zero
@@ -343,7 +355,9 @@ class IncrementalQ3:
         # and AQE picks the join from runtime sizes — the escape hatch
         # a 1000-executor cluster needs when a micro-batch is a whole
         # partition backfill.
-        thr = self.broadcast_threshold_bytes
+        # The threshold is an estimated-in-memory bound; the probes
+        # measure compressed on-disk bytes, so divide out the expansion.
+        thr = self.broadcast_threshold_bytes // self.PARQUET_EXPANSION
 
         def sides(
             delta_df: DataFrame, dbytes: int, state_df: DataFrame, sbytes: int
@@ -534,6 +548,7 @@ def run_streaming_q3(
     on_progress=None,
     checkpoint_dir: str | None = None,
     compact_every: int | None = None,
+    broadcast_threshold_bytes: int | None = None,
 ) -> DataFrame:
     """Consume a parquet-directory changelog as a Structured Streaming
     source (micro-batches of whole files, like the reference's
@@ -561,7 +576,9 @@ def run_streaming_q3(
     import os as _os
 
     static = spark.read.parquet(changelog_dir)
-    pipe = IncrementalQ3(spark, state_dir)
+    pipe = IncrementalQ3(
+        spark, state_dir, broadcast_threshold_bytes=broadcast_threshold_bytes
+    )
     applied = {"n": 0}
 
     def bind_run() -> None:

@@ -538,6 +538,42 @@ def test_embedding_covariance_matches_numpy(spark):
         assert abs(c - expect[i, j]) < 1e-5, (i, j, c, expect[i, j])
 
 
+def test_gram_rejects_cross_partition_width_mismatch(spark):
+    """Partitions that are internally consistent but disagree on the
+    embedding width must fail loudly (the per-partition np.stack guard
+    only catches ragged vectors WITHIN a partition)."""
+    import pytest
+
+    from query_processing_over_streaming_data_using_flink_spark.operators import linalg as la
+
+    # Width keyed on the partition id: each of the 2 range partitions is
+    # internally consistent, so the per-partition np.stack succeeds and
+    # only the cross-partition aggregate guard can catch it. (A union of
+    # literal sides won't do — ConvertToLocalRelation folds it into one
+    # partition.)
+    mixed = spark.range(0, 16, 1, 2).selectExpr(
+        "case when spark_partition_id() = 0 "
+        "then array(cast(id as float), 1.0f) "
+        "else array(cast(id as float), 1.0f, 2.0f) end as embedding"
+    )
+    assert mixed.rdd.getNumPartitions() == 2
+    with pytest.raises(Exception, match="disagree on embedding width"):
+        la.gram_long(mixed).collect()
+
+
+def test_power_iteration_rejects_all_zero_gram(spark):
+    """A degenerate all-zero corpus must raise (matching the DuckDB
+    oracle's division error), not silently emit NULL eigenvector rows
+    via non-ANSI x DIV 0."""
+    import pytest
+
+    from query_processing_over_streaming_data_using_flink_spark.operators import linalg as la
+
+    zeros = spark.range(0, 16).selectExpr("array(0.0f, 0.0f, 0.0f) as embedding")
+    with pytest.raises(Exception, match="all-zero matrix"):
+        la.power_iteration_top_eig(la.gram_long(zeros), iters=2, squarings=1).collect()
+
+
 def test_power_iteration_finds_top_eigvec(spark):
     """After 8 integer-exact rounds the iterate must align with NumPy's
     top eigenvector of the same n-normalized quantized gram matrix
