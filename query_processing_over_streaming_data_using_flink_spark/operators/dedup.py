@@ -182,6 +182,67 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
+def cross_snapshot_minhash(
+    history: DataFrame, batch: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Cross-snapshot NEAR-dedup — the incremental-crawl question the
+    exact-fingerprint variant misses: which docs of a NEW batch are
+    near-duplicate re-crawls of the historical corpus (boilerplate
+    tweaks, timestamps, minor edits)?
+
+    Shape: MinHash band keys of the batch equi-joined against the
+    HISTORY band table on (band, band_key) — the only corpus-scale
+    shuffle; candidates verified with exact shingle-set Jaccard. In
+    production the history signatures/bands are a maintained table
+    (`streaming/dedup.py` keeps exactly this state incrementally), so a
+    daily batch costs one signature pass over the batch plus a
+    candidates-only join — the history text is never re-read.
+
+    Returns one row per batch doc with a non-empty shingle set:
+    (doc_id, n_near_dups, max_jaccard, is_novel).
+    """
+    hist_sigs = minhash_signatures(history).persist()
+    batch_sigs = minhash_signatures(batch).persist()
+    hist_bands = band_keys(hist_sigs)
+    batch_bands = band_keys(batch_sigs)
+    candidates = (
+        batch_bands.alias("x")
+        .join(
+            hist_bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key")),
+        )
+        .select(F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("hist_id"))
+        .distinct()
+    )
+    a = batch_sigs.select("doc_id", F.col("sh").alias("sh_a"))
+    b = hist_sigs.select(F.col("doc_id").alias("hist_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    verified = (
+        candidates.join(a, "doc_id")
+        .join(b, "hist_id")
+        .select(
+            "doc_id",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    per_doc = verified.groupBy("doc_id").agg(
+        F.count("*").alias("n_near_dups"), F.max("jaccard").alias("max_jaccard")
+    )
+    return (
+        batch_sigs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_near_dups"), F.lit(0).cast("long")).alias("n_near_dups"),
+            "max_jaccard",
+            F.col("n_near_dups").isNull().alias("is_novel"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float, block_col: str = "lang") -> DataFrame:
     """All-pairs n-gram Jaccard within blocks — exact near-dup baseline
     (quadratic within a block; use MinHash-LSH at scale)."""

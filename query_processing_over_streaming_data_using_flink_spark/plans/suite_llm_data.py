@@ -2061,3 +2061,82 @@ WHERE f.doc_id >= cut.cutoff
 
 
 register("dedup_cross_snapshot", dedup_cross_snapshot, _CROSS_SNAPSHOT_SQL)
+
+
+def dedup_cross_snapshot_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot NEAR-dedup (`operators/dedup.py:
+    cross_snapshot_minhash`): the new batch (top fifth of doc_ids) is
+    MinHash-banded against the historical corpus (the rest) and
+    candidates are verified with exact Jaccard — catching the
+    near-duplicate re-crawls (boilerplate tweaks, timestamps) the
+    exact-fingerprint `dedup_cross_snapshot` misses. Flat per-batch-doc
+    output (doc_id, n_near_dups, max_jaccard, is_novel)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = docs.agg(F.expr("(count(*) * 4) DIV 5").cast("long").alias("cutoff"))
+    tagged = docs.crossJoin(F.broadcast(cutoff))
+    history = tagged.filter(F.col("doc_id") < F.col("cutoff")).select("doc_id", "text")
+    batch = tagged.filter(F.col("doc_id") >= F.col("cutoff")).select("doc_id", "text")
+    return dd.cross_snapshot_minhash(history, batch, threshold=0.35)
+
+
+def _cross_snapshot_minhash_sql() -> str:
+    perms = ", ".join(
+        f"list_min(list_transform(sh, h -> ({a} * (h % {dd.MINHASH_P}) + {b}) % {dd.MINHASH_P}))"
+        for a, b in dd.MINHASH_PERMS
+    )
+    band_rows = []
+    for band in range(dd.MINHASH_BANDS):
+        concat = " || ',' || ".join(
+            f"CAST(sig[{band * dd.MINHASH_ROWS + r + 1}] AS VARCHAR)"
+            for r in range(dd.MINHASH_ROWS)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {band} AS band, "
+            f"{_H64.format(x=concat)} AS band_key FROM sigs"
+        )
+    bands_union = " UNION ALL ".join(band_rows)
+    return f"""
+WITH cut AS (
+  SELECT (count(*) * 4) // 5 AS cutoff FROM documents
+),
+docs_sh AS (
+  SELECT doc_id, {_shingle_hashes_sql()} AS sh
+  FROM (SELECT *, {_TOKENS} AS toks FROM documents)
+),
+sigs AS (
+  SELECT doc_id, sh, [{perms}] AS sig FROM docs_sh WHERE len(sh) > 0
+),
+bands AS ({bands_union}),
+bb AS (SELECT b.* FROM bands b, cut WHERE b.doc_id >= cut.cutoff),
+hb AS (SELECT b.* FROM bands b, cut WHERE b.doc_id < cut.cutoff),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS hist_id
+  FROM bb x JOIN hb y ON x.band = y.band AND x.band_key = y.band_key
+),
+ver AS (
+  SELECT cand.doc_id,
+         round(len(list_intersect(a.sh, b.sh))
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+  FROM cand JOIN sigs a ON cand.doc_id = a.doc_id
+            JOIN sigs b ON cand.hist_id = b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35
+),
+per AS (
+  SELECT doc_id, count(*) AS n_near_dups, max(jaccard) AS max_jaccard
+  FROM ver GROUP BY doc_id
+)
+SELECT s.doc_id,
+       coalesce(p.n_near_dups, 0) AS n_near_dups,
+       p.max_jaccard,
+       p.doc_id IS NULL AS is_novel
+FROM sigs s CROSS JOIN cut LEFT JOIN per p ON s.doc_id = p.doc_id
+WHERE s.doc_id >= cut.cutoff
+"""
+
+
+register(
+    "dedup_cross_snapshot_minhash",
+    dedup_cross_snapshot_minhash,
+    _cross_snapshot_minhash_sql(),
+)

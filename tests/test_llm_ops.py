@@ -56,6 +56,29 @@ def test_minhash_lsh_recall(planted_docs):
         assert 13 not in p, "unrelated doc must not pair"
 
 
+def test_cross_snapshot_minhash_recall(spark, planted_docs):
+    """Incremental-crawl near-dedup: the history is docs 0-9; the new
+    batch contains an exact re-crawl of 0, a near-dup of 1 (one word of
+    30 changed — invisible to exact fingerprints), and a genuinely new
+    doc. The first two must be flagged non-novel, the new doc novel."""
+    history = planted_docs.filter(F.col("doc_id") <= 9).select("doc_id", "text")
+    base1 = planted_docs.filter(F.col("doc_id") == 1).first()["text"]
+    batch = spark.createDataFrame(
+        [
+            (100, planted_docs.filter(F.col("doc_id") == 0).first()["text"]),
+            (101, base1.replace("w1t15", "EDITED")),
+            (102, " ".join(f"fresh{j}" for j in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dd.cross_snapshot_minhash(history, batch, 0.5).collect()}
+    assert not out[100]["is_novel"] and out[100]["max_jaccard"] == 1.0
+    assert not out[101]["is_novel"], "near-dup re-crawl must be caught"
+    assert out[101]["n_near_dups"] >= 1
+    assert out[102]["is_novel"] and out[102]["n_near_dups"] == 0
+    assert out[102]["max_jaccard"] is None
+
+
 def test_ngram_jaccard_planted(planted_docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
