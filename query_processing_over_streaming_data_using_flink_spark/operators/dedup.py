@@ -466,27 +466,33 @@ def decontaminate(docs: DataFrame, eval_pred: Column) -> DataFrame:
 SIMHASH_BAND_SHIFTS = ((0, 0xFFFF), (16, 0xFFFF), (32, 0xFFFF), (48, 0xFFFF))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs via banded self-join: by pigeonhole, any
-    pair within hamming ≤ 3 matches exactly on ≥1 of 4 bands, so the
-    join is on (band, band_value) — near-linear, no all-pairs scan —
-    then verified with bit_count(xor)."""
-    sh = simhash_df(docs).persist()
-    bands = sh.select(
+def hamming_band_pairs(
+    keys: DataFrame, key_col: str = "sh", max_hamming: int = 3
+) -> DataFrame:
+    """Banded hamming self-join over any (doc_id, <key_col> long) table
+    of 64-bit keys: by pigeonhole, a pair within hamming ≤ 3 agrees
+    exactly on ≥1 of the 4 16-bit bands, so candidates come from an
+    equi-join on (band, band_value) — near-linear, no all-pairs scan —
+    then verified with bit_count(xor). Shared by SimHash text dedup and
+    perceptual-hash (dHash) image dedup.
+
+    Returns (doc_a, doc_b, key_a, key_b, hamming)."""
+    kdf = keys.select("doc_id", F.col(key_col).alias("k"))
+    bands = kdf.select(
         "doc_id",
-        "sh",
+        "k",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright("sh", shift).bitwiseAND(F.lit(mask)).alias("bval"),
+                        F.shiftright("k", shift).bitwiseAND(F.lit(mask)).alias("bval"),
                     )
                     for i, (shift, mask) in enumerate(SIMHASH_BAND_SHIFTS)
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "sh", "bk.band", "bk.bval")
+    ).select("doc_id", "k", "bk.band", "bk.bval")
     a = bands.alias("x")
     b = bands.alias("y")
     return (
@@ -499,10 +505,23 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-            F.col("x.sh").alias("sh_a"),
-            F.col("y.sh").alias("sh_b"),
+            F.col("x.k").alias("key_a"),
+            F.col("y.k").alias("key_b"),
         )
         .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .withColumn("hamming", F.bit_count(F.col("key_a").bitwiseXOR(F.col("key_b"))))
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs via the banded hamming self-join
+    (`hamming_band_pairs`)."""
+    sh = simhash_df(docs).persist()
+    return hamming_band_pairs(sh, "sh", max_hamming).select(
+        "doc_a",
+        "doc_b",
+        F.col("key_a").alias("sh_a"),
+        F.col("key_b").alias("sh_b"),
+        "hamming",
     )

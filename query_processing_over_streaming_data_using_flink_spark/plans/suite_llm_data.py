@@ -1587,6 +1587,80 @@ SELECT * FROM img UNION ALL SELECT * FROM aud
 register("multimodal_real_roundtrip", multimodal_real_roundtrip, _REAL_MM_SQL)
 
 
+def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE near-dedup over the real decoder: every
+    doc gets a genuine binary PPM (base pixels keyed by doc_id % 101;
+    odd doc_ids carry the 2× nearest-neighbor upscale — a true
+    perceptual near-dup with different bytes and dimensions), the
+    dHash is computed from the DECODED raster
+    (`multimodal.image_dhash` → `media_codec.dhash64`), and pairs come
+    from the SimHash pigeonhole banding (`dedup.hamming_band_pairs`) —
+    one equi-join, no all-pairs scan. The DuckDB oracle never touches
+    bytes: it recomputes every dHash in closed form from doc_id
+    arithmetic (including the scale invariance of the upscaled
+    variants), so a hash-match certifies encoder, decoder, grayscale,
+    grid sampling, bit assembly, and banding end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.synthesize_image_corpus(docs, repeat=101)
+    dh = mm.image_dhash(media)
+    return dd.hamming_band_pairs(dh, "dh", max_hamming=3).select(
+        "doc_a", "doc_b", "hamming"
+    )
+
+
+def _image_phash_sql() -> str:
+    # Closed-form dHash of the synthetic corpus: raster byte i of base
+    # image sid is (sid*31 + 7i² + 11i) % 256; gray(k) is the
+    # truncating channel mean; the 2× upscale of odd docs samples the
+    # SAME base pixels on the fixed 8×9 dHash grid
+    # (floor((r*2h)/8)//2 == floor((r*h)/8)), so dh depends on sid only.
+    f = "(sid * 31 + 7 * {i} * {i} + 11 * {i}) % 256"
+    gray = (
+        f"(({f.format(i='(3 * k)')}) + ({f.format(i='(3 * k + 1)')}) "
+        f"+ ({f.format(i='(3 * k + 2)')})) // 3"
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, dh, {i} AS band, (dh >> {shift}) & {mask} AS bval FROM dh"
+        for i, (shift, mask) in enumerate(dd.SIMHASH_BAND_SHIFTS)
+    )
+    return f"""
+WITH ids AS (SELECT doc_id, doc_id % 101 AS sid FROM documents),
+dims AS (SELECT doc_id, sid, 8 + sid % 16 AS w, 6 + sid % 12 AS h FROM ids),
+grid AS (
+  SELECT d.doc_id, d.sid, r.r, c.c,
+         ((r.r * d.h) // 8) * d.w + ((c.c * d.w) // 9) AS k
+  FROM dims d, range(0, 8) r(r), range(0, 9) c(c)
+),
+gray AS (SELECT doc_id, r, c, {gray} AS g FROM grid),
+bits AS (
+  SELECT g1.doc_id, g1.r * 8 + g1.c AS idx
+  FROM gray g1 JOIN gray g2
+    ON g1.doc_id = g2.doc_id AND g1.r = g2.r AND g2.c = g1.c + 1
+  WHERE g1.c < 8 AND g1.g > g2.g
+),
+dh AS (
+  SELECT i.doc_id,
+         CAST(coalesce(sum(CASE WHEN b.idx = 63 THEN -9223372036854775808
+                                ELSE (CAST(1 AS BIGINT) << b.idx) END), 0)
+              AS BIGINT) AS dh
+  FROM ids i LEFT JOIN bits b USING (doc_id)
+  GROUP BY i.doc_id
+),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.dh AS dh_a, y.dh AS dh_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(dh_a, dh_b)) AS hamming
+FROM cand WHERE bit_count(xor(dh_a, dh_b)) <= 3
+"""
+
+
+register("image_phash_near_dup", image_phash_near_dup, _image_phash_sql())
+
+
 def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture construction — the step that turns a raw
     corpus into a training mix: spend half the corpus's estimated

@@ -79,6 +79,42 @@ def test_cross_snapshot_minhash_recall(spark, planted_docs):
     assert out[102]["max_jaccard"] is None
 
 
+def test_image_phash_scaled_shifted_recall(spark):
+    """Perceptual image dedup: a 2× nearest-neighbor upscale and a
+    +20-brightness shift of the same base image must hash to (near-)
+    identical dHashes and be paired; an unrelated image must not."""
+    import numpy as np
+
+    from query_processing_over_streaming_data_using_flink_spark.operators import media_codec as mc
+    from query_processing_over_streaming_data_using_flink_spark.operators import multimodal as mm
+
+    # Mid-range gradient (values 40..199) so the brightness shift never
+    # wraps mod 256 and comparison signs are provably unchanged.
+    y, x = np.mgrid[0:12, 0:16]
+    base = (40 + ((x * 13 + y * 29) % 160))[..., None].repeat(3, axis=2).astype("uint8")
+    scaled = mc.resize_nearest(base, 32, 24)
+    shifted = np.clip(base.astype("int64") + 20, 0, 255).astype("uint8")
+    unrelated = mc.synth_image_pixels_mixed(5)
+    rows = [
+        (0, bytearray(mc.encode_ppm(base)), mm.PPM_TYPE),
+        (1, bytearray(mc.encode_ppm(scaled)), mm.PPM_TYPE),
+        (2, bytearray(mc.encode_ppm(shifted)), mm.PPM_TYPE),
+        (3, bytearray(mc.encode_ppm(unrelated)), mm.PPM_TYPE),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, content binary, media_type string"
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dd.hamming_band_pairs(mm.image_dhash(media), "dh", 3).collect()
+    }
+    assert pairs[(0, 1)] == 0, "2x scaled copy must hash identically"
+    assert pairs[(0, 2)] == 0, "non-wrapping brightness shift must hash identically"
+    assert (1, 2) in pairs
+    for p in pairs:
+        assert 3 not in p, "unrelated image must not pair"
+
+
 def test_ngram_jaccard_planted(planted_docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
