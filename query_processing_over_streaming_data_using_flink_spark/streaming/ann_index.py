@@ -10,10 +10,13 @@ embeddings continuously, and the index must absorb them without
 rebuilding — FAISS `add()` semantics, re-expressed relationally.
 
 Design:
-* centroids are FROZEN at index creation (caller-provided — e.g.
-  `operators/similarity.py:ivf_centroids` over a bootstrap corpus — or
-  trained on the first batch): the standard IVF discipline, assignment
-  stays deterministic forever after;
+* centroids are FROZEN between maintenance passes (caller-provided —
+  e.g. `operators/similarity.py:ivf_centroids` over a bootstrap corpus
+  — or trained on the first batch): the standard IVF discipline,
+  assignment stays deterministic between refreshes. A DRIFTING stream
+  re-clusters via `refresh_centroids()` — retrain on everything
+  ingested, re-assign the inverted lists as an atomic
+  `compact(transforms)` version flip (recluster-as-compaction);
 * each micro-batch assigns its vectors to their nearest centroid (one
   broadcast join against ≤ `cells` centroid rows — no corpus shuffle)
   and APPENDS them to the inverted lists: state table `inv` is
@@ -118,6 +121,51 @@ class IncrementalIVFIndex:
         # vectors' part files land next to the hard-linked old ones.
         self.state.commit(epoch_id, append=True)
         self.epoch = epoch_id
+
+    # -- maintenance ---------------------------------------------------------
+
+    def refresh_centroids(self, refine: int = sim.IVF_REFINE) -> None:
+        """Scheduled recluster — the maintenance pass a DRIFTING stream
+        needs: frozen centroids trained on the bootstrap distribution
+        scatter later out-of-distribution vectors across cells on
+        noise, capping recall at ~nprobe/cells for drifted queries.
+        This retrains the quantizer on EVERYTHING ingested so far
+        (`similarity.ivf_centroids` — same deterministic seeding and
+        Lloyd rounds as the batch index, so stream==batch `knn_ivf`
+        equivalence holds again immediately after the refresh) and
+        re-assigns every inverted list as a `compact(transforms)` pass
+        on the versioned store: new cell layout written next to the
+        old, one atomic pointer flip, in-flight readers keep resolving
+        the previous version. Cost is one corpus pass per Lloyd round
+        plus one corpus rewrite — run it like any compaction (hourly /
+        daily / on a drift monitor's signal, cf. OPERATIONS.md)."""
+        inv = self.state.read("inv")
+        corpus = inv.select(
+            F.col("n_id").alias("vec_id"), F.col("n_vec").alias("embedding")
+        )
+        # Pin the retrained quantizer: the transforms below run inside
+        # the compaction (whose writes must not re-trigger training),
+        # and the table is KB-sized (≤ cells × d rows).
+        cents = sim.ivf_centroids(corpus, cells=self.cells, refine=refine).localCheckpoint(
+            eager=True
+        )
+
+        def reassign(inv_df: DataFrame) -> DataFrame:
+            assigned = sim._nearest_cells(
+                inv_df.select(F.col("n_id").alias("id"), F.col("n_vec").alias("vec")),
+                cents,
+                1,
+            )
+            return assigned.select(
+                F.col("cell").cast("int").alias("bucket"),
+                F.col("id").alias("n_id"),
+                F.col("vec").alias("n_vec"),
+                F.col("cell").cast("int").alias("cell"),
+            )
+
+        self.state.compact(
+            {"inv": reassign, "cents": lambda _old: self._cents_long(cents)}
+        )
 
     # -- search --------------------------------------------------------------
 
