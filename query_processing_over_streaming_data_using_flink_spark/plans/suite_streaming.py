@@ -72,6 +72,33 @@ def changelog_state_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def changelog_windowed_churn_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-churn rendering of the sliding window: W = ⌊N/4⌋ (the
+    reference's default window equals the whole dataset, so deletes
+    only drain at the end — this variant makes inserts and deletes
+    interleave from a quarter of the way in) with the stream truncated
+    at K = N. Verifies the generator's delete timing under genuine
+    churn: per relation, event/insert/delete counts, net live rows
+    (= the window occupancy at K), and the churn ratio."""
+    from query_processing_over_streaming_data_using_flink_spark.sources.catalog import load_table
+
+    n = sum(
+        load_table(spark, sf_dir, t).count() for t in ("customer", "orders", "lineitem")
+    )
+    log = build_changelog(spark, sf_dir, window=n // 4).filter(F.col("seq") <= n)
+    return log.groupBy("relation").agg(
+        F.count("*").alias("n_events"),
+        F.sum("op").alias("net_rows"),
+        F.sum(F.when(F.col("op") == 1, 1).otherwise(0)).alias("n_inserts"),
+        F.sum(F.when(F.col("op") == -1, 1).otherwise(0)).alias("n_deletes"),
+        F.round(
+            F.sum(F.when(F.col("op") == -1, 1).otherwise(0))
+            / F.sum(F.when(F.col("op") == 1, 1).otherwise(0)),
+            6,
+        ).alias("churn_ratio"),
+    )
+
+
 def changelog_q3_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 over the surviving sliding window at event K — what the
     reference's dashboard shows mid-stream, computed by signed-weight
@@ -158,6 +185,21 @@ register(
            CAST(sum(CASE WHEN op = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
            CAST(sum(CASE WHEN op = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
     FROM ({_events_prefix_sql()})
+    GROUP BY relation
+    """,
+)
+
+register(
+    "changelog_windowed_churn_state",
+    changelog_windowed_churn_state,
+    f"""
+    SELECT relation, count(*) AS n_events,
+           CAST(sum(op) AS BIGINT) AS net_rows,
+           CAST(sum(CASE WHEN op = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+           CAST(sum(CASE WHEN op = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+           round(sum(CASE WHEN op = -1 THEN 1 ELSE 0 END)
+                 / sum(CASE WHEN op = 1 THEN 1 ELSE 0 END), 6) AS churn_ratio
+    FROM ({changelog_sql(window=f"({_N_SQL} // 4)")}) WHERE seq <= {_N_SQL}
     GROUP BY relation
     """,
 )

@@ -37,7 +37,6 @@ _PRIORITY_FIRST = [
     # New in round 6 (never driver-checked):
     "dedup_cross_snapshot_minhash",
     "image_phash_near_dup",
-    "ann_ivf_refreshed_recall",
     "changelog_windowed_churn_state",
     # Stalest certifications: last driver-green in round 1 (the three
     # API variants were parked past the cap as redundant; rotate them in
