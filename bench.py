@@ -220,6 +220,78 @@ def main() -> None:
                 )
                 ivm_runs.append(round(time.time() - t0, 3))
             ivm_sec = min(ivm_runs)
+            # Windowed-churn soak: the reference's default window equals
+            # the whole dataset, so deletes only drain at the end and
+            # the IVM bench above never exercises churn — the log-
+            # structured commit's worst case. Re-run with window ≈ 1M
+            # events (deletes interleave from ~7% in) under scheduled
+            # compaction, recording state size and read amplification
+            # (parquet files per state table vs its bucket count) after
+            # each epoch.
+            import json as _json
+
+            from query_processing_over_streaming_data_using_flink_spark.streaming.state_table import (
+                dir_bytes as _dir_bytes,
+            )
+
+            churn_staged = os.path.join(tmp, "churn_changelog")
+            t0 = time.time()
+            # Truncate mid-drain (K = 1.5N) so the final state is
+            # non-trivial and the stream==batch check is meaningful.
+            build_changelog(spark, tmp, window=10**6).filter(
+                F.col("seq") <= n1 + n1 // 2
+            ).write.parquet(churn_staged)
+            churn_stage_sec = round(time.time() - t0, 3)
+            churn_state = os.path.join(tmp, "churn_state")
+            telemetry: list[dict] = []
+
+            def _state_probe(state_dir: str) -> dict:
+                try:
+                    with open(os.path.join(state_dir, "CURRENT")) as fh:
+                        ver = _json.load(fh)["version"]
+                except FileNotFoundError:
+                    return {"bytes": 0, "files": 0}
+                vdir = os.path.join(state_dir, ver)
+                n_files = sum(
+                    len([f for f in files if f.endswith(".parquet")])
+                    for _r, _d, files in os.walk(vdir)
+                )
+                return {"bytes": _dir_bytes(vdir), "files": n_files}
+
+            def _on_progress(epoch_id: int, _top) -> None:
+                p = _state_probe(churn_state)
+                telemetry.append(
+                    {"epoch": epoch_id, "state_bytes": p["bytes"], "state_files": p["files"]}
+                )
+
+            nf_churn = len(
+                [f for f in os.listdir(churn_staged) if f.endswith(".parquet")]
+            )
+            t0 = time.time()
+            churn_top = run_streaming_q3(
+                spark,
+                churn_staged,
+                churn_state,
+                files_per_trigger=max(1, nf_churn // 8),
+                compact_every=2,
+                on_progress=_on_progress,
+                broadcast_threshold_bytes=1 << 30,
+            )
+            churn_sec = round(time.time() - t0, 3)
+            churn_batch = q3_on_state(spark.read.parquet(churn_staged))
+            matches = sorted(map(tuple, churn_top.collect())) == sorted(
+                map(tuple, churn_batch.collect())
+            )
+            extra["sf1_churn"] = {
+                "window": 10**6,
+                "ivm_consume_sec": churn_sec,
+                "changelog_gen_sec": churn_stage_sec,
+                "epochs": telemetry,
+                "peak_state_bytes": max((t["state_bytes"] for t in telemetry), default=0),
+                "final_state_bytes": telemetry[-1]["state_bytes"] if telemetry else 0,
+                "matches_batch": matches,
+            }
+
             extra["sf1"] = {
                 "sf": 1,
                 "q3_batch_sec": q3_sf1,

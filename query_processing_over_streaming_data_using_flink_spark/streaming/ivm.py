@@ -81,6 +81,7 @@ from query_processing_over_streaming_data_using_flink_spark.functions.scalar imp
 from query_processing_over_streaming_data_using_flink_spark.streaming.state_table import (
     VersionedBucketedState,
     dir_bytes,
+    dir_rows,
 )
 
 # Bucket count for the state tables. Local default; on a cluster size it
@@ -154,6 +155,8 @@ class IncrementalQ3:
         self.state_dir = state_dir
         if broadcast_threshold_bytes is not None:
             self.broadcast_threshold_bytes = broadcast_threshold_bytes
+        # Per-epoch delta-row telemetry; populated by process_batch.
+        self.last_stats: dict | None = None
         self.segment = segment
         self.cutoff = cutoff
         # All state mechanics (versioned dirs, hard-link carry-over,
@@ -507,6 +510,26 @@ class IncrementalQ3:
         else:
             shutil.rmtree(self._tmp("r"), ignore_errors=True)
 
+        # Per-epoch pipeline telemetry (dashboard DAG view): delta rows
+        # per stage, read from the spilled files' parquet FOOTERS —
+        # driver-side metadata, no extra Spark jobs. `events` counts
+        # the PREDICATE-SURVIVING rows (the split applies Q3's
+        # segment/date filters before spilling), i.e. what actually
+        # enters the pipeline — not the raw micro-batch size, which
+        # would cost an extra action to know.
+        drc, dro, drl = (dir_rows(self._tmp(n)) for n in ("c", "o", "l"))
+        drco, drr = dir_rows(self._tmp("co")), dir_rows(self._tmp("r"))
+        self.last_stats = {
+            "epoch": epoch_id,
+            "events": drc + dro + drl,
+            "delta_c": drc,
+            "delta_o": dro,
+            "delta_l": drl,
+            "delta_co": drco,
+            "delta_r": drr,
+            "state_rows_appended": drc + dro + drl + drco + drr,
+        }
+
         # All spills are complete — the append-mode commit hard-links
         # every previous state file and moves the delta files in next to
         # them (pure filesystem metadata; no further Spark jobs), then
@@ -580,6 +603,17 @@ def run_streaming_q3(
         spark, state_dir, broadcast_threshold_bytes=broadcast_threshold_bytes
     )
     applied = {"n": 0}
+    # A 3-parameter on_progress also receives pipe.last_stats — the
+    # per-epoch delta-row telemetry the dashboard's DAG view renders.
+    # 2-parameter callbacks keep the old contract.
+    wants_stats = False
+    if on_progress is not None:
+        import inspect as _inspect
+
+        try:
+            wants_stats = len(_inspect.signature(on_progress).parameters) >= 3
+        except (TypeError, ValueError):
+            wants_stats = False
 
     def bind_run() -> None:
         if checkpoint_dir is None:
@@ -600,7 +634,10 @@ def run_streaming_q3(
             if compact_every is not None and applied["n"] % compact_every == 0:
                 pipe.compact_state()
         if on_progress is not None:
-            on_progress(epoch_id, pipe.top_n(top_n))
+            if wants_stats:
+                on_progress(epoch_id, pipe.top_n(top_n), pipe.last_stats)
+            else:
+                on_progress(epoch_id, pipe.top_n(top_n))
 
     writer = (
         spark.readStream.schema(static.schema)

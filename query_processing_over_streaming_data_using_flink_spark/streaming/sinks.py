@@ -122,16 +122,37 @@ PIPELINE_EDGES: tuple[tuple[str, str], ...] = (
 )
 
 
-def pipeline_json_payload(epoch_id: int, ts: float | None = None) -> str:
+def pipeline_json_payload(
+    epoch_id: int, ts: float | None = None, stats: dict | None = None
+) -> str:
     """One `{"type":"pipeline",...}` frame per epoch — the dashboard's
     job-graph view (reference `simple_index.html` pipeline DAG): node
-    list, edge list, and the epoch that just flowed through it."""
+    list, edge list, and the epoch that just flowed through it. With
+    `stats` (IncrementalQ3.last_stats — per-epoch delta rows read from
+    the spill files' parquet footers), each node carries the row count
+    that flowed out of it, the reference DAG's per-node event
+    counters."""
+    counts: dict[str, int] = {}
+    if stats:
+        events = stats.get("events", 0)
+        counts = {
+            "source": events,
+            "split": events,
+            "spill": events,
+            "expand": stats.get("delta_co", 0),
+            "fold": stats.get("delta_r", 0),
+            "commit": stats.get("state_rows_appended", 0),
+            "topn": min(20, stats.get("delta_r", 0)),
+        }
     return json.dumps(
         {
             "type": "pipeline",
             "timestamp": int((time.time() if ts is None else ts) * 1000),
             "epoch": epoch_id,
-            "nodes": [{"id": nid, "name": name, "status": "ok"} for nid, name in PIPELINE_NODES],
+            "nodes": [
+                {"id": nid, "name": name, "status": "ok", "count": counts.get(nid)}
+                for nid, name in PIPELINE_NODES
+            ],
             "edges": [list(e) for e in PIPELINE_EDGES],
         }
     )

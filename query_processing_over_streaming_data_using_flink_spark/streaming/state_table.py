@@ -62,6 +62,20 @@ def dir_bytes(path: str) -> int:
     return total
 
 
+def dir_rows(path: str) -> int:
+    """Total rows of the parquet files under `path` (0 if absent),
+    read from file FOOTERS only — driver-side metadata, no Spark job,
+    no data pages. Feeds the per-epoch pipeline telemetry."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
+
+
 class VersionedBucketedState:
     """Crash-atomic, hard-link-versioned, bucket-partitioned parquet
     state tables. `tables` maps table name -> DDL schema string whose

@@ -58,10 +58,16 @@ waiting for first epoch…</div>
  ws.onmessage = (ev) => {
    const msg = JSON.parse(ev.data);
    if (msg.type === "pipeline") {
-     // job-graph view: one box per operator node, arrows between
+     // job-graph view: one box per operator node with its per-epoch
+     // row count (reference DAG's per-node event counters), arrows
+     // between
      document.getElementById("pipeline").innerHTML = msg.nodes.map(n =>
        `<span style="border:1px solid ${n.status === "ok" ? "#4a4" : "#a44"};` +
-       `border-radius:4px;padding:2px 8px;background:#1a2a1a">${n.name}</span>`
+       `border-radius:4px;padding:2px 8px;background:#1a2a1a;text-align:center">` +
+       `${n.name}` +
+       (n.count == null ? "" :
+         `<br><span class="nodecount" style="color:#8bf">${n.count.toLocaleString()}</span>`) +
+       `</span>`
      ).join(`<span style="color:#8bf">→</span>`);
      document.getElementById("epoch").textContent = `epoch ${msg.epoch}`;
      return;

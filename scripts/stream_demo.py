@@ -77,7 +77,7 @@ def main() -> None:
         console = ConsoleTopNSink()
         json_sink = JsonLinesTopNSink(args.json) if args.json else None
 
-        def progress(epoch: int, top) -> None:
+        def progress(epoch: int, top, stats=None) -> None:
             console(epoch, top)
             if json_sink:
                 json_sink(epoch, top)
@@ -89,8 +89,9 @@ def main() -> None:
 
                 n = server.broadcast(topn_json_payload(top))
                 # Job-graph view (reference dashboard parity): one
-                # pipeline frame per epoch, not replayed to late joiners.
-                server.broadcast_aux(pipeline_json_payload(epoch))
+                # pipeline frame per epoch with per-node row counts,
+                # not replayed to late joiners.
+                server.broadcast_aux(pipeline_json_payload(epoch, stats=stats))
                 print(f"  → pushed epoch {epoch} to {n} websocket client(s)")
 
         final = run_streaming_q3(

@@ -87,6 +87,20 @@ def test_topn_sinks(spark, tmp_path):
     ids = {n["id"] for n in pipe["nodes"]}
     assert all(a in ids and b in ids for a, b in pipe["edges"])
     assert len(pipe["nodes"]) >= 7
+    assert all(n["count"] is None for n in pipe["nodes"])  # no stats given
+
+    # With IVM epoch stats each node carries its per-epoch row count
+    # (the reference DAG's per-node event counters).
+    stats = {
+        "epoch": 7, "events": 100, "delta_c": 10, "delta_o": 30,
+        "delta_l": 60, "delta_co": 25, "delta_r": 12,
+        "state_rows_appended": 137,
+    }
+    pipe = json.loads(sinks.pipeline_json_payload(7, stats=stats))
+    by_id = {n["id"]: n["count"] for n in pipe["nodes"]}
+    assert by_id["source"] == 100 and by_id["expand"] == 25
+    assert by_id["fold"] == 12 and by_id["commit"] == 137
+    assert by_id["topn"] == 12
 
 
 def test_wire_format_parse_reference_sample(spark):
@@ -342,9 +356,31 @@ def test_websocket_topn_push():
         assert doc["type"] == "threads" and doc["data"], doc
         assert {"id", "name", "state", "priority", "cpuTime"} <= set(doc["data"][0])
         assert srv.last_payload == payload, "metrics frame displaced the replay"
+
+        # Pipeline DAG frame over the real socket: per-node counts
+        # arrive intact and don't displace the Top-N replay either.
+        from query_processing_over_streaming_data_using_flink_spark.streaming import sinks as _sinks
+
+        stats = {
+            "epoch": 3, "events": 42, "delta_c": 2, "delta_o": 10,
+            "delta_l": 30, "delta_co": 9, "delta_r": 5,
+            "state_rows_appended": 56,
+        }
+        srv.broadcast_aux(_sinks.pipeline_json_payload(3, stats=stats))
+        while True:  # metrics monitor may interleave threads frames
+            msg, rest = read_frame(rest)
+            doc = _json.loads(msg)
+            if doc["type"] == "pipeline":
+                break
+        assert doc["epoch"] == 3
+        got = {n["id"]: n["count"] for n in doc["nodes"]}
+        assert got["source"] == 42 and got["commit"] == 56
+        assert srv.last_payload == payload
         c.close()
 
-        # Plain GET serves the dashboard page.
+        # Plain GET serves the dashboard page; the page must carry the
+        # DAG renderer the pipeline frames drive — the handler branch,
+        # the container div, and the per-node count markup.
         h = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
         h.sendall(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n")
         page = b""
@@ -354,6 +390,9 @@ def test_websocket_topn_push():
                 break
             page += chunk
         assert b"200 OK" in page and b"WebSocket" in page
+        assert b'msg.type === "pipeline"' in page
+        assert b'id="pipeline"' in page
+        assert b"nodecount" in page and b"n.count" in page
         h.close()
     finally:
         srv.stop()

@@ -120,6 +120,87 @@ def test_ivm_stream_with_interleaved_compaction(spark, tmp_path):
     assert _rows(result) == _rows(q3_on_state(log))
 
 
+def test_ivm_progress_stats_telemetry(spark, tmp_path):
+    """A 3-parameter on_progress receives per-epoch delta-row stats
+    (parquet-footer counts of the spilled deltas — the dashboard DAG's
+    per-node counters); summed across epochs they must equal the
+    changelog's PREDICATE-SURVIVING event count exactly (the split
+    applies Q3's segment/date filters before spilling). 2-parameter
+    callbacks keep the old contract (other tests cover that path)."""
+    n_total = sum(
+        load_table(spark, SF_SMOKE, t).count() for t in ("customer", "orders", "lineitem")
+    )
+    log = build_changelog(spark, SF_SMOKE, window=(n_total * 2) // 3).filter(
+        F.col("seq") <= n_total // 2
+    )
+    changelog_dir = str(tmp_path / "changelog")
+    log.repartition(4).write.parquet(changelog_dir)
+
+    seen = []
+
+    def progress(epoch, top, stats):
+        seen.append(stats)
+
+    run_streaming_q3(
+        spark, changelog_dir, str(tmp_path / "state"), files_per_trigger=2,
+        on_progress=progress,
+    )
+    assert seen and all(s is not None for s in seen)
+    relevant = log.filter(
+        ((F.col("relation") == "customer") & (F.col("mktsegment") == "BUILDING"))
+        | (
+            (F.col("relation") == "orders")
+            & (F.col("orderdate") < F.lit("1995-03-15").cast("timestamp_ntz"))
+        )
+        | (
+            (F.col("relation") == "lineitem")
+            & (F.col("shipdate") > F.lit("1995-03-15").cast("timestamp_ntz"))
+        )
+    ).count()
+    assert sum(s["events"] for s in seen) == relevant
+    for s in seen:
+        assert s["events"] == s["delta_c"] + s["delta_o"] + s["delta_l"]
+        assert s["state_rows_appended"] >= s["events"]
+
+
+def test_ivm_windowed_churn_checkpoints(spark, tmp_path):
+    """Heavy churn: window = N/4, so deletes interleave with inserts
+    from a quarter of the way in — the log-structured commit's worst
+    case (the default window ≈ whole dataset only drains at the end).
+    One EVOLVING state (checkpoint-resumed stream, scheduled compaction)
+    must match the batch evaluation of every prefix at three mid-stream
+    checkpoints, including the fully-drained end state."""
+    import os
+
+    n_total = sum(
+        load_table(spark, SF_SMOKE, t).count() for t in ("customer", "orders", "lineitem")
+    )
+    w = n_total // 4
+    log = build_changelog(spark, SF_SMOKE, window=w)
+
+    changelog_dir = str(tmp_path / "changelog")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(changelog_dir)
+    prev = 0
+    for k in (n_total, n_total + n_total // 2, 2 * n_total):
+        log.filter((F.col("seq") > prev) & (F.col("seq") <= k)).repartition(
+            4
+        ).write.mode("append").parquet(changelog_dir)
+        result = run_streaming_q3(
+            spark,
+            changelog_dir,
+            state,
+            files_per_trigger=2,
+            checkpoint_dir=ckpt,
+            compact_every=2,
+        )
+        assert _rows(result) == _rows(q3_on_state(log.filter(F.col("seq") <= k))), k
+        prev = k
+    # Full cycle drains the window: the final state holds nothing.
+    assert _rows(result) == []
+
+
 def test_native_streaming_windowed_agg(spark, tmp_path):
     """Structured Streaming tumbling-window aggregation with watermark
     over the events table == its batch equivalent (idiomatic-Spark
