@@ -1608,12 +1608,13 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _image_phash_sql() -> str:
-    # Closed-form dHash of the synthetic corpus: raster byte i of base
-    # image sid is (sid*31 + 7i² + 11i) % 256; gray(k) is the
-    # truncating channel mean; the 2× upscale of odd docs samples the
-    # SAME base pixels on the fixed 8×9 dHash grid
-    # (floor((r*2h)/8)//2 == floor((r*h)/8)), so dh depends on sid only.
+def _image_dhash_ctes() -> str:
+    """Shared WITH-clause body: closed-form dHash (`dh`) and near-dup
+    candidate pairs (`cand`) of the synthetic image corpus. Raster byte
+    i of base image sid is (sid*31 + 7i² + 11i) % 256; gray(k) is the
+    truncating channel mean; the 2× upscale of odd docs samples the
+    SAME base pixels on the fixed 8×9 dHash grid
+    (floor((r*2h)/8)//2 == floor((r*h)/8)), so dh depends on sid only."""
     f = "(sid * 31 + 7 * {i} * {i} + 11 * {i}) % 256"
     gray = (
         f"(({f.format(i='(3 * k)')}) + ({f.format(i='(3 * k + 1)')}) "
@@ -1624,7 +1625,7 @@ def _image_phash_sql() -> str:
         for i, (shift, mask) in enumerate(dd.SIMHASH_BAND_SHIFTS)
     )
     return f"""
-WITH ids AS (SELECT doc_id, doc_id % 101 AS sid FROM documents),
+ids AS (SELECT doc_id, doc_id % 101 AS sid FROM documents),
 dims AS (SELECT doc_id, sid, 8 + sid % 16 AS w, 6 + sid % 12 AS h FROM ids),
 grid AS (
   SELECT d.doc_id, d.sid, r.r, c.c,
@@ -1652,13 +1653,76 @@ cand AS (
          x.dh AS dh_a, y.dh AS dh_b
   FROM bands x JOIN bands y
     ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
-)
+)"""
+
+
+_IMAGE_PHASH_SQL = f"""
+WITH {_image_dhash_ctes()}
 SELECT doc_a, doc_b, bit_count(xor(dh_a, dh_b)) AS hamming
 FROM cand WHERE bit_count(xor(dh_a, dh_b)) <= 3
 """
 
 
-register("image_phash_near_dup", image_phash_near_dup, _image_phash_sql())
+register("image_phash_near_dup", image_phash_near_dup, _IMAGE_PHASH_SQL)
+
+
+def image_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete image-dedup story composed end-to-end from real
+    bytes: decode → dHash → banded hamming pairs → connected components
+    → quality-aware canonical selection keeping the HIGHEST-RESOLUTION
+    copy per cluster (max decoded raster bytes, tie → min doc_id) —
+    what an image-curation pipeline actually ships. Every stage is the
+    registered operator it reuses (`image_dhash`, `hamming_band_pairs`,
+    `dedup_clusters`, `keep_best_dedup`); the oracle replays the chain
+    with a recursive-CTE transitive closure and closed-form raster
+    sizes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = mm.synthesize_image_corpus(docs, repeat=101)
+    pairs = dd.hamming_band_pairs(mm.image_dhash(media), "dh", 3).select(
+        "doc_a", "doc_b"
+    )
+    quality = mm.decode_media_meta(media).select("doc_id", "n_pixel_bytes")
+    clusters = dd.dedup_clusters(docs, pairs)
+    return dd.keep_best_dedup(quality, clusters, quality_col="n_pixel_bytes")
+
+
+_IMAGE_KEEP_BEST_SQL = f"""
+WITH RECURSIVE {_image_dhash_ctes()},
+pairs AS (
+  SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(dh_a, dh_b)) <= 3
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT doc_id, doc_id AS label FROM documents
+  UNION
+  SELECT e.src AS doc_id, r.label FROM edges e JOIN reach r ON e.dst = r.doc_id
+),
+labels AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id),
+quality AS (
+  SELECT doc_id,
+         CAST((CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 1 END)
+              * (8 + sid % 16) * (6 + sid % 12) * 3 AS BIGINT) AS n_pixel_bytes
+  FROM ids
+),
+ranked AS (
+  SELECT l.doc_id, l.cluster_id, s.cluster_size, q.n_pixel_bytes,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY q.n_pixel_bytes DESC, l.doc_id) AS rk
+  FROM labels l JOIN sizes s USING (cluster_id) JOIN quality q USING (doc_id)
+),
+keepers AS (SELECT cluster_id, doc_id AS keep_id FROM ranked WHERE rk = 1)
+SELECT r.doc_id, r.cluster_id, r.cluster_size, k.keep_id,
+       r.doc_id = k.keep_id AS keep
+FROM ranked r JOIN keepers k USING (cluster_id)
+"""
+
+
+register("image_dedup_keep_best", image_dedup_keep_best, _IMAGE_KEEP_BEST_SQL)
 
 
 def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:

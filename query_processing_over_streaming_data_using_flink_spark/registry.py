@@ -37,6 +37,7 @@ _PRIORITY_FIRST = [
     # New in round 6 (never driver-checked):
     "dedup_cross_snapshot_minhash",
     "image_phash_near_dup",
+    "image_dedup_keep_best",
     "changelog_windowed_churn_state",
     # Stalest certifications: last driver-green in round 1 (the three
     # API variants were parked past the cap as redundant; rotate them in
