@@ -93,8 +93,6 @@ _PRIORITY_FIRST = [
     "events_sliding_30m_15m",
     "events_session_window",
     "attr_interval_join_pairs",
-    "attr_last_touch",
-    "approx_distinct_users",
 ]
 _PUSH_LAST = [
     # Driver-green in round 5 (CORRECTNESS_r05, fresh certification;

@@ -206,6 +206,7 @@ _BNLJ_ALLOWED = {
     "embedding_pca_power_iter",  # 1-row broadcast max|m| normalizer per iteration
     "embedding_top_pc_projection",  # composes the above + 1-row eigvec-array broadcast
     "dedup_cross_snapshot",  # 1-row broadcast snapshot-cutoff scalar
+    "dedup_cross_snapshot_minhash",  # same 1-row cutoff scalar tagging the sides
 }
 
 
