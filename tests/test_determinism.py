@@ -38,6 +38,11 @@ QUERIES = [
     "changelog_monthly_revenue_state",
     "corpus_quality_report",
     "dedup_cross_snapshot",
+    # round-6 families
+    "dedup_cross_snapshot_minhash",
+    "image_phash_near_dup",
+    "image_dedup_keep_best",
+    "changelog_windowed_churn_state",
 ]
 
 
