@@ -85,6 +85,52 @@ def test_registry_priority_names_are_real():
     )
 
 
+def test_registry_rotation_covers_stalest_queries():
+    """The rotation POLICY, mechanized: the driver certifies a 50-entry
+    prefix per round, and the builder's staleness bound says no
+    registered query goes >3 rounds without a driver-green row. So
+    every query whose last green CORRECTNESS row is ≥3 rounds old (or
+    that has never been checked) must sit inside the current prefix —
+    a hand-edited priority list that silently strands a stale query
+    fails here instead of in a future verdict."""
+    import glob
+    import json
+    import re
+
+    from query_processing_over_streaming_data_using_flink_spark import registry
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    if not files:
+        pytest.skip("no driver CORRECTNESS files yet (round 1)")
+    last_green: dict[str, int] = {}
+    rounds = []
+    for path in files:
+        rnd = int(re.search(r"_r0*(\d+)", os.path.basename(path)).group(1))
+        rounds.append(rnd)
+        with open(path) as fh:
+            for name, row in json.load(fh).items():
+                ok = (
+                    row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match") in (True, None)
+                )
+                if ok:
+                    last_green[name] = max(last_green.get(name, 0), rnd)
+    current_round = max(rounds) + 1  # CORRECTNESS_rN is written after round N
+    names = list(registry.all_queries())
+    prefix = set(names[:50])
+    stranded = [
+        n
+        for n in names
+        if current_round - last_green.get(n, current_round - 99) >= 3
+        and n not in prefix
+    ]
+    assert not stranded, (
+        f"queries ≥3 rounds stale but outside the 50-entry driver prefix: {stranded}"
+    )
+
+
 def test_complex_column_lint_catches_planted_offender(spark):
     """The round-4 red row (`embedding_label_centroids`) was a correct
     query whose array<double> column crashed the driver's pandas
