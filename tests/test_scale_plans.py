@@ -300,6 +300,20 @@ def test_partitioned_read_prunes_partitions(spark, tmp_path):
     assert back.count() == n_en
 
 
+def test_image_dhash_plan_stays_partition_local(spark):
+    """The image hashing path (synthesize → decode → dHash) must be a
+    single shuffle-free MapInPandas chain: rasters never leave their
+    partition, only the 64-bit hashes do. The one shuffle in the
+    near-dup pipeline is the (band, bval) equi-join downstream."""
+    from query_processing_over_streaming_data_using_flink_spark.operators import multimodal as mm
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id")
+    dh = mm.image_dhash(mm.synthesize_image_corpus(docs, repeat=101))
+    plan = _plan(dh)
+    assert plan.count("MapInPandas") == 2, plan
+    assert "Exchange" not in plan, plan
+
+
 def test_covariance_gram_partial_plan(spark):
     """The covariance plan must be the map-side-partial shape: a
     single-column parquet scan into MapInPandas (per-partition gram
