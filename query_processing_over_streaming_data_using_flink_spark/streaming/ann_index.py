@@ -44,6 +44,64 @@ from query_processing_over_streaming_data_using_flink_spark.streaming.state_tabl
 )
 
 
+def run_streaming_ann_index(
+    spark: SparkSession,
+    vectors_dir: str,
+    state_dir: str,
+    files_per_trigger: int = 4,
+    centroids: DataFrame | None = None,
+    nprobe: int = sim.IVF_NPROBE,
+    cells: int = sim.IVF_CELLS,
+    refresh_every: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> "IncrementalIVFIndex":
+    """Operational wrapper (the `run_streaming_q3` counterpart for the
+    ANN index): consume a parquet directory of (vec_id, embedding) rows
+    as a file stream and maintain the IVF index, with the scheduled
+    recluster in the loop — `refresh_every=N` retrains + re-assigns
+    after every N applied epochs (`refresh_centroids`), the maintenance
+    cadence a drifting crawl stream needs. With `checkpoint_dir`,
+    restarts resume exactly-once (stream run bound to the state dir,
+    replayed epochs skipped). Returns the live index handle."""
+    import json as _json
+    import os as _os
+
+    static = spark.read.parquet(vectors_dir)
+    idx = IncrementalIVFIndex(spark, state_dir, centroids, nprobe, cells)
+    applied = {"n": 0}
+
+    def bind_run() -> None:
+        if checkpoint_dir is None:
+            return
+        try:
+            with open(_os.path.join(checkpoint_dir, "metadata")) as fh:
+                idx.state.check_run(_json.load(fh)["id"])
+        except FileNotFoundError:
+            pass
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        bind_run()
+        before = idx.state.committed_epoch()
+        idx.process_batch(batch, epoch_id)
+        if idx.state.committed_epoch() > before:
+            applied["n"] += 1
+            if refresh_every is not None and applied["n"] % refresh_every == 0:
+                idx.refresh_centroids()
+
+    writer = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(vectors_dir)
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    query = writer.start()
+    query.awaitTermination()
+    return idx
+
+
 class IncrementalIVFIndex:
     """foreachBatch handler maintaining IVF inverted lists across
     micro-batches. `centroids` (cell, cvec array<double>) freezes the

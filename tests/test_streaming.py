@@ -651,6 +651,48 @@ def test_ivf_refresh_recovers_drifted_recall(spark, tmp_path):
     assert idx.state.read("inv").count() == union.count() + 50
 
 
+def test_run_streaming_ann_index_with_scheduled_refresh(spark, tmp_path):
+    """The operational wrapper: file-stream ingestion with the
+    recluster in the loop (`refresh_every`). A refresh fires on the
+    final applied epoch, so the finished index must equal the batch
+    `knn_ivf` over everything ingested — and restarting the stream on
+    the same checkpoint must be a no-op (exactly-once)."""
+    from query_processing_over_streaming_data_using_flink_spark.operators import similarity as sim
+    from query_processing_over_streaming_data_using_flink_spark.streaming.ann_index import (
+        run_streaming_ann_index,
+    )
+
+    vecs = _planted_vectors(
+        spark, range(300), lambda i: [(i % 12, 1.0), ((i // 12) % 6, 0.5)]
+    )
+    vdir = str(tmp_path / "vectors")
+    vecs.repartition(4).write.parquet(vdir)
+
+    idx = run_streaming_ann_index(
+        spark,
+        vdir,
+        str(tmp_path / "state"),
+        files_per_trigger=2,  # 2 epochs; refresh_every=1 → refresh after each
+        refresh_every=1,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    queries = vecs.filter(F.col("vec_id") % 25 == 0)
+    assert _rows(idx.search(queries, k=5)) == _rows(sim.knn_ivf(vecs, queries, k=5))
+
+    n = idx.state.read("inv").count()
+    assert n == 300
+    # Restart on the same checkpoint: nothing new to apply.
+    idx2 = run_streaming_ann_index(
+        spark,
+        vdir,
+        str(tmp_path / "state"),
+        files_per_trigger=2,
+        refresh_every=1,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert idx2.state.read("inv").count() == n
+
+
 NEW_CUST_KEY = 10**9 + 7
 
 
