@@ -55,6 +55,7 @@ waiting for first epoch…</div>
 <tbody id="threads"></tbody></table>
 <script>
  const ws = new WebSocket("ws://" + location.host + "/");
+ let prevRanks = {};  // orderkey -> rank of the previous frame
  ws.onmessage = (ev) => {
    const msg = JSON.parse(ev.data);
    if (msg.type === "pipeline") {
@@ -83,9 +84,18 @@ waiting for first epoch…</div>
    }
    document.getElementById("ts").textContent =
      new Date(msg.timestamp).toISOString();
+   // Rank-change coloring (reference dashboard's rank animations):
+   // green = climbed or entered, red = fell, default = unchanged.
+   const color = (r) => {
+     const p = prevRanks[r.orderkey];
+     if (p === undefined) return Object.keys(prevRanks).length ? "#6d6" : "#eee";
+     return r.rank < p ? "#6d6" : (r.rank > p ? "#d66" : "#eee");
+   };
    document.getElementById("rows").innerHTML = msg.data.map(r =>
-     `<tr><td>${r.rank}</td><td>${r.orderkey}</td><td>${r.revenue.toFixed(4)}</td>` +
+     `<tr style="color:${color(r)}"><td>${r.rank}</td><td>${r.orderkey}</td>` +
+     `<td>${r.revenue.toFixed(4)}</td>` +
      `<td>${r.orderdate ?? ""}</td><td>${r.shippriority}</td></tr>`).join("");
+   prevRanks = Object.fromEntries(msg.data.map(r => [r.orderkey, r.rank]));
  };
 </script>
 </body></html>

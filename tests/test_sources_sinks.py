@@ -393,6 +393,8 @@ def test_websocket_topn_push():
         assert b'msg.type === "pipeline"' in page
         assert b'id="pipeline"' in page
         assert b"nodecount" in page and b"n.count" in page
+        # Rank-change coloring (reference dashboard's rank animations).
+        assert b"prevRanks" in page and b"color(r)" in page
         h.close()
     finally:
         srv.stop()
