@@ -514,6 +514,28 @@ def hamming_band_pairs(
     )
 
 
+def hamming_band_key_rows(keys: DataFrame, key_col: str = "sh") -> DataFrame:
+    """Flatten a (doc_id, <key_col> long) table of 64-bit keys to one
+    (doc_id, band_key) row per band, band_key = (band << 16) | bval —
+    the single-column form the streaming band-ownership state keys on
+    (band index folded in so different bands never collide)."""
+    k = keys.select("doc_id", F.col(key_col).alias("k"))
+    return k.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.shiftright("k", shift).bitwiseAND(F.lit(mask))
+                        + F.lit(i << 16).cast("long")
+                    )
+                    for i, (shift, mask) in enumerate(SIMHASH_BAND_SHIFTS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup pairs via the banded hamming self-join
     (`hamming_band_pairs`)."""

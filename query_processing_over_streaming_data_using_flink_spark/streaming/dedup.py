@@ -25,6 +25,12 @@ epoch READS only the state buckets its band keys hash into and WRITES
 only those buckets back, so per-epoch cost is O(batch × state/buckets),
 not O(state) — the round-4 scale fix (the previous form rewrote the
 full ownership table every micro-batch).
+
+The ownership machinery is MODALITY-AGNOSTIC: `band_fn` swaps the
+candidate-key generator, so the same class does streaming perceptual
+IMAGE near-dedup over dHash pigeonhole bands
+(`operators/dedup.py:hamming_band_key_rows` ∘
+`operators/multimodal.py:image_dhash`).
 """
 
 from __future__ import annotations
@@ -101,11 +107,19 @@ class IncrementalNearDedup:
 
     _TABLES = {"bands": "bucket int, band_key long, owner long"}
 
-    def __init__(self, spark, state_dir: str) -> None:
+    def __init__(self, spark, state_dir: str, band_fn=None) -> None:
+        """`band_fn(batch) -> DataFrame(doc_id, band_key long)` swaps
+        the candidate-key generator: default is MinHash bands over a
+        (doc_id, text) batch; pass e.g.
+        ``lambda b: hamming_band_key_rows(image_dhash(b), "dh")`` for
+        perceptual-hash IMAGE near-dedup over (doc_id, content,
+        media_type) batches — the ownership state, bucket pruning,
+        crash-atomicity and verdict log are modality-agnostic."""
         import os
 
         self.spark = spark
         self.state_dir = state_dir
+        self._band_fn = band_fn
         os.makedirs(state_dir, exist_ok=True)
         self.state = VersionedBucketedState(spark, state_dir, self._TABLES)
         # Restart recovery: resume from the last committed epoch (ids
@@ -151,10 +165,14 @@ class IncrementalNearDedup:
                 "doc_id", "dup_of"
             )
 
+        if self._band_fn is not None:
+            band_rows = self._band_fn(batch)
+        else:
+            band_rows = dd.band_keys(
+                dd.minhash_signatures(batch.select("doc_id", "text"))
+            ).select("doc_id", "band_key")
         bands = (
-            dd.band_keys(dd.minhash_signatures(batch.select("doc_id", "text")))
-            .select("doc_id", "band_key")
-            .distinct()
+            band_rows.distinct()
             .withColumn("bucket", F.pmod(F.hash("band_key"), F.lit(NUM_BAND_BUCKETS)))
             .persist()
         )

@@ -426,6 +426,45 @@ def test_streaming_near_dedup_across_batches(spark, tmp_path):
     assert v2[13] is None, "unrelated doc admitted"
 
 
+def test_streaming_image_near_dedup_across_batches(spark, tmp_path):
+    """The band-ownership state is modality-agnostic: with the dHash
+    band_fn, a 2×-scaled copy of a batch-1 image arriving in batch 2
+    flags its canonical (different bytes, different dimensions — exact
+    fingerprints can't see it); a fresh image is admitted."""
+    import numpy as np
+
+    from query_processing_over_streaming_data_using_flink_spark.operators import dedup as dd
+    from query_processing_over_streaming_data_using_flink_spark.operators import media_codec as mc
+    from query_processing_over_streaming_data_using_flink_spark.operators import multimodal as mm
+    from query_processing_over_streaming_data_using_flink_spark.streaming.dedup import (
+        IncrementalNearDedup,
+    )
+
+    def media_df(rows):
+        return spark.createDataFrame(
+            [(i, bytearray(mc.encode_ppm(px)), mm.PPM_TYPE) for i, px in rows],
+            "doc_id long, content binary, media_type string",
+        )
+
+    bases = {i: mc.synth_image_pixels_mixed(i) for i in range(6)}
+    b1 = media_df([(i, bases[i]) for i in range(6)])
+    scaled = mc.resize_nearest(bases[2], 2 * bases[2].shape[1], 2 * bases[2].shape[0])
+    fresh = mc.synth_image_pixels_mixed(77)
+    b2 = media_df([(10, scaled), (11, bases[4]), (12, fresh)])
+
+    h = IncrementalNearDedup(
+        spark,
+        str(tmp_path / "state"),
+        band_fn=lambda b: dd.hamming_band_key_rows(mm.image_dhash(b), "dh"),
+    )
+    v1 = {r["doc_id"]: r["dup_of"] for r in h.process_batch(b1, 0).collect()}
+    assert all(v is None for v in v1.values())
+    v2 = {r["doc_id"]: r["dup_of"] for r in h.process_batch(b2, 1).collect()}
+    assert v2[10] == 2, "2x-scaled re-upload flags its canonical"
+    assert v2[11] == 4, "exact re-upload flags its canonical"
+    assert v2[12] is None, "fresh image admitted"
+
+
 def test_near_dedup_restart_with_epoch_gap(spark, tmp_path):
     """Epoch ids are NOT dense: a restarted stream resumes at the
     checkpointed batch id. State discovery and the verdict log must key
