@@ -272,7 +272,11 @@ def main() -> None:
                 spark,
                 churn_staged,
                 churn_state,
-                files_per_trigger=max(1, nf_churn // 8),
+                # ~5 epochs: enough micro-batches that inserts and
+                # deletes genuinely interleave under compaction, few
+                # enough that per-epoch fixed costs (spill jobs,
+                # commits) don't swamp the churn signal.
+                files_per_trigger=max(1, nf_churn // 5),
                 compact_every=2,
                 on_progress=_on_progress,
                 broadcast_threshold_bytes=1 << 30,
@@ -283,6 +287,10 @@ def main() -> None:
                 map(tuple, churn_batch.collect())
             )
             extra["sf1_churn"] = {
+                "note": "different workload from baseline_sec: window=1M "
+                "(deletes interleave from ~7% in) vs the reference default "
+                "window=whole-dataset; reported for state-churn telemetry, "
+                "not headline comparison",
                 "window": 10**6,
                 "ivm_consume_sec": churn_sec,
                 "changelog_gen_sec": churn_stage_sec,
