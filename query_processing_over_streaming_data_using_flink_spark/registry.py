@@ -38,6 +38,7 @@ _PRIORITY_FIRST = [
     "dedup_cross_snapshot_minhash",
     "image_phash_near_dup",
     "image_dedup_keep_best",
+    "audio_ahash_near_dup",
     "changelog_windowed_churn_state",
     # Stalest certifications: last driver-green in round 1 (the three
     # API variants were parked past the cap as redundant; rotate them in
@@ -92,7 +93,6 @@ _PRIORITY_FIRST = [
     "events_tumbling_hourly",
     "events_sliding_30m_15m",
     "events_session_window",
-    "attr_interval_join_pairs",
 ]
 _PUSH_LAST = [
     # Driver-green in round 5 (CORRECTNESS_r05, fresh certification;

@@ -42,6 +42,7 @@ QUERIES = [
     "dedup_cross_snapshot_minhash",
     "image_phash_near_dup",
     "image_dedup_keep_best",
+    "audio_ahash_near_dup",
     "changelog_windowed_churn_state",
 ]
 

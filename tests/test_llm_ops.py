@@ -115,6 +115,35 @@ def test_image_phash_scaled_shifted_recall(spark):
         assert 3 not in p, "unrelated image must not pair"
 
 
+def test_audio_ahash_volume_scaled_recall(spark):
+    """Perceptual audio dedup: a volume-doubled and a volume-halved*
+    copy of the same signal must pair with the original; an unrelated
+    signal must not. (*halving uses exact even samples so truncation
+    can't flip energy comparisons.)"""
+    import numpy as np
+
+    from query_processing_over_streaming_data_using_flink_spark.operators import media_codec as mc
+    from query_processing_over_streaming_data_using_flink_spark.operators import multimodal as mm
+
+    base, rate = mc.synth_audio_samples_mixed(7)
+    base = (base.astype("int32") * 2).astype("int16")  # all-even samples
+    rows = [
+        (0, bytearray(mc.encode_wav_pcm16(base, rate)), mm.WAV_TYPE),
+        (1, bytearray(mc.encode_wav_pcm16((base * 2).astype("int16"), rate)), mm.WAV_TYPE),
+        (2, bytearray(mc.encode_wav_pcm16((base // 2).astype("int16"), rate)), mm.WAV_TYPE),
+        (3, bytearray(mc.encode_wav_pcm16(mc.synth_audio_samples_mixed(55)[0], rate)), mm.WAV_TYPE),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, content binary, media_type string")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dd.hamming_band_pairs(mm.audio_ahash(media), "ah", 3).collect()
+    }
+    assert pairs[(0, 1)] == 0, "volume-doubled copy must fingerprint identically"
+    assert pairs[(0, 2)] == 0, "volume-halved copy must fingerprint identically"
+    for p in pairs:
+        assert 3 not in p, "unrelated signal must not pair"
+
+
 def test_ngram_jaccard_planted(planted_docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
