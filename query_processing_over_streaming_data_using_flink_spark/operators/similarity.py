@@ -111,6 +111,29 @@ def knn_bruteforce(
     )
 
 
+def knn_bruteforce_dot(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact top-k INNER-PRODUCT neighbors — the baseline the PQ-ADC
+    search approximates (PQ's native measure is the dot product).
+    Same plan shape as `knn_bruteforce`."""
+    q = queries.select(
+        F.col("vec_id").alias("q_id"), _as_double(F.col("embedding")).alias("q_vec")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("n_id"), _as_double(F.col("embedding")).alias("n_vec")
+    )
+    scored = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id")).withColumn(
+        "score", dot(F.col("q_vec"), F.col("n_vec"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
 def knn_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """Approximate top-k via multi-table LSH: a candidate is any vector
     sharing ≥1 table's signature with the query (OR-amplification),
@@ -258,6 +281,164 @@ def _nearest_cells(vectors: DataFrame, cents: DataFrame, nprobe: int) -> DataFra
         scored.withColumn("crank", F.row_number().over(w))
         .filter(F.col("crank") <= nprobe)
         .select("id", "vec", "cell")
+    )
+
+
+# Product quantization (PQ) — the MEMORY-bound ANN path: a 64-dim
+# float vector (256 B) compresses to PQ_M byte codes (8 B at M=8,
+# K=256 — the FAISS-standard PQ8x8, 32× compression), so a
+# 10^9-vector index fits where raw vectors cannot. Deterministic like
+# the IVF quantizer: integer-quantized component sums, exact
+# integer/integer mean division, fixed fold orders — the whole
+# train/encode/search chain is oracle-checkable.
+PQ_M = 8       # subspaces
+PQ_K = 256     # codes per subspace (byte codes)
+PQ_QUANT = IVF_QUANT
+
+
+def l2_sq(a: Column, b: Column) -> Column:
+    """Σ (a_i − b_i)² with a fixed left-to-right fold (engine-exact)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_components(embeddings: DataFrame, m: int) -> DataFrame:
+    """(id, s, sdim, x): each vector component tagged with its subspace
+    s = (dim·m) ÷ d and intra-subspace index — pure integer arithmetic,
+    identical in the SQL oracle."""
+    return embeddings.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode(_as_double(F.col("embedding"))).alias("dim", "x"),
+        F.size(_as_double(F.col("embedding"))).alias("d"),
+    ).select(
+        "id",
+        F.expr(f"(dim * {m}) DIV d").alias("s"),
+        F.expr(f"dim - ((dim * {m}) DIV d) * d DIV {m}").alias("sdim"),
+        "x",
+    )
+
+
+def _pq_subvectors(embeddings: DataFrame, m: int) -> DataFrame:
+    """(id, s, sub array<double>): the vector split into m subvectors."""
+    return (
+        _pq_components(embeddings, m)
+        .groupBy("id", "s")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sdim", "x"))), lambda t: t["x"]
+            ).alias("sub")
+        )
+    )
+
+
+def _pq_books(comp: DataFrame, assign: DataFrame, quant: int) -> DataFrame:
+    """(s, code, cvec): per-subspace MEAN centroids from an (id, s,
+    code) assignment — exact integer sums divided by exact counts in
+    one fixed expression (L2 needs means, not the IVF's scale-free
+    sums)."""
+    agg = (
+        comp.join(assign, ["id", "s"])
+        .groupBy("s", "code", "sdim")
+        .agg(
+            F.sum(F.floor(F.col("x") * quant).cast("long")).alias("sv"),
+            F.count("*").alias("n"),
+        )
+    )
+    return (
+        agg.select(
+            "s",
+            "code",
+            "sdim",
+            (F.col("sv").cast("double") / F.col("n") / F.lit(float(quant))).alias("v"),
+        )
+        .groupBy("s", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sdim", "v"))), lambda t: t["v"]
+            ).alias("cvec")
+        )
+    )
+
+
+def _pq_assign(subs: DataFrame, books: DataFrame) -> DataFrame:
+    """(id, s, code): nearest codebook entry per subvector (min L2,
+    ties → lower code). Books are broadcast (m·K tiny rows)."""
+    scored = subs.join(F.broadcast(books), "s").withColumn(
+        "d2", l2_sq(F.col("sub"), F.col("cvec"))
+    )
+    w = Window.partitionBy("id", "s").orderBy(F.asc("d2"), F.asc("code"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("id", "s", "code")
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K, refine: int = 1
+) -> DataFrame:
+    """Train per-subspace PQ codebooks: seed code = vec_id % k, then
+    `refine` Lloyd rounds (re-assign by min subvector L2, re-average).
+    Each round is one linear corpus pass against broadcast books."""
+    comp = _pq_components(embeddings, m).persist()
+    subs = _pq_subvectors(embeddings, m).persist()
+    assign = subs.select("id", "s", (F.col("id") % k).alias("code"))
+    books = _pq_books(comp, assign, PQ_QUANT)
+    for _ in range(refine):
+        books = _pq_books(comp, _pq_assign(subs, books), PQ_QUANT)
+    return books
+
+
+def pq_encode(embeddings: DataFrame, books: DataFrame, m: int = PQ_M) -> DataFrame:
+    """(id, s, code): the compressed corpus — m small ints per vector
+    (the 100 TB point: codes are what the search scans; raw vectors
+    are only ever read once, at encode time)."""
+    return _pq_assign(_pq_subvectors(embeddings, m), books)
+
+
+def knn_pq(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5, m: int = PQ_M
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric-distance computation (ADC):
+    approx_dot(q, x) = Σ_s dot(q_s, codebook[s][code_s(x)]). Per query
+    the LUT (m·K dot products against the codebooks) is broadcast; the
+    scan touches only the code table, never raw vectors — FAISS
+    PQ-flat, relationally. Scores fold in fixed subspace order (no
+    float-merge nondeterminism). Returns (q_id, n_id, rank, score) —
+    score is approximate INNER PRODUCT (the PQ-native measure), so the
+    recall certification compares against exact-dot top-k."""
+    books = pq_codebooks(embeddings, m).persist()
+    codes = pq_encode(embeddings, books, m)
+    qsubs = _pq_subvectors(queries, m)
+    lut = qsubs.join(F.broadcast(books), "s").select(
+        F.col("id").alias("q_id"),
+        "s",
+        "code",
+        dot(F.col("sub"), F.col("cvec")).alias("part"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("q_id") != F.col("id"))
+        .groupBy("q_id", F.col("id").alias("n_id"))
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "part"))),
+                    lambda t: t["part"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", F.round("score", 6).alias("score"))
     )
 
 

@@ -678,6 +678,157 @@ SELECT q_id, n_id, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 5
 register("ann_ivf", ann_ivf, _ANN_IVF_SQL)
 
 
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (`operators/similarity.py:knn_pq`) —
+    the MEMORY-bound scale path next to IVF's compute-bound one: the
+    corpus compresses to 8 four-bit codes per vector, search is
+    asymmetric-distance computation against a broadcast per-query LUT,
+    and raw vectors are never touched after encode time. The whole
+    train/encode/search chain is deterministic (integer-quantized
+    sums, exact mean division, fixed fold orders), so the oracle
+    replays it exactly."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.knn_pq(e, _queries_df(spark, sf_dir), k=5)
+
+
+def _pq_sql() -> str:
+    m, k, q = sim.PQ_M, sim.PQ_K, sim.PQ_QUANT
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"list_reduce([({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) "
+            f"for i in range(1, len({a}) + 1)], (p, q) -> p + q)"
+        )
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce([{a}[i] * {b}[i] for i in range(1, len({a}) + 1)], "
+            "(p, q) -> p + q)"
+        )
+
+    def mean_books(assign: str) -> str:
+        return f"""
+  SELECT s, code, list(v ORDER BY sdim) AS cvec FROM (
+    SELECT c.s, a.code, c.sdim,
+           CAST(sum(CAST(floor(c.x * {q}) AS BIGINT)) AS DOUBLE)
+             / count(*) / {q} AS v
+    FROM comp c JOIN {assign} a ON c.vec_id = a.vec_id AND c.s = a.s
+    GROUP BY c.s, a.code, c.sdim)
+  GROUP BY s, code"""
+
+    def nearest(books: str) -> str:
+        return f"""
+  SELECT vec_id, s, code FROM (
+    SELECT u.vec_id, u.s, b.code,
+           row_number() OVER (PARTITION BY u.vec_id, u.s
+                              ORDER BY {l2('u.sub', 'b.cvec')} ASC, b.code) AS r
+    FROM subs u JOIN {books} b ON u.s = b.s) WHERE r = 1"""
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+comp AS (
+  SELECT vec_id, vec[t.i] AS x,
+         ((t.i - 1) * {m}) // len(vec) AS s,
+         (t.i - 1) - ((((t.i - 1) * {m}) // len(vec)) * len(vec)) // {m} AS sdim
+  FROM e, unnest(range(1, len(vec) + 1)) AS t(i)
+),
+subs AS (SELECT vec_id, s, list(x ORDER BY sdim) AS sub FROM comp GROUP BY vec_id, s),
+a0 AS (SELECT vec_id, s, vec_id % {k} AS code FROM subs),
+b0 AS ({mean_books('a0')}),
+a1 AS ({nearest('b0')}),
+books AS ({mean_books('a1')}),
+codes AS ({nearest('books')}),
+lut AS (
+  SELECT u.vec_id AS q_id, u.s, b.code, {dot('u.sub', 'b.cvec')} AS part
+  FROM subs u JOIN books b ON u.s = b.s
+  WHERE u.vec_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT l.q_id, c.vec_id AS n_id,
+         list_reduce(list(l.part ORDER BY l.s), (p, q) -> p + q) AS score
+  FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+  WHERE l.q_id <> c.vec_id
+  GROUP BY l.q_id, c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, rank, round(score, 6) AS score FROM ranked WHERE rank <= 5
+"""
+
+
+register("ann_pq", ann_pq, _pq_sql())
+
+
+def ann_recall_pq_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quality as an oracle-checked number: per-query recall@5 of
+    the ADC search against exact INNER-PRODUCT brute force (PQ's
+    native measure), plus the mean — same certification shape as the
+    IVF and LSH ones."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qdf = _queries_df(spark, sf_dir)
+    exact = sim.knn_bruteforce_dot(e, qdf, k=5).select("q_id", "n_id")
+    approx = sim.knn_pq(e, qdf, k=5).select("q_id", "n_id")
+    per_q = (
+        exact.join(approx, ["q_id", "n_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    per_query = (
+        exact.select("q_id").distinct()
+        .join(per_q, "q_id", "left")
+        .select(
+            "q_id",
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / 5.0, 6).alias("recall_at_5"),
+        )
+    )
+    summary = per_query.agg(
+        F.lit(-1).cast("long").alias("q_id"),
+        F.round(F.avg("recall_at_5"), 6).alias("recall_at_5"),
+    )
+    return per_query.unionByName(summary)
+
+
+def _pq_recall_sql() -> str:
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce([{a}[i] * {b}[i] for i in range(1, len({a}) + 1)], "
+            "(p, q) -> p + q)"
+        )
+
+    exact_dot = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id, {dot('q.vec', 'c.vec')} AS score
+  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+  FROM pairs
+)
+SELECT q_id, n_id FROM ranked WHERE rank <= 5
+"""
+    return f"""
+WITH exact AS ({exact_dot}),
+approx AS ({_pq_sql()}),
+per_q AS (
+  SELECT e.q_id,
+         round(count(a.n_id) / 5.0, 6) AS recall_at_5
+  FROM exact e
+  LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+  GROUP BY e.q_id
+)
+SELECT q_id, recall_at_5 FROM per_q
+UNION ALL
+SELECT CAST(-1 AS BIGINT), round(avg(recall_at_5), 6) FROM per_q
+"""
+
+
+register("ann_recall_pq_vs_exact", ann_recall_pq_vs_exact, _pq_recall_sql())
+
+
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub: per-doc email/phone counts + md5 of the redacted
     text (RE2-safe patterns — Spark's Java regex and DuckDB's RE2

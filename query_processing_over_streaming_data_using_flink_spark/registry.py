@@ -39,6 +39,8 @@ _PRIORITY_FIRST = [
     "image_phash_near_dup",
     "image_dedup_keep_best",
     "audio_ahash_near_dup",
+    "ann_pq",
+    "ann_recall_pq_vs_exact",
     "changelog_windowed_churn_state",
     # Stalest certifications: last driver-green in round 1 (the three
     # API variants were parked past the cap as redundant; rotate them in
@@ -91,8 +93,6 @@ _PRIORITY_FIRST = [
     "sessionize_events",
     "funnel_click_to_purchase",
     "events_tumbling_hourly",
-    "events_sliding_30m_15m",
-    "events_session_window",
 ]
 _PUSH_LAST = [
     # Driver-green in round 5 (CORRECTNESS_r05, fresh certification;

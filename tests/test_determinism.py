@@ -43,6 +43,8 @@ QUERIES = [
     "image_phash_near_dup",
     "image_dedup_keep_best",
     "audio_ahash_near_dup",
+    "ann_pq",
+    "ann_recall_pq_vs_exact",
     "changelog_windowed_churn_state",
 ]
 

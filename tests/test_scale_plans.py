@@ -207,6 +207,7 @@ _BNLJ_ALLOWED = {
     "embedding_top_pc_projection",  # composes the above + 1-row eigvec-array broadcast
     "dedup_cross_snapshot",  # 1-row broadcast snapshot-cutoff scalar
     "dedup_cross_snapshot_minhash",  # same 1-row cutoff scalar tagging the sides
+    "ann_recall_pq_vs_exact",  # exact-baseline side is the allowed brute force
 }
 
 
