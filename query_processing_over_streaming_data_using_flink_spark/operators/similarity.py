@@ -442,6 +442,70 @@ def knn_pq(
     )
 
 
+def knn_ivfpq(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+) -> DataFrame:
+    """IVF-PQ — the standard production index, composed from the two
+    registered quantizers: the IVF coarse quantizer prunes the scan to
+    each query's `nprobe` inverted lists, and within them the PQ codes
+    are ADC-scored (approximate inner product) — so the search touches
+    neither raw vectors nor unprobed cells. Candidate volume is
+    ~n·nprobe/cells code rows per query at 8 B each: the shape that
+    holds at 10^9 vectors. Returns (q_id, n_id, rank, score)."""
+    cents = ivf_centroids(embeddings, cells).persist()
+    books = pq_codebooks(embeddings, m).persist()
+    corpus = embeddings.select(
+        F.col("vec_id").alias("id"), _as_double(F.col("embedding")).alias("vec")
+    )
+    # Inverted lists hold CODES, not vectors: (n_id, cell, s, code).
+    inv = (
+        _nearest_cells(corpus, cents, 1)
+        .select(F.col("id"), "cell")
+        .join(pq_encode(embeddings, books, m), "id")
+        .select(F.col("id").alias("n_id"), "cell", "s", "code")
+    )
+    probes = _nearest_cells(
+        queries.select(
+            F.col("vec_id").alias("id"), _as_double(F.col("embedding")).alias("vec")
+        ),
+        cents,
+        nprobe,
+    ).select(F.col("id").alias("q_id"), "cell")
+    lut = _pq_subvectors(queries, m).join(F.broadcast(books), "s").select(
+        F.col("id").alias("q_id"),
+        "s",
+        "code",
+        dot(F.col("sub"), F.col("cvec")).alias("part"),
+    )
+    scored = (
+        inv.join(F.broadcast(probes), "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .join(F.broadcast(lut), ["q_id", "s", "code"])
+        .groupBy("q_id", "n_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "part"))),
+                    lambda t: t["part"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
 def knn_ivf(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -829,6 +829,129 @@ SELECT CAST(-1 AS BIGINT), round(avg(recall_at_5), 6) FROM per_q
 register("ann_recall_pq_vs_exact", ann_recall_pq_vs_exact, _pq_recall_sql())
 
 
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (`operators/similarity.py:knn_ivfpq`) — the standard
+    production vector index, composed from the two registered
+    quantizers: IVF cells prune the scan to nprobe inverted lists,
+    PQ codes ADC-score inside them; neither raw vectors nor unprobed
+    cells are touched at search time. Both quantizer trainings are
+    deterministic, so the oracle replays the full composition."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.knn_ivfpq(e, _queries_df(spark, sf_dir), k=5)
+
+
+def _ivfpq_sql() -> str:
+    m, k, q = sim.PQ_M, sim.PQ_K, sim.PQ_QUANT
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"list_reduce([({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) "
+            f"for i in range(1, len({a}) + 1)], (p, q) -> p + q)"
+        )
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce([{a}[i] * {b}[i] for i in range(1, len({a}) + 1)], "
+            "(p, q) -> p + q)"
+        )
+
+    def mean_books(assign: str) -> str:
+        return f"""
+  SELECT s, code, list(v ORDER BY sdim) AS cvec FROM (
+    SELECT c.s, a.code, c.sdim,
+           CAST(sum(CAST(floor(c.x * {q}) AS BIGINT)) AS DOUBLE)
+             / count(*) / {q} AS v
+    FROM pcomp c JOIN {assign} a ON c.vec_id = a.vec_id AND c.s = a.s
+    GROUP BY c.s, a.code, c.sdim)
+  GROUP BY s, code"""
+
+    def nearest_code(books: str) -> str:
+        return f"""
+  SELECT vec_id, s, code FROM (
+    SELECT u.vec_id, u.s, b.code,
+           row_number() OVER (PARTITION BY u.vec_id, u.s
+                              ORDER BY {l2('u.sub', 'b.cvec')} ASC, b.code) AS r
+    FROM psubs u JOIN {books} b ON u.s = b.s) WHERE r = 1"""
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+-- IVF coarse quantizer (identical to the ann_ivf oracle)
+comp0 AS (
+  SELECT vec_id % {sim.IVF_CELLS} AS cell, t.i AS dim,
+         sum(CAST(floor(vec[t.i] * {sim.IVF_QUANT}) AS BIGINT)) AS s
+  FROM e, unnest(range(1, len(vec)+1)) AS t(i)
+  GROUP BY 1, 2
+),
+cents0 AS (SELECT cell, list(s::DOUBLE ORDER BY dim) AS cvec FROM comp0 GROUP BY cell),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cosine_sql('e.vec', 'c.cvec')} DESC, c.cell) AS r
+    FROM e CROSS JOIN cents0 c) WHERE r = 1
+),
+ccomp AS (
+  SELECT a.cell, t.i AS dim,
+         sum(CAST(floor(vec[t.i] * {sim.IVF_QUANT}) AS BIGINT)) AS s
+  FROM e JOIN assign a USING (vec_id), unnest(range(1, len(vec)+1)) AS t(i)
+  GROUP BY 1, 2
+),
+cents AS (SELECT cell, list(s::DOUBLE ORDER BY dim) AS cvec FROM ccomp GROUP BY cell),
+cell_of AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cosine_sql('e.vec', 'c.cvec')} DESC, c.cell) AS r
+    FROM e CROSS JOIN cents c) WHERE r = 1
+),
+probes AS (
+  SELECT q_id, cell FROM (
+    SELECT q.vec_id AS q_id, c.cell,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cosine_sql('q.vec', 'c.cvec')} DESC, c.cell) AS r
+    FROM (SELECT * FROM e WHERE vec_id < {_N_QUERIES}) q CROSS JOIN cents c)
+  WHERE r <= {sim.IVF_NPROBE}
+),
+-- PQ codebooks + codes (identical to the ann_pq oracle)
+pcomp AS (
+  SELECT vec_id, vec[t.i] AS x,
+         ((t.i - 1) * {m}) // len(vec) AS s,
+         (t.i - 1) - ((((t.i - 1) * {m}) // len(vec)) * len(vec)) // {m} AS sdim
+  FROM e, unnest(range(1, len(vec) + 1)) AS t(i)
+),
+psubs AS (SELECT vec_id, s, list(x ORDER BY sdim) AS sub FROM pcomp GROUP BY vec_id, s),
+pa0 AS (SELECT vec_id, s, vec_id % {k} AS code FROM psubs),
+pb0 AS ({mean_books('pa0')}),
+pa1 AS ({nearest_code('pb0')}),
+pbooks AS ({mean_books('pa1')}),
+pcodes AS ({nearest_code('pbooks')}),
+lut AS (
+  SELECT u.vec_id AS q_id, u.s, b.code, {dot('u.sub', 'b.cvec')} AS part
+  FROM psubs u JOIN pbooks b ON u.s = b.s
+  WHERE u.vec_id < {_N_QUERIES}
+),
+-- probed-cells-only ADC scan over the code table
+scored AS (
+  SELECT l.q_id, pc.vec_id AS n_id,
+         list_reduce(list(l.part ORDER BY l.s), (p, q) -> p + q) AS score
+  FROM pcodes pc
+  JOIN cell_of co ON pc.vec_id = co.vec_id
+  JOIN probes p ON p.cell = co.cell
+  JOIN lut l ON l.q_id = p.q_id AND l.s = pc.s AND l.code = pc.code
+  WHERE l.q_id <> pc.vec_id
+  GROUP BY l.q_id, pc.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, rank, round(score, 6) AS score FROM ranked WHERE rank <= 5
+"""
+
+
+register("ann_ivfpq", ann_ivfpq, _ivfpq_sql())
+
+
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub: per-doc email/phone counts + md5 of the redacted
     text (RE2-safe patterns — Spark's Java regex and DuckDB's RE2

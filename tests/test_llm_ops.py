@@ -115,6 +115,22 @@ def test_image_phash_scaled_shifted_recall(spark):
         assert 3 not in p, "unrelated image must not pair"
 
 
+def test_pq_adc_recall_floor(spark):
+    """PQ8×8 ADC search must keep mean recall@5 ≥ 0.4 vs exact inner
+    product on the (hardest-case: random) smoke embeddings — a floor
+    that catches codebook/encoding regressions; the registered
+    certification records the exact number (0.58 at r6)."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        ann_recall_pq_vs_exact,
+    )
+
+    rows = ann_recall_pq_vs_exact(spark, SF_SMOKE).collect()
+    mean = [r["recall_at_5"] for r in rows if r["q_id"] == -1][0]
+    assert mean >= 0.4, mean
+    per_q = [r["recall_at_5"] for r in rows if r["q_id"] >= 0]
+    assert len(per_q) == 20 and all(0.0 <= r <= 1.0 for r in per_q)
+
+
 def test_audio_ahash_volume_scaled_recall(spark):
     """Perceptual audio dedup: a volume-doubled and a volume-halved*
     copy of the same signal must pair with the original; an unrelated
