@@ -14,10 +14,91 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TARGET_FILE_BYTES = 128 << 20  # parquet row-group sweet spot
+
+# Z-order quantization width. 16 bits per dimension → 32-bit keys:
+# plenty of resolution for file-level clustering (even a 100 TB table
+# has < 2^32 files) while every intermediate stays far inside int64.
+ZBITS = 16
+ZMAX = (1 << ZBITS) - 1
+
+
+def quantize_dim(v: Column, vmin: Column, vmax: Column) -> Column:
+    """Map `v` (int64) into [0, 2^16) by exact integer arithmetic —
+    (v-min)·65535 integer-divided by (max-min) — so Spark and any
+    replaying engine produce bit-identical ranks. The product can
+    exceed 2^53 (epoch-microsecond deltas × 65535), where double
+    division silently rounds, so the divide runs in decimal(38,0):
+    exact at any int64 magnitude, identical to BIGINT `//` in an
+    oracle engine. A constant column (max == min) quantizes to 0."""
+    span = vmax - vmin
+    scaled = ((v - vmin).cast("decimal(38,0)") * F.lit(ZMAX)).cast("decimal(38,0)")
+    return F.when(span <= 0, F.lit(0).cast("long")).otherwise(
+        F.floor(scaled / span.cast("decimal(38,0)")).cast("long")
+    )
+
+
+def _spread16(v: Column) -> Column:
+    """Spread the low 16 bits of `v` to even bit positions 0,2,...,30
+    (the textbook Morton-code bit-dilation ladder: each step doubles
+    the gap between occupied bit groups). Pure shift/mask expressions
+    — whole-stage-codegen'd, exactly replayable in any engine with
+    64-bit << and &."""
+    v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x33333333))
+    v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x55555555))
+    return v
+
+
+def zorder_key(x_q: Column, y_q: Column) -> Column:
+    """Interleave two 16-bit quantized dimensions into one 32-bit
+    Morton (Z-order) key: bit i of x lands at position 2i, bit i of y
+    at 2i+1. Sorting by this key gives every contiguous run of rows —
+    hence every parquet file under a sorted write — a small RECTANGLE
+    of (x, y) space instead of a thin full-width slab, so min/max
+    zone maps prune scans for predicates on EITHER or BOTH dimensions.
+    This is the layout story a 100 TB fact table lives or dies on:
+    a time-only sort prunes time predicates but reads every file for
+    a key predicate; the Z-order layout prunes both at once."""
+    return _spread16(x_q).bitwiseOR(F.shiftleft(_spread16(y_q), 1))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    n_files: int,
+) -> None:
+    """Cluster `df` on the Z-order key of int64 columns (`x`, `y`) and
+    write `n_files` parquet files, each covering one contiguous key
+    range (`repartitionByRange` + in-file sort — one shuffle, the same
+    cost as any global sort). The min/max bounds feeding quantization
+    come from one tiny broadcast aggregate, not a driver collect."""
+    bounds = df.agg(
+        F.min(x).alias("xmin"),
+        F.max(x).alias("xmax"),
+        F.min(y).alias("ymin"),
+        F.max(y).alias("ymax"),
+    )
+    keyed = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "_zkey",
+        zorder_key(
+            quantize_dim(F.col(x), F.col("xmin"), F.col("xmax")),
+            quantize_dim(F.col(y), F.col("ymin"), F.col("ymax")),
+        ),
+    ).drop("xmin", "xmax", "ymin", "ymax")
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
 
 
 def _estimated_bytes(df: DataFrame) -> int:

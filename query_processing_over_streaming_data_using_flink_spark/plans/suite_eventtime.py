@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from query_processing_over_streaming_data_using_flink_spark.operators import layout as lay
 from query_processing_over_streaming_data_using_flink_spark.operators.skew import salted_join
 from query_processing_over_streaming_data_using_flink_spark.streaming.enrich import enrich_events
 from query_processing_over_streaming_data_using_flink_spark.streaming.join import (
@@ -595,3 +596,84 @@ WINDOW w AS (PARTITION BY event_type ORDER BY day
 """
 
 register("events_moving_7d_avg", events_moving_7d_avg, MOVING_7D_SQL)
+
+
+def zorder_events_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering of events on (ts, user_id) — the
+    multi-dimensional file-layout primitive (`operators/layout.py:
+    zorder_key`; no reference counterpart — the reference reads one
+    local CSV, but at 100 TB the layout IS the query plan). Each event
+    gets a 32-bit Morton key interleaving its 16-bit-quantized time and
+    user ranks; the key's top 8 bits assign it to one of 256 clusters
+    (≈ files under a `write_zordered` range-partitioned write). The
+    output is the per-cluster zone map — count + min/max of each
+    quantized dimension — i.e. exactly the parquet footer stats a
+    scan would prune on, as oracle-checked NUMBERS: every cluster
+    covers a small rectangle of (time, user) space instead of a
+    full-width slab, so predicates on EITHER dimension skip most
+    clusters. All-integer (exact decimal division inside
+    `quantize_dim`), one aggregation shuffle on the 256-key space."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    df = ev.select(us.alias("t"), F.col("user_id").alias("u"))
+    bounds = df.agg(
+        F.min("t").alias("tmin"),
+        F.max("t").alias("tmax"),
+        F.min("u").alias("umin"),
+        F.max("u").alias("umax"),
+    )
+    keyed = df.crossJoin(F.broadcast(bounds)).select(
+        lay.quantize_dim(F.col("t"), F.col("tmin"), F.col("tmax")).alias("qt"),
+        lay.quantize_dim(F.col("u"), F.col("umin"), F.col("umax")).alias("qu"),
+    )
+    z = keyed.withColumn("z", lay.zorder_key(F.col("qt"), F.col("qu")))
+    return (
+        z.groupBy(F.shiftright("z", 24).cast("long").alias("cluster"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("qt").alias("qt_min"),
+            F.max("qt").alias("qt_max"),
+            F.min("qu").alias("qu_min"),
+            F.max("qu").alias("qu_max"),
+        )
+        .select(
+            "cluster",
+            "n_events",
+            "qt_min",
+            "qt_max",
+            (F.col("qt_max") - F.col("qt_min")).alias("qt_span"),
+            "qu_min",
+            "qu_max",
+            (F.col("qu_max") - F.col("qu_min")).alias("qu_span"),
+        )
+    )
+
+
+# The bit-dilation ladder in plain int64 <</&/| — identical constants
+# and step order as `_spread16`, so the Morton keys are bit-equal.
+ZORDER_SQL = """
+WITH e AS (SELECT epoch_us(ts) AS t, user_id AS u FROM events),
+b AS (SELECT min(t) AS tmin, max(t) AS tmax, min(u) AS umin, max(u) AS umax FROM e),
+q AS (
+  SELECT CASE WHEN tmax - tmin <= 0 THEN 0
+              ELSE ((t - tmin) * 65535) // (tmax - tmin) END AS qt,
+         CASE WHEN umax - umin <= 0 THEN 0
+              ELSE ((u - umin) * 65535) // (umax - umin) END AS qu
+  FROM e CROSS JOIN b
+),
+s1 AS (SELECT qt, qu, (qt | (qt << 8)) & 16711935 AS xa,
+                      (qu | (qu << 8)) & 16711935 AS ya FROM q),
+s2 AS (SELECT qt, qu, (xa | (xa << 4)) & 252645135 AS xb,
+                      (ya | (ya << 4)) & 252645135 AS yb FROM s1),
+s3 AS (SELECT qt, qu, (xb | (xb << 2)) & 858993459 AS xc,
+                      (yb | (yb << 2)) & 858993459 AS yc FROM s2),
+s4 AS (SELECT qt, qu, (xc | (xc << 1)) & 1431655765 AS xd,
+                      (yc | (yc << 1)) & 1431655765 AS yd FROM s3),
+z AS (SELECT qt, qu, xd | (yd << 1) AS z FROM s4)
+SELECT z >> 24 AS cluster, count(*) AS n_events,
+       min(qt) AS qt_min, max(qt) AS qt_max, max(qt) - min(qt) AS qt_span,
+       min(qu) AS qu_min, max(qu) AS qu_max, max(qu) - min(qu) AS qu_span
+FROM z GROUP BY 1
+"""
+
+register("zorder_events_clusters", zorder_events_clusters, ZORDER_SQL)

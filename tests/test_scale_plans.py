@@ -192,6 +192,8 @@ _BNLJ_ALLOWED = {
     "ann_bruteforce", "ann_bruteforce_pandas", "ann_ivf", "join_range_price_tiers",
     "ann_recall_ivf_vs_exact",  # composes the two allowed ANN operators
     "ann_recall_lsh_vs_exact",  # exact-baseline side is the allowed brute force
+    "ann_ivfpq",  # composes the allowed IVF cell assignment (bounded centroid side)
+    "zorder_events_clusters",  # 1-row broadcast min/max-bounds scalar
 
     "resample_gap_fill",  # tiny spine x tiny type dim grid construction
     "q22_global_sales_opportunity",  # 1-row broadcast scalar-avg subquery

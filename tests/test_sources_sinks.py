@@ -169,6 +169,74 @@ def test_write_partitioned_layout(spark, tmp_path):
         assert 1 <= n <= 4, f"{d} has {n} files"
 
 
+def test_write_zordered_prunes_both_dims(spark, tmp_path):
+    """Z-order layout vs single-column sort, adjudicated on the actual
+    parquet footer stats a scan prunes with: a ts-sorted layout leaves
+    EVERY file spanning the full user range (a user predicate reads
+    all files), while the Morton layout bounds every file in BOTH
+    dimensions — point predicates on user skip most files, and time
+    predicates still skip more than half."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from query_processing_over_streaming_data_using_flink_spark.operators import layout
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    df = ev.select(us.alias("t"), F.col("user_id").alias("u"))
+    zpath, lpath = str(tmp_path / "zord"), str(tmp_path / "lin")
+    layout.write_zordered(df, zpath, "t", "u", n_files=8)
+    df.repartitionByRange(8, "t").sortWithinPartitions("t").write.parquet(lpath)
+
+    def file_bounds(path):
+        per = []
+        for f in sorted(glob.glob(path + "/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = {}, {}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    st, name = col.statistics, col.path_in_schema
+                    lo[name] = min(lo.get(name, st.min), st.min)
+                    hi[name] = max(hi.get(name, st.max), st.max)
+            per.append((lo, hi))
+        return per
+
+    zb, lb = file_bounds(zpath), file_bounds(lpath)
+    assert len(zb) == 8 and len(lb) == 8
+    g = {r["u"] for r in df.select("u").distinct().collect()}
+    gspan = {
+        k: (max(hi[k] for _, hi in zb) - min(lo[k] for lo, _ in zb)) for k in ("t", "u")
+    }
+
+    def mean_span(bounds, k):
+        return sum((hi[k] - lo[k]) / gspan[k] for lo, hi in bounds) / len(bounds)
+
+    # Linear: time prunes perfectly, user never prunes.
+    assert mean_span(lb, "t") < 0.25
+    assert mean_span(lb, "u") == 1.0
+    # Z-order: BOTH dimensions bounded per file.
+    assert mean_span(zb, "u") < 0.6
+    assert mean_span(zb, "t") < 0.8
+    # The scan-cost statement itself: files READ for a user point
+    # predicate (footer interval contains the user), averaged over all
+    # users — the linear layout reads everything, Z-order skips most.
+    z_read = sum(
+        sum(1 for lo, hi in zb if lo["u"] <= u <= hi["u"]) for u in g
+    ) / (len(g) * len(zb))
+    l_read = sum(
+        sum(1 for lo, hi in lb if lo["u"] <= u <= hi["u"]) for u in g
+    ) / (len(g) * len(lb))
+    assert l_read == 1.0
+    assert z_read < 0.65
+    # Round-trip: clustering rewrites layout, not data.
+    back = spark.read.parquet(zpath)
+    assert back.count() == df.count()
+    assert back.exceptAll(df).count() == 0
+
+
 def test_compact_small_files(spark, tmp_path):
     """Many tiny files compact to few; data unchanged."""
     import glob
