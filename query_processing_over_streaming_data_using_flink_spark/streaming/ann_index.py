@@ -261,3 +261,183 @@ class IncrementalIVFIndex:
             .filter(F.col("rank") <= k)
             .select("q_id", "n_id", "rank", F.round("sim", 6).alias("sim"))
         )
+
+
+class IncrementalIVFPQIndex:
+    """Streaming IVF-PQ — the memory-bound variant of
+    `IncrementalIVFIndex`: the inverted lists hold the PQ CODES of each
+    ingested vector (`m` small ints ≈ 8 B at PQ8×8), never the raw
+    embedding, so a 10^9-vector stream's index state stays ~250× smaller
+    than the flat lists and the per-epoch append writes bytes per
+    vector. Searches ADC-score the probed cells exactly like the batch
+    `operators/similarity.py:knn_ivfpq` (equivalence-tested when both
+    share training data).
+
+    Both quantizers (IVF centroids + PQ codebooks) are FROZEN at
+    creation — caller-provided from a bootstrap corpus, or trained on
+    the first batch. Honest boundary vs the flat index: the state holds
+    codes only, so there is no `refresh_centroids()` here — re-encoding
+    under a retrained quantizer needs the raw vectors, i.e. a rebuild
+    from the upstream corpus (standard IVF-PQ operations: retrain
+    offline, swap the index). A deployment that needs in-place
+    recluster keeps the flat variant; the two share the store layout.
+    """
+
+    _TABLES = {
+        # bucket == cell: probes prune to nprobe directories; rows are
+        # (vector, subspace) pairs — m rows of 3 small ints per vector.
+        "inv": "bucket int, n_id long, cell int, s int, code int",
+        "cents": "bucket int, cell int, dim int, v double",
+        "books": "bucket int, s int, code int, sdim int, v double",
+    }
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        centroids: DataFrame | None = None,
+        books: DataFrame | None = None,
+        nprobe: int = sim.IVF_NPROBE,
+        cells: int = sim.IVF_CELLS,
+        m: int = sim.PQ_M,
+    ) -> None:
+        self.spark = spark
+        self.nprobe = nprobe
+        self.cells = cells
+        self.m = m
+        self._bootstrap_cents = centroids
+        self._bootstrap_books = books
+        self.state = VersionedBucketedState(spark, state_dir, self._TABLES)
+        self.epoch = self.state.committed_epoch()
+
+    # -- quantizers ----------------------------------------------------------
+
+    def _cents_long(self, cents: DataFrame) -> DataFrame:
+        return cents.select(
+            F.lit(0).alias("bucket"),
+            F.col("cell").cast("int").alias("cell"),
+            F.posexplode("cvec").alias("dim", "v"),
+        )
+
+    def _books_long(self, books: DataFrame) -> DataFrame:
+        return books.select(
+            F.lit(0).alias("bucket"),
+            F.col("s").cast("int").alias("s"),
+            F.col("code").cast("int").alias("code"),
+            F.posexplode("cvec").alias("sdim", "v"),
+        )
+
+    def centroids(self) -> DataFrame:
+        c = self.state.read("cents")
+        return c.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "v"))), lambda t: t["v"]
+            ).alias("cvec")
+        )
+
+    def books(self) -> DataFrame:
+        b = self.state.read("books")
+        return b.groupBy("s", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sdim", "v"))), lambda t: t["v"]
+            ).alias("cvec")
+        )
+
+    # -- ingestion -----------------------------------------------------------
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        """Ingest one micro-batch of (vec_id, embedding) rows: assign
+        each vector's cell under the frozen coarse quantizer, encode it
+        to codes under the frozen codebooks, append the codes to the
+        cell's inverted list. The raw embedding is read once, here, and
+        never stored."""
+        if epoch_id <= self.state.committed_epoch():
+            return  # redelivered epoch — already indexed
+        first_epoch = self.state._current()[1] is None
+        if first_epoch:
+            cents = (
+                self._bootstrap_cents
+                if self._bootstrap_cents is not None
+                else sim.ivf_centroids(batch, cells=self.cells)
+            )
+            books = (
+                self._bootstrap_books
+                if self._bootstrap_books is not None
+                else sim.pq_codebooks(batch, self.m)
+            )
+            self.state.write_merged("cents", self._cents_long(cents))
+            self.state.write_merged("books", self._books_long(books))
+        else:
+            cents = self.centroids()
+            books = self.books()
+        corpus = batch.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("vec"),
+        )
+        assigned = sim._nearest_cells(corpus, cents, 1).select(F.col("id"), "cell")
+        delta = (
+            assigned.join(sim.pq_encode(batch, books, self.m), "id")
+            .select(
+                F.col("cell").cast("int").alias("bucket"),
+                F.col("id").alias("n_id"),
+                F.col("cell").cast("int").alias("cell"),
+                F.col("s").cast("int").alias("s"),
+                F.col("code").cast("int").alias("code"),
+            )
+        )
+        self.state.write_merged("inv", delta)
+        self.state.commit(epoch_id, append=True)
+        self.epoch = epoch_id
+
+    # -- search --------------------------------------------------------------
+
+    def search(self, queries: DataFrame, k: int = 5) -> DataFrame:
+        """Top-k by ADC over the probed cells' code lists — identical
+        scoring (fixed-subspace-order fold, approximate inner product)
+        and output shape to the batch `knn_ivfpq`: (q_id, n_id, rank,
+        score). Per query the LUT is m·K dot products against the
+        broadcast codebooks; the scan touches only code rows in the
+        probed cells' bucket directories."""
+        cents = self.centroids()
+        books = self.books()
+        inv = self.state.read("inv")
+        probes = sim._nearest_cells(
+            queries.select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").cast("array<double>").alias("vec"),
+            ),
+            cents,
+            self.nprobe,
+        ).select(
+            F.col("id").alias("q_id"),
+            "cell",
+            F.col("cell").cast("int").alias("bucket"),
+        )
+        lut = sim._pq_subvectors(queries, self.m).join(F.broadcast(books), "s").select(
+            F.col("id").alias("q_id"),
+            "s",
+            "code",
+            sim.dot(F.col("sub"), F.col("cvec")).alias("part"),
+        )
+        scored = (
+            inv.join(F.broadcast(probes), ["bucket", "cell"])
+            .filter(F.col("q_id") != F.col("n_id"))
+            .join(F.broadcast(lut), ["q_id", "s", "code"])
+            .groupBy("q_id", "n_id")
+            .agg(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("s", "part"))),
+                        lambda t: t["part"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("score")
+            )
+        )
+        w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "rank", F.round("score", 6).alias("score"))
+        )

@@ -690,6 +690,69 @@ def test_ivf_refresh_recovers_drifted_recall(spark, tmp_path):
     assert idx.state.read("inv").count() == union.count() + 50
 
 
+def test_incremental_ivfpq_index_matches_batch(spark, tmp_path):
+    """The streaming IVF-PQ index (codes-only inverted lists appended
+    across 3 micro-batches) must return EXACTLY the batch `knn_ivfpq`
+    results when both share training data — and its state must hold NO
+    raw vectors: m small-int rows per vector (the ~250× memory win
+    that makes a 10^9-vector streaming index feasible). Replayed
+    epochs must not duplicate code rows."""
+    from query_processing_over_streaming_data_using_flink_spark.operators import similarity as sim
+    from query_processing_over_streaming_data_using_flink_spark.streaming.ann_index import (
+        IncrementalIVFPQIndex,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = sim.ivf_centroids(emb)
+    books = sim.pq_codebooks(emb)
+    idx = IncrementalIVFPQIndex(
+        spark, str(tmp_path / "ivfpq"), centroids=cents, books=books
+    )
+    for e in range(3):
+        idx.process_batch(emb.filter(F.col("vec_id") % 3 == e), e)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = _rows(idx.search(queries, k=5))
+    want = _rows(sim.knn_ivfpq(emb, queries, k=5))
+    assert got == want
+
+    # Codes-only state: m rows of small ints per vector, no arrays.
+    inv = idx.state.read("inv")
+    assert inv.count() == emb.count() * sim.PQ_M
+    assert all(not f.dataType.typeName().startswith("array") for f in inv.schema)
+
+    # Redelivered epoch: skipped.
+    idx.process_batch(emb.filter(F.col("vec_id") % 3 == 1), 1)
+    assert idx.state.read("inv").count() == emb.count() * sim.PQ_M
+
+
+def test_incremental_ivfpq_index_restart(spark, tmp_path):
+    """A fresh handler on an existing IVF-PQ index dir must recover the
+    committed epoch and the FROZEN quantizers (centroids AND codebooks)
+    from state — continuing ingestion without retraining, so the final
+    search still equals the batch `knn_ivfpq`."""
+    from query_processing_over_streaming_data_using_flink_spark.operators import similarity as sim
+    from query_processing_over_streaming_data_using_flink_spark.streaming.ann_index import (
+        IncrementalIVFPQIndex,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    d = str(tmp_path / "ivfpq")
+    idx = IncrementalIVFPQIndex(
+        spark, d, centroids=sim.ivf_centroids(emb), books=sim.pq_codebooks(emb)
+    )
+    idx.process_batch(emb.filter(F.col("vec_id") % 2 == 0), 0)
+
+    idx2 = IncrementalIVFPQIndex(spark, d)
+    assert idx2.epoch == 0
+    idx2.process_batch(emb.filter(F.col("vec_id") % 2 == 1), 1)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = _rows(idx2.search(queries, k=5))
+    want = _rows(sim.knn_ivfpq(emb, queries, k=5))
+    assert got == want
+
+
 def test_run_streaming_ann_index_with_scheduled_refresh(spark, tmp_path):
     """The operational wrapper: file-stream ingestion with the
     recluster in the loop (`refresh_every`). A refresh fires on the
