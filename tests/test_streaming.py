@@ -465,6 +465,52 @@ def test_streaming_image_near_dedup_across_batches(spark, tmp_path):
     assert v2[12] is None, "fresh image admitted"
 
 
+def test_streaming_audio_near_dedup_across_batches(spark, tmp_path):
+    """Audio completes the modality symmetry on the same band-ownership
+    state: with the audio-fingerprint band_fn, a volume-doubled copy of
+    a batch-1 clip arriving in batch 2 flags its canonical (different
+    PCM bytes — exact fingerprints can't see it); a fresh clip is
+    admitted."""
+    from query_processing_over_streaming_data_using_flink_spark.operators import dedup as dd
+    from query_processing_over_streaming_data_using_flink_spark.operators import media_codec as mc
+    from query_processing_over_streaming_data_using_flink_spark.operators import multimodal as mm
+    from query_processing_over_streaming_data_using_flink_spark.streaming.dedup import (
+        IncrementalNearDedup,
+    )
+
+    def media_df(rows):
+        return spark.createDataFrame(
+            [
+                (i, bytearray(mc.encode_wav_pcm16(s, rate)), mm.WAV_TYPE)
+                for i, (s, rate) in rows
+            ],
+            "doc_id long, content binary, media_type string",
+        )
+
+    # Pairwise band-disjoint base sids (the mixed corpus has a few
+    # legitimate 16-bit band collisions across its 101 bases — e.g.
+    # hamming(29,30)=1; this test isolates the cross-batch mechanics,
+    # so batch 1 must carry no intra-batch candidates).
+    sids = [0, 1, 2, 5, 6, 7]
+    bases = {i: mc.synth_audio_samples_mixed(i) for i in sids}
+    b1 = media_df([(i, bases[i]) for i in sids])
+    louder = ((bases[2][0].astype("int32") * 2).astype("int16"), bases[2][1])
+    fresh = mc.synth_audio_samples_mixed(20)
+    b2 = media_df([(10, louder), (11, bases[5]), (12, fresh)])
+
+    h = IncrementalNearDedup(
+        spark,
+        str(tmp_path / "state"),
+        band_fn=lambda b: dd.hamming_band_key_rows(mm.audio_ahash(b), "ah"),
+    )
+    v1 = {r["doc_id"]: r["dup_of"] for r in h.process_batch(b1, 0).collect()}
+    assert all(v is None for v in v1.values())
+    v2 = {r["doc_id"]: r["dup_of"] for r in h.process_batch(b2, 1).collect()}
+    assert v2[10] == 2, "volume-doubled re-upload flags its canonical"
+    assert v2[11] == 5, "exact re-upload flags its canonical"
+    assert v2[12] is None, "fresh clip admitted"
+
+
 def test_near_dedup_restart_with_epoch_gap(spark, tmp_path):
     """Epoch ids are NOT dense: a restarted stream resumes at the
     checkpointed batch id. State discovery and the verdict log must key
