@@ -142,6 +142,32 @@ def write_partitioned(
     return n_files
 
 
+def compact_zordered(
+    spark: SparkSession,
+    path: str,
+    x: str,
+    y: str,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+) -> int:
+    """Rewrite a parquet directory Z-clustered on (`x`, `y`) — the
+    OPTIMIZE ... ZORDER BY maintenance pass: streaming micro-batches
+    land in arrival order (each file spans the full key range, zone
+    maps prune nothing), and this one-shuffle rewrite turns the
+    directory into `write_zordered` layout so footer stats prune both
+    dimensions again. Same swap-on-write discipline as
+    `compact_small_files`; returns the output file count."""
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    n_files = max(1, math.ceil(_estimated_bytes(df) / target_file_bytes))
+    tmp = path.rstrip("/") + "__compacting"
+    write_zordered(df, tmp, x, y, n_files)
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    return n_files
+
+
 def compact_small_files(
     spark: SparkSession,
     path: str,

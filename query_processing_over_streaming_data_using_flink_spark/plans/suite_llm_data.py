@@ -952,6 +952,76 @@ SELECT q_id, n_id, rank, round(score, 6) AS score FROM ranked WHERE rank <= 5
 register("ann_ivfpq", ann_ivfpq, _ivfpq_sql())
 
 
+def ann_recall_ivfpq_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed index's quality as an oracle-checked number:
+    per-query recall@5 of IVF-PQ (cell pruning AND code quantization
+    both lossy) against exact inner-product brute force, plus the
+    mean — the certification every ANN path in this engine carries.
+    Necessarily ≤ both the IVF-only and PQ-only recalls; the number is
+    the honest price of the 32× memory + nprobe/cells scan reduction."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qdf = _queries_df(spark, sf_dir)
+    exact = sim.knn_bruteforce_dot(e, qdf, k=5).select("q_id", "n_id")
+    approx = sim.knn_ivfpq(e, qdf, k=5).select("q_id", "n_id")
+    per_q = (
+        exact.join(approx, ["q_id", "n_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    per_query = (
+        exact.select("q_id").distinct()
+        .join(per_q, "q_id", "left")
+        .select(
+            "q_id",
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / 5.0, 6).alias("recall_at_5"),
+        )
+    )
+    summary = per_query.agg(
+        F.lit(-1).cast("long").alias("q_id"),
+        F.round(F.avg("recall_at_5"), 6).alias("recall_at_5"),
+    )
+    return per_query.unionByName(summary)
+
+
+def _ivfpq_recall_sql() -> str:
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce([{a}[i] * {b}[i] for i in range(1, len({a}) + 1)], "
+            "(p, q) -> p + q)"
+        )
+
+    exact_dot = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id, {dot('q.vec', 'c.vec')} AS score
+  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+  FROM pairs
+)
+SELECT q_id, n_id FROM ranked WHERE rank <= 5
+"""
+    return f"""
+WITH exact AS ({exact_dot}),
+approx AS ({_ivfpq_sql()}),
+per_q AS (
+  SELECT e.q_id,
+         round(count(a.n_id) / 5.0, 6) AS recall_at_5
+  FROM exact e
+  LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+  GROUP BY e.q_id
+)
+SELECT q_id, recall_at_5 FROM per_q
+UNION ALL
+SELECT CAST(-1 AS BIGINT), round(avg(recall_at_5), 6) FROM per_q
+"""
+
+
+register("ann_recall_ivfpq_vs_exact", ann_recall_ivfpq_vs_exact, _ivfpq_recall_sql())
+
+
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub: per-doc email/phone counts + md5 of the redacted
     text (RE2-safe patterns — Spark's Java regex and DuckDB's RE2

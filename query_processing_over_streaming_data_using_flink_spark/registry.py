@@ -42,6 +42,7 @@ _PRIORITY_FIRST = [
     "ann_pq",
     "ann_recall_pq_vs_exact",
     "ann_ivfpq",
+    "ann_recall_ivfpq_vs_exact",
     "zorder_events_clusters",
     "changelog_windowed_churn_state",
     # Stalest certifications: last driver-green in round 1 (the three
@@ -90,12 +91,12 @@ _PRIORITY_FIRST = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    # Tail of the 50-slot prefix: stalest r4-greens (2 rounds stale),
-    # registration order; anything past position 50 waits for r7
-    # (events_tumbling_hourly and funnel_click_to_purchase rotated out
-    # for ann_ivfpq + zorder_events_clusters — both r4-green, so still
-    # inside the 3-round staleness bound until r7's prefix).
-    "sessionize_events",
+    # The r4-green prefix tail (sessionize_events,
+    # funnel_click_to_purchase, events_tumbling_hourly) rotated out for
+    # the three late-round-6 queries (ann_ivfpq, its recall cert, and
+    # zorder_events_clusters) — all three displaced queries are
+    # r4-green, so still inside the 3-round staleness bound until r7's
+    # prefix, where they rotate back in.
 ]
 _PUSH_LAST = [
     # Driver-green in round 5 (CORRECTNESS_r05, fresh certification;

@@ -237,6 +237,54 @@ def test_write_zordered_prunes_both_dims(spark, tmp_path):
     assert back.exceptAll(df).count() == 0
 
 
+def test_compact_zordered_restores_pruning(spark, tmp_path):
+    """OPTIMIZE-ZORDER: events written in arrival order across many
+    small files (every file spans ~the full user range — zone maps
+    prune nothing) compact into few Z-clustered files where user
+    footer intervals are bounded again; data unchanged."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from query_processing_over_streaming_data_using_flink_spark.operators import layout
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    df = ev.select(us.alias("t"), F.col("user_id").alias("u"))
+    path = str(tmp_path / "arrivals")
+    # Arrival order ~ event_id: round-robin across 16 "micro-batch" files.
+    df.repartition(16).write.parquet(path)
+    assert len(glob.glob(path + "/part-*.parquet")) == 16
+
+    def mean_u_span(p):
+        spans, glo, ghi = [], None, None
+        per = []
+        for f in sorted(glob.glob(p + "/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema != "u":
+                        continue
+                    st = col.statistics
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            per.append((lo, hi))
+            glo = lo if glo is None else min(glo, lo)
+            ghi = hi if ghi is None else max(ghi, hi)
+        return sum(hi - lo for lo, hi in per) / ((ghi - glo) * len(per))
+
+    assert mean_u_span(path) > 0.9  # arrival order: no user pruning
+
+    layout.compact_zordered(spark, path, "t", "u", target_file_bytes=2 << 10)
+    assert mean_u_span(path) < 0.6  # Z-clustered: bounded again
+    back = spark.read.parquet(path)
+    assert back.count() == df.count()
+    assert back.exceptAll(df).count() == 0
+
+
 def test_compact_small_files(spark, tmp_path):
     """Many tiny files compact to few; data unchanged."""
     import glob
