@@ -292,3 +292,62 @@ def sample_fixed_k_per_stratum(docs, k: int, strata_col: str = "lang"):
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def boilerplate_strip(docs, chunk_tokens: int = 4, min_docs: int = 3):
+    """Cross-document boilerplate removal (the CCNet/RefinedWeb
+    repeated-line dedup at token-segment granularity): a doc's
+    non-overlapping `chunk_tokens`-token segments appearing verbatim in
+    ≥ `min_docs` distinct documents are stripped; the doc reassembles
+    from the surviving segments in order. Returns (doc_id, n_chunks,
+    n_boilerplate, boilerplate_ratio, cleaned_md5) — the md5
+    value-checks the rewrite itself. Three linear shuffles; the
+    frequency shuffle keys on segment text for oracle exactness (at
+    100 TB key it on xxhash64(segment) and keep text only on the
+    surviving side)."""
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), TOKEN_SPLIT_RE)).alias("pos", "tok")
+    )
+    chunks = (
+        toks.withColumn("chunk", F.floor(F.col("pos") / chunk_tokens).cast("int"))
+        .groupBy("doc_id", "chunk")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda t: t["tok"],
+                ),
+            ).alias("ctext")
+        )
+    )
+    freq = chunks.groupBy("ctext").agg(F.countDistinct("doc_id").alias("nd"))
+    boiler = F.col("nd") >= min_docs
+    return (
+        chunks.join(freq, "ctext")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(boiler, 1).otherwise(0)).alias("n_boilerplate"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.when(~boiler, F.struct("chunk", "ctext")))
+                        ),
+                        lambda t: t["ctext"],
+                    ),
+                )
+            ).alias("cleaned_md5"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_boilerplate",
+            F.round(F.col("n_boilerplate") / F.col("n_chunks"), 6).alias(
+                "boilerplate_ratio"
+            ),
+            "cleaned_md5",
+        )
+    )

@@ -1624,6 +1624,53 @@ GROUP BY sh.doc_id
 register("doc_ngram_novelty", doc_ngram_novelty, _NOVELTY_SQL)
 
 
+BOILER_CHUNK = 4  # tokens per non-overlapping segment
+BOILER_MIN_DOCS = 3  # a segment in ≥ this many distinct docs is boilerplate
+
+
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate REMOVAL (the CCNet/RefinedWeb line-
+    dedup step at token-segment granularity, since this corpus has no
+    newlines): a doc's non-overlapping 4-token segments that appear
+    verbatim in ≥3 distinct documents (nav menus, cookie banners,
+    licence footers at web scale) are stripped, and the doc is
+    reassembled from the surviving segments in order. The actionable
+    complement to `doc_ngram_novelty`'s score: output is (doc_id,
+    n_chunks, n_boilerplate, boilerplate_ratio, cleaned_md5) — the md5
+    value-checks the REWRITE itself, not just the counts
+    (`operators/text.py:boilerplate_strip`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.boilerplate_strip(docs, BOILER_CHUNK, BOILER_MIN_DOCS)
+
+
+_BOILER_SQL = f"""
+WITH d AS (SELECT doc_id, {_TOKENS} AS tks FROM documents),
+toks AS (
+  SELECT doc_id, t.i - 1 AS pos, tks[t.i] AS tok
+  FROM d, unnest(range(1, len(tks) + 1)) AS t(i)
+),
+chunks AS (
+  SELECT doc_id, CAST(pos // {BOILER_CHUNK} AS INT) AS chunk,
+         string_agg(tok, ' ' ORDER BY pos) AS ctext
+  FROM toks GROUP BY doc_id, pos // {BOILER_CHUNK}
+),
+freq AS (SELECT ctext, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY ctext)
+SELECT c.doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN f.nd >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boilerplate,
+       round(sum(CASE WHEN f.nd >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END) / count(*), 6)
+         AS boilerplate_ratio,
+       md5(coalesce(string_agg(c.ctext, ' ' ORDER BY c.chunk)
+                    FILTER (WHERE f.nd < {BOILER_MIN_DOCS}), '')) AS cleaned_md5
+FROM chunks c JOIN freq f USING (ctext)
+GROUP BY c.doc_id
+"""
+
+
+register("text_boilerplate_strip", text_boilerplate_strip, _BOILER_SQL)
+
+
 # Reciprocal-rank-fusion constant (the standard 60 from the RRF paper).
 RRF_K = 60
 HYBRID_TOPK = 10

@@ -32,9 +32,13 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # fully verified by scripts/verify_contract.py every round). Names not
 # listed keep registration order after the priority block.
 _PRIORITY_FIRST = [
-    # flagship stays first — it's also entry()
-    "q3_shipping_priority",
-    # New in round 6 (never driver-checked):
+    # New in round 6 (never driver-checked). The flagship
+    # q3_shipping_priority rotates OUT of the prefix for the first time
+    # this round: with 11 new queries plus the 39-query stale block the
+    # 50 slots are exactly spoken for, and the flagship is the one
+    # member with slack — r5-green, exercised by the driver's entry()
+    # smoke every round, and first in registration order so it returns
+    # to the prefix as soon as slots free up in r7.
     "dedup_cross_snapshot_minhash",
     "image_phash_near_dup",
     "image_dedup_keep_best",
@@ -44,6 +48,7 @@ _PRIORITY_FIRST = [
     "ann_ivfpq",
     "ann_recall_ivfpq_vs_exact",
     "zorder_events_clusters",
+    "text_boilerplate_strip",
     "changelog_windowed_churn_state",
     # Stalest certifications: last driver-green in round 1 (the three
     # API variants were parked past the cap as redundant; rotate them in

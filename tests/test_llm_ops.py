@@ -115,6 +115,33 @@ def test_image_phash_scaled_shifted_recall(spark):
         assert 3 not in p, "unrelated image must not pair"
 
 
+def test_boilerplate_strip_planted_banner(spark):
+    """Four docs share a verbatim 8-token banner (two 4-token
+    segments) before unique tails; one doc is all-unique. The banner
+    segments strip from every carrier (cleaned text == the tail, md5-
+    verified); the unique doc passes through byte-identical."""
+    import hashlib
+
+    from query_processing_over_streaming_data_using_flink_spark.operators.text import boilerplate_strip
+
+    banner = "accept all cookies to continue reading this site"
+    tails = {
+        i: " ".join(f"doc{i}w{j}" for j in range(8)) for i in range(4)
+    }
+    rows = [(i, f"{banner} {tails[i]}") for i in range(4)]
+    unique_text = " ".join(f"only{j}" for j in range(16))
+    rows.append((9, unique_text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {r["doc_id"]: r for r in boilerplate_strip(docs, 4, 3).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    for i in range(4):
+        assert out[i]["n_chunks"] == 4 and out[i]["n_boilerplate"] == 2
+        assert out[i]["cleaned_md5"] == md5(tails[i]), i
+    assert out[9]["n_boilerplate"] == 0
+    assert out[9]["cleaned_md5"] == md5(unique_text)
+
+
 def test_pq_adc_recall_floor(spark):
     """PQ8×8 ADC search must keep mean recall@5 ≥ 0.4 vs exact inner
     product on the (hardest-case: random) smoke embeddings — a floor
