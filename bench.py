@@ -133,6 +133,23 @@ def main() -> None:
         lambda: _run(llm.embedding_covariance(spark, sf_dir)),
     )
 
+    # Informational (single-run, not regression-gated): the ANN
+    # spectrum at this SF — exact baseline vs the three pruned indexes.
+    # Wall-clock at test scale is training-dominated (tiny corpus); the
+    # scan-volume story these stand for is in SCALING.md and the
+    # recall certifications.
+    ann_variants: dict[str, float] = {}
+    for vname, vfn in (
+        ("ann_lsh", llm.ann_lsh),
+        ("ann_ivf", llm.ann_ivf),
+        ("ann_pq", llm.ann_pq),
+        ("ann_ivfpq", llm.ann_ivfpq),
+    ):
+        t0 = time.time()
+        _run(vfn(spark, sf_dir))
+        ann_variants[vname] = round(time.time() - t0, 3)
+    extra["ann_variants"] = ann_variants
+
     # SF-1 parity datapoint: BASELINE.md measures the reference at SF-1
     # (15.3M events, ~71s best). No sf1 testdata directory exists, so
     # replicate the sf0.1 changelog tables 10× with disjoint key ranges
