@@ -442,6 +442,50 @@ def knn_pq(
     )
 
 
+def knn_ivf_filtered(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    allowed: DataFrame,
+    k: int = 5,
+    cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Metadata-FILTERED vector search over the shared IVF index: top-k
+    among only the corpus vectors whose id appears in `allowed` (one
+    `id` column — e.g. doc_ids passing a lang/quality/licence
+    predicate). The index (centroids + inverted lists) is built over
+    the FULL corpus — the production situation: one index, many
+    filters — and the predicate applies as a semi-join on the
+    candidate ids inside the probed cells, before any scoring. One
+    extra equi-join over plain `knn_ivf` (broadcast when the allowed
+    set is small, AQE decides otherwise); with a selective filter,
+    raise `nprobe` to hold recall — candidates per probe shrink by the
+    filter's selectivity."""
+    cents = ivf_centroids(embeddings, cells).persist()
+    corpus = embeddings.select(
+        F.col("vec_id").alias("id"), _as_double(F.col("embedding")).alias("vec")
+    )
+    inv = _nearest_cells(corpus, cents, 1).select(
+        F.col("id").alias("n_id"), F.col("vec").alias("n_vec"), "cell"
+    ).join(allowed.select(F.col("id").alias("n_id")), "n_id", "left_semi")
+    probes = _nearest_cells(
+        queries.select(F.col("vec_id").alias("id"), _as_double(F.col("embedding")).alias("vec")),
+        cents,
+        nprobe,
+    ).select(F.col("id").alias("q_id"), F.col("vec").alias("q_vec"), "cell")
+    scored = (
+        inv.join(F.broadcast(probes), "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("n_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
 def knn_ivfpq(
     embeddings: DataFrame,
     queries: DataFrame,

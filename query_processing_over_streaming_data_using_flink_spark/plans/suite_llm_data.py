@@ -624,7 +624,11 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_ivf(e, _queries_df(spark, sf_dir), k=5)
 
 
-_ANN_IVF_SQL = f"""
+def _ivf_sql(inv_filter: str = "") -> str:
+    """The IVF-flat oracle, parameterized on an extra candidate-id
+    predicate appended to the inverted-list CTE (empty for the plain
+    index; the filtered variant injects a semi-join on documents)."""
+    return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
 comp0 AS (
   SELECT vec_id % {sim.IVF_CELLS} AS cell, t.i AS dim,
@@ -653,7 +657,7 @@ inv AS (
     SELECT e.vec_id AS n_id, e.vec AS n_vec, c.cell,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {_cosine_sql('e.vec', 'c.cvec')} DESC, c.cell) AS r
-    FROM e CROSS JOIN cents c) WHERE r = 1
+    FROM e CROSS JOIN cents c) WHERE r = 1 {inv_filter}
 ),
 probes AS (
   SELECT q_id, q_vec, cell FROM (
@@ -675,7 +679,29 @@ SELECT q_id, n_id, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 5
 """
 
 
-register("ann_ivf", ann_ivf, _ANN_IVF_SQL)
+register("ann_ivf", ann_ivf, _ivf_sql())
+
+
+def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (`operators/similarity.py:
+    knn_ivf_filtered`): top-5 among only the vectors whose document is
+    English, against the SHARED full-corpus IVF index — the production
+    one-index-many-filters shape. The predicate is a semi-join on the
+    candidate ids inside the probed cells, never a rebuild."""
+    e = load_table(spark, sf_dir, "embeddings")
+    allowed = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == "en"
+    ).select(F.col("doc_id").alias("id"))
+    return sim.knn_ivf_filtered(e, _queries_df(spark, sf_dir), allowed, k=5)
+
+
+register(
+    "ann_ivf_filtered",
+    ann_ivf_filtered,
+    _ivf_sql(
+        "AND n_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"
+    ),
+)
 
 
 def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1357,7 +1383,7 @@ def ann_recall_ivf_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANN_RECALL_SQL = f"""
 WITH exact AS ({_ANN_BF_SQL}),
-approx AS ({_ANN_IVF_SQL}),
+approx AS ({_ivf_sql()}),
 per_q AS (
   SELECT e.q_id,
          round(count(a.n_id) / 5.0, 6) AS recall_at_5

@@ -102,6 +102,13 @@ _PRIORITY_FIRST = [
     # zorder_events_clusters) — all three displaced queries are
     # r4-green, so still inside the 3-round staleness bound until r7's
     # prefix, where they rotate back in.
+    # --- position 51+: the explicit OVERFLOW QUEUE. This round the
+    # forced set (never-checked + ≥3-rounds-stale) is 51 queries for 50
+    # slots, so the last-registered new query waits here, first in line
+    # for r7 — fully verified by the local dual-scale sweep meanwhile.
+    # The rotation test mechanically enforces that overflow entries are
+    # contiguous at 50+ and only exist when forced demand exceeds 50.
+    "ann_ivf_filtered",
 ]
 _PUSH_LAST = [
     # Driver-green in round 5 (CORRECTNESS_r05, fresh certification;

@@ -79,9 +79,16 @@ def test_registry_priority_names_are_real():
     assert not overlap, f"names in both lists: {overlap}"
     assert len(registry._PRIORITY_FIRST) == len(set(registry._PRIORITY_FIRST))
     assert len(registry._PUSH_LAST) == len(set(registry._PUSH_LAST))
-    assert len(registry._PRIORITY_FIRST) == 50, (
+    # The driver checks a 50-entry prefix. The list may run PAST 50
+    # only as the explicit overflow queue (forced demand > 50 slots, a
+    # rare round shape) — the rotation test validates that overflow is
+    # legitimate; here we pin that the intended prefix itself is 50.
+    assert len(registry._PRIORITY_FIRST) >= 50, (
         f"driver checks a 50-entry prefix; priority list has "
         f"{len(registry._PRIORITY_FIRST)}"
+    )
+    assert len(registry._PRIORITY_FIRST) <= 53, (
+        "overflow queue should stay small — rotate, don't accumulate"
     )
 
 
@@ -120,15 +127,31 @@ def test_registry_rotation_covers_stalest_queries():
     current_round = max(rounds) + 1  # CORRECTNESS_rN is written after round N
     names = list(registry.all_queries())
     prefix = set(names[:50])
-    stranded = [
+    forced = [
         n
         for n in names
         if current_round - last_green.get(n, current_round - 99) >= 3
-        and n not in prefix
     ]
-    assert not stranded, (
-        f"queries ≥3 rounds stale but outside the 50-entry driver prefix: {stranded}"
-    )
+    stranded = [n for n in forced if n not in prefix]
+    if len(forced) <= 50:
+        assert not stranded, (
+            f"queries ≥3 rounds stale but outside the 50-entry driver "
+            f"prefix: {stranded}"
+        )
+    else:
+        # Overflow round: more forced queries than slots. The policy
+        # then requires (a) exactly the overflow count is stranded,
+        # (b) stranded queries queue CONTIGUOUSLY right after the
+        # prefix (first in line for next round), and (c) each is
+        # never-driver-checked (a new query waiting its first check) —
+        # an already-stale query must never be the one bumped.
+        assert len(stranded) == len(forced) - 50, (forced, stranded)
+        assert set(names[50 : 50 + len(stranded)]) == set(stranded), (
+            f"overflow must queue contiguously at position 51+: {stranded}"
+        )
+        assert all(n not in last_green for n in stranded), (
+            f"bumped queries must be new, never already-stale: {stranded}"
+        )
 
 
 def test_complex_column_lint_catches_planted_offender(spark):

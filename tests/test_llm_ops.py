@@ -115,6 +115,32 @@ def test_image_phash_scaled_shifted_recall(spark):
         assert 3 not in p, "unrelated image must not pair"
 
 
+def test_knn_ivf_filtered_respects_predicate(spark):
+    """Filtered vector search: every neighbor honors the predicate
+    under normal probing, and with nprobe == cells (scan everything)
+    the filtered IVF search is EXACTLY brute force over the allowed
+    subset — the filter changes the candidate set, never the scoring."""
+    from query_processing_over_streaming_data_using_flink_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    allowed = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("id")
+    )
+
+    res = sim.knn_ivf_filtered(emb, queries, allowed, k=5)
+    assert res.count() > 0
+    assert res.filter(F.col("n_id") % 2 != 0).count() == 0
+
+    full = sim.knn_ivf_filtered(
+        emb, queries, allowed, k=5, cells=sim.IVF_CELLS, nprobe=sim.IVF_CELLS
+    )
+    exact = sim.knn_bruteforce(
+        emb.filter(F.col("vec_id") % 2 == 0), queries, k=5
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, exact.collect()))
+
+
 def test_boilerplate_strip_planted_banner(spark):
     """Four docs share a verbatim 8-token banner (two 4-token
     segments) before unique tails; one doc is all-unique. The banner

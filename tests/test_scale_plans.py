@@ -193,6 +193,7 @@ _BNLJ_ALLOWED = {
     "ann_recall_ivf_vs_exact",  # composes the two allowed ANN operators
     "ann_recall_lsh_vs_exact",  # exact-baseline side is the allowed brute force
     "ann_ivfpq",  # composes the allowed IVF cell assignment (bounded centroid side)
+    "ann_ivf_filtered",  # same IVF cell assignment, plus the id semi-join
     "ann_recall_ivfpq_vs_exact",  # exact-baseline side is the allowed brute force
     "zorder_events_clusters",  # 1-row broadcast min/max-bounds scalar
 
