@@ -227,14 +227,23 @@ class IncrementalIVFIndex:
 
     # -- search --------------------------------------------------------------
 
-    def search(self, queries: DataFrame, k: int = 5) -> DataFrame:
+    def search(
+        self, queries: DataFrame, k: int = 5, allowed: DataFrame | None = None
+    ) -> DataFrame:
         """Top-k cosine neighbors of (vec_id, embedding) query rows over
         everything ingested so far — same output shape and semantics as
         the batch `knn_ivf` (q_id, n_id, rank, sim). The probe join is
         on `cell` == the state's bucket column, so only the probed
-        cells' directories are read."""
+        cells' directories are read. `allowed` (one `id` column)
+        restricts candidates to ids passing a metadata predicate —
+        same one-index-many-filters semantics as the batch
+        `knn_ivf_filtered`, applied as a semi-join on the lists."""
         cents = self.centroids()
         inv = self.state.read("inv")
+        if allowed is not None:
+            inv = inv.join(
+                allowed.select(F.col("id").alias("n_id")), "n_id", "left_semi"
+            )
         probes = sim._nearest_cells(
             queries.select(
                 F.col("vec_id").alias("id"),

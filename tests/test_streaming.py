@@ -612,6 +612,13 @@ def test_incremental_ivf_index_matches_batch(spark, tmp_path):
     idx.process_batch(emb.filter(F.col("vec_id") % 3 == 2), 2)
     assert idx.state.read("inv").count() == n
 
+    # Filtered search over the SAME index state equals the batch
+    # filtered search (one index, many filters — streaming rendering).
+    allowed = emb.filter(F.col("vec_id") % 2 == 0).select(F.col("vec_id").alias("id"))
+    got_f = _rows(idx.search(queries, k=5, allowed=allowed))
+    want_f = _rows(sim.knn_ivf_filtered(emb, queries, allowed, k=5))
+    assert got_f == want_f
+
     # The probe path reads only the probed cells' bucket directories
     # (cell == partition column → partition filters prune the rest).
     plan = idx.search(queries, k=5)._jdf.queryExecution().executedPlan().toString()
