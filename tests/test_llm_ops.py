@@ -115,6 +115,49 @@ def test_image_phash_scaled_shifted_recall(spark):
         assert 3 not in p, "unrelated image must not pair"
 
 
+def test_round6_ops_degenerate_inputs(spark):
+    """Degenerate-input behavior of the round-6 operators is defined,
+    not accidental: a constant Z-order dimension quantizes to rank 0
+    (no division blow-up), a single-document corpus has zero
+    boilerplate and passes through md5-identical, and an empty allowed
+    set yields an empty filtered search instead of an error."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from query_processing_over_streaming_data_using_flink_spark.operators import layout
+    from query_processing_over_streaming_data_using_flink_spark.operators import similarity as sim
+    from query_processing_over_streaming_data_using_flink_spark.operators.text import boilerplate_strip
+
+    # Constant dimension: span == 0 → every rank 0, keys defined.
+    df = spark.createDataFrame([(i, 7) for i in range(10)], "x long, u long")
+    b = df.agg(
+        F.min("x").alias("xmin"), F.max("x").alias("xmax"),
+        F.min("u").alias("umin"), F.max("u").alias("umax"),
+    )
+    k = df.crossJoin(F.broadcast(b)).select(
+        layout.zorder_key(
+            layout.quantize_dim(F.col("x"), F.col("xmin"), F.col("xmax")),
+            layout.quantize_dim(F.col("u"), F.col("umin"), F.col("umax")),
+        ).alias("z")
+    )
+    zs = [r["z"] for r in k.collect()]
+    assert len(zs) == 10 and all(z is not None and z >= 0 for z in zs)
+
+    # Single doc: nothing cross-document, passthrough md5-identical.
+    text = " ".join(f"w{j}" for j in range(10))
+    one = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = boilerplate_strip(one, 4, 3).collect()[0]
+    assert row["n_boilerplate"] == 0
+    assert row["cleaned_md5"] == hashlib.md5(text.encode()).hexdigest()
+
+    # Empty allowed set: empty result, not an error.
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    empty = emb.filter(F.lit(False)).select(F.col("vec_id").alias("id"))
+    assert sim.knn_ivf_filtered(emb, queries, empty, k=5).count() == 0
+
+
 def test_knn_ivf_filtered_respects_predicate(spark):
     """Filtered vector search: every neighbor honors the predicate
     under normal probing, and with nprobe == cells (scan everything)
