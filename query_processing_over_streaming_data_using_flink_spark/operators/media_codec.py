@@ -14,6 +14,9 @@ tool reads/writes:
   ``data``, little-endian int16 samples. Written by the Python stdlib
   ``wave`` module (the tests cross-check against it) and everything
   else.
+* **BMP (24-bit BI_RGB)** — BITMAPFILEHEADER + BITMAPINFOHEADER,
+  bottom-up BGR rows padded to 4 bytes. The classic Windows
+  interchange raster; round-trips with any viewer.
 
 JPEG/PNG/MP4 genuinely need external codecs and still raise — the
 honest boundary, now much deeper.
@@ -82,6 +85,62 @@ def resize_nearest(pixels: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
     ys = (np.arange(new_h) * h) // new_h
     xs = (np.arange(new_w) * w) // new_w
     return pixels[ys][:, xs]
+
+
+# -- BMP (24-bit BI_RGB) ----------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB array → Windows BMP (BITMAPINFOHEADER,
+    24 bpp, uncompressed BI_RGB, bottom-up rows, BGR byte order,
+    rows padded to 4 bytes — the classic interchange layout every
+    viewer reads)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got {pixels.shape}")
+    h, w, _ = pixels.shape
+    row_raw = w * 3
+    stride = (row_raw + 3) // 4 * 4
+    img_size = stride * h
+    off = 14 + 40
+    file_header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    bgr_bottom_up = pixels[::-1, :, ::-1]
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row_raw] = np.ascontiguousarray(bgr_bottom_up, dtype=np.uint8).reshape(
+        h, row_raw
+    )
+    return file_header + info_header + rows.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Windows BMP (24-bit uncompressed BI_RGB) → (h, w, 3) uint8 RGB.
+    Handles both bottom-up (positive height, the normal case) and
+    top-down (negative height) row orders and the 4-byte row padding.
+    Palette/compressed/16- or 32-bpp variants raise — same honest-gate
+    discipline as the other codecs."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER not supported (need BITMAPINFOHEADER)")
+    w, h_signed = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit BI_RGB supported, got {bpp} bpp comp={compression}")
+    bottom_up, h = h_signed > 0, abs(h_signed)
+    row_raw = w * 3
+    stride = (row_raw + 3) // 4 * 4
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=off).reshape(
+        h, stride
+    )[:, :row_raw]
+    px = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    if bottom_up:
+        px = px[::-1]
+    return np.ascontiguousarray(px)
 
 
 # -- WAV (RIFF / PCM16) -----------------------------------------------------

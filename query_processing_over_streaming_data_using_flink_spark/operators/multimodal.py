@@ -97,6 +97,25 @@ def decode_image_meta(media: DataFrame, real_decode: bool = False) -> DataFrame:
 
 PPM_TYPE = "image/x-portable-pixmap"
 WAV_TYPE = "audio/wav"
+BMP_TYPE = "image/bmp"
+_IMAGE_TYPES = (PPM_TYPE, BMP_TYPE)
+
+
+def _decode_image(blob: bytes, media_type: str):
+    """Raster decode dispatch over the built-in image codecs — the one
+    place a new real image format plugs in (BMP joined PPM in r6; a
+    re-upload of the same picture in a DIFFERENT container gets the
+    same raster, hence the same dHash — cross-format near-dedup)."""
+    from query_processing_over_streaming_data_using_flink_spark.operators import media_codec as mc
+
+    if media_type == PPM_TYPE:
+        return mc.decode_ppm(blob)
+    if media_type == BMP_TYPE:
+        return mc.decode_bmp(blob)
+    raise NotImplementedError(
+        f"no built-in codec for {media_type!r}: JPEG/PNG need external "
+        "libraries (PPM and BMP are decoded natively)"
+    )
 
 REAL_META_SCHEMA = (
     "doc_id long, media_type string, n_bytes long, "
@@ -151,8 +170,8 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
             rows = []
             for doc_id, content, mt in zip(pdf["doc_id"], pdf["content"], pdf["media_type"]):
                 blob = bytes(content)
-                if mt == PPM_TYPE:
-                    px = mc.decode_ppm(blob)
+                if mt in _IMAGE_TYPES:
+                    px = _decode_image(blob, mt)
                     rows.append(
                         (int(doc_id), mt, len(blob), px.shape[1], px.shape[0],
                          int(px.size), int(px.astype(np.int64).sum()),
@@ -227,12 +246,7 @@ def image_dhash(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, content, mt in zip(pdf["doc_id"], pdf["content"], pdf["media_type"]):
-                if mt != PPM_TYPE:
-                    raise NotImplementedError(
-                        f"no built-in codec for {mt!r}: JPEG/PNG need external "
-                        "libraries (PPM is decoded natively)"
-                    )
-                rows.append((int(doc_id), mc.dhash64(mc.decode_ppm(bytes(content)))))
+                rows.append((int(doc_id), mc.dhash64(_decode_image(bytes(content), mt))))
             yield pd.DataFrame(rows, columns=["doc_id", "dh"])
 
     return media.mapInPandas(op, schema="doc_id long, dh long")

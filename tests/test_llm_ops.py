@@ -115,6 +115,51 @@ def test_image_phash_scaled_shifted_recall(spark):
         assert 3 not in p, "unrelated image must not pair"
 
 
+def test_bmp_codec_roundtrip_and_cross_format_dedup(spark):
+    """The BMP codec round-trips bit-exactly (including non-multiple-
+    of-4 row widths that force padding, and the top-down negative-
+    height variant), and a re-upload of the SAME picture in a
+    DIFFERENT container (PPM vs BMP) pairs under perceptual dedup —
+    exact byte fingerprints can never see cross-format dups."""
+    import numpy as np
+
+    from query_processing_over_streaming_data_using_flink_spark.operators import dedup as dd
+    from query_processing_over_streaming_data_using_flink_spark.operators import media_codec as mc
+    from query_processing_over_streaming_data_using_flink_spark.operators import multimodal as mm
+
+    for w, h in ((16, 12), (5, 7), (1, 1)):  # 5*3=15 → 1 pad byte/row
+        px = ((np.arange(w * h * 3) * 37 + 11) % 256).astype("uint8").reshape(h, w, 3)
+        assert np.array_equal(mc.decode_bmp(mc.encode_bmp(px)), px), (w, h)
+    # Top-down rows (negative height) — some writers emit this.
+    px = ((np.arange(4 * 3 * 3) * 7) % 256).astype("uint8").reshape(3, 4, 3)
+    blob = bytearray(mc.encode_bmp(px))
+    import struct as st
+
+    st.pack_into("<i", blob, 22, -3)  # flip height sign
+    body = np.frombuffer(bytes(blob[54:]), dtype=np.uint8).reshape(3, 12)
+    flipped = bytes(blob[:54]) + body[::-1].tobytes()
+    assert np.array_equal(mc.decode_bmp(flipped), px)
+
+    y, x = np.mgrid[0:12, 0:16]
+    base = (40 + ((x * 13 + y * 29) % 160))[..., None].repeat(3, axis=2).astype("uint8")
+    unrelated = mc.synth_image_pixels_mixed(5)
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(mc.encode_ppm(base)), mm.PPM_TYPE),
+            (1, bytearray(mc.encode_bmp(base)), mm.BMP_TYPE),
+            (3, bytearray(mc.encode_bmp(unrelated)), mm.BMP_TYPE),
+        ],
+        "doc_id long, content binary, media_type string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dd.hamming_band_pairs(mm.image_dhash(media), "dh", 3).collect()
+    }
+    assert pairs[(0, 1)] == 0, "same picture, different container must pair"
+    for p in pairs:
+        assert 3 not in p, "unrelated image must not pair"
+
+
 def test_round6_ops_degenerate_inputs(spark):
     """Degenerate-input behavior of the round-6 operators is defined,
     not accidental: a constant Z-order dimension quantizes to rank 0
