@@ -17,6 +17,8 @@ tool reads/writes:
 * **BMP (24-bit BI_RGB)** — BITMAPFILEHEADER + BITMAPINFOHEADER,
   bottom-up BGR rows padded to 4 bytes. The classic Windows
   interchange raster; round-trips with any viewer.
+* **AU (Sun/NeXT, 16-bit linear PCM)** — 24-byte big-endian header +
+  big-endian samples; annotation-padded data offsets honored.
 
 JPEG/PNG/MP4 genuinely need external codecs and still raise — the
 honest boundary, now much deeper.
@@ -186,6 +188,34 @@ def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
     if sample_rate is None or samples is None:
         raise ValueError("missing fmt/data chunk")
     return samples, sample_rate
+
+
+# -- AU (Sun/NeXT audio) ----------------------------------------------------
+
+
+def encode_au_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """1-D int16 array → Sun AU (.snd): 24-byte big-endian header
+    (magic, data offset, data size, encoding 3 = 16-bit linear PCM,
+    rate, channels) + BIG-endian samples — the oldest still-living
+    audio interchange container (Python stdlib `sunau` wrote it)."""
+    s = np.ascontiguousarray(samples, dtype=np.int16)
+    header = struct.pack(">4sIIIII", b".snd", 24, s.size * 2, 3, sample_rate, 1)
+    return header + s.astype(">i2").tobytes()
+
+
+def decode_au_pcm16(data: bytes) -> tuple[np.ndarray, int]:
+    """Sun AU bytes → (1-D int16 sample array, sample_rate). Honors the
+    header's data offset (annotations may pad it past 24); mono 16-bit
+    linear PCM only — μ-law/float encodings raise, same honest-gate
+    discipline as the other codecs."""
+    if data[:4] != b".snd":
+        raise ValueError("not a Sun AU stream")
+    off, size, enc, rate, channels = struct.unpack(">IIIII", data[4:24])
+    if enc != 3 or channels != 1:
+        raise ValueError(f"only mono 16-bit linear PCM supported (enc={enc}, ch={channels})")
+    count = size // 2 if size != 0xFFFFFFFF else (len(data) - off) // 2
+    samples = np.frombuffer(data, dtype=">i2", count=count, offset=off).astype(np.int16)
+    return samples, rate
 
 
 # -- perceptual hash (dHash) ------------------------------------------------

@@ -98,7 +98,9 @@ def decode_image_meta(media: DataFrame, real_decode: bool = False) -> DataFrame:
 PPM_TYPE = "image/x-portable-pixmap"
 WAV_TYPE = "audio/wav"
 BMP_TYPE = "image/bmp"
+AU_TYPE = "audio/basic"
 _IMAGE_TYPES = (PPM_TYPE, BMP_TYPE)
+_AUDIO_TYPES = (WAV_TYPE, AU_TYPE)
 
 
 def _decode_image(blob: bytes, media_type: str):
@@ -115,6 +117,23 @@ def _decode_image(blob: bytes, media_type: str):
     raise NotImplementedError(
         f"no built-in codec for {media_type!r}: JPEG/PNG need external "
         "libraries (PPM and BMP are decoded natively)"
+    )
+
+
+def _decode_audio(blob: bytes, media_type: str):
+    """Waveform decode dispatch over the built-in audio codecs (WAV
+    and AU): same cross-format near-dedup story as `_decode_image` —
+    one clip re-uploaded in a different container yields the same
+    samples, hence the same fingerprint. Returns (samples, rate)."""
+    from query_processing_over_streaming_data_using_flink_spark.operators import media_codec as mc
+
+    if media_type == WAV_TYPE:
+        return mc.decode_wav_pcm16(blob)
+    if media_type == AU_TYPE:
+        return mc.decode_au_pcm16(blob)
+    raise NotImplementedError(
+        f"no built-in codec for {media_type!r}: MP3/AAC need external "
+        "libraries (WAV-PCM16 and AU-PCM16 are decoded natively)"
     )
 
 REAL_META_SCHEMA = (
@@ -164,8 +183,6 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from query_processing_over_streaming_data_using_flink_spark.operators import media_codec as mc
-
         for pdf in batches:
             rows = []
             for doc_id, content, mt in zip(pdf["doc_id"], pdf["content"], pdf["media_type"]):
@@ -177,8 +194,8 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
                          int(px.size), int(px.astype(np.int64).sum()),
                          None, None, None)
                     )
-                elif mt == WAV_TYPE:
-                    samples, rate = mc.decode_wav_pcm16(blob)
+                elif mt in _AUDIO_TYPES:
+                    samples, rate = _decode_audio(blob, mt)
                     rows.append(
                         (int(doc_id), mt, len(blob), None, None, None, None,
                          len(samples), rate,
@@ -296,12 +313,7 @@ def audio_ahash(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, content, mt in zip(pdf["doc_id"], pdf["content"], pdf["media_type"]):
-                if mt != WAV_TYPE:
-                    raise NotImplementedError(
-                        f"no built-in codec for {mt!r}: MP3/AAC need external "
-                        "libraries (WAV-PCM16 is decoded natively)"
-                    )
-                samples, _rate = mc.decode_wav_pcm16(bytes(content))
+                samples, _rate = _decode_audio(bytes(content), mt)
                 rows.append((int(doc_id), mc.audio_ahash64(samples)))
             yield pd.DataFrame(rows, columns=["doc_id", "ah"])
 

@@ -160,6 +160,49 @@ def test_bmp_codec_roundtrip_and_cross_format_dedup(spark):
         assert 3 not in p, "unrelated image must not pair"
 
 
+def test_au_codec_roundtrip_and_cross_format_dedup(spark):
+    """The Sun AU codec round-trips bit-exactly (including a data
+    offset padded past 24 by an annotation), and one clip re-uploaded
+    as WAV and AU pairs under the perceptual audio fingerprint."""
+    import numpy as np
+
+    from query_processing_over_streaming_data_using_flink_spark.operators import dedup as dd
+    from query_processing_over_streaming_data_using_flink_spark.operators import media_codec as mc
+    from query_processing_over_streaming_data_using_flink_spark.operators import multimodal as mm
+
+    samples, rate = mc.synth_audio_samples_mixed(2)
+    blob = mc.encode_au_pcm16(samples, rate)
+    back, brate = mc.decode_au_pcm16(blob)
+    assert brate == rate and np.array_equal(back, samples)
+    # Annotation-padded offset (header says data starts at 32).
+    import struct as st
+
+    padded = (
+        st.pack(">4sIIIII", b".snd", 32, samples.size * 2, 3, rate, 1)
+        + b"note\x00\x00\x00\x00"
+        + samples.astype(">i2").tobytes()
+    )
+    back2, _ = mc.decode_au_pcm16(padded)
+    assert np.array_equal(back2, samples)
+
+    unrelated, urate = mc.synth_audio_samples_mixed(20)
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(mc.encode_wav_pcm16(samples, rate)), mm.WAV_TYPE),
+            (1, bytearray(mc.encode_au_pcm16(samples, rate)), mm.AU_TYPE),
+            (3, bytearray(mc.encode_au_pcm16(unrelated, urate)), mm.AU_TYPE),
+        ],
+        "doc_id long, content binary, media_type string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dd.hamming_band_pairs(mm.audio_ahash(media), "ah", 3).collect()
+    }
+    assert pairs[(0, 1)] == 0, "same clip, different container must pair"
+    for p in pairs:
+        assert 3 not in p, "unrelated clip must not pair"
+
+
 def test_round6_ops_degenerate_inputs(spark):
     """Degenerate-input behavior of the round-6 operators is defined,
     not accidental: a constant Z-order dimension quantizes to rank 0
