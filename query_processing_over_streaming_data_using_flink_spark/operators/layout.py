@@ -26,16 +26,16 @@ ZBITS = 16
 ZMAX = (1 << ZBITS) - 1
 
 
-def quantize_dim(v: Column, vmin: Column, vmax: Column) -> Column:
-    """Map `v` (int64) into [0, 2^16) by exact integer arithmetic —
-    (v-min)·65535 integer-divided by (max-min) — so Spark and any
+def quantize_dim(v: Column, vmin: Column, vmax: Column, zmax: int = ZMAX) -> Column:
+    """Map `v` (int64) into [0, zmax] by exact integer arithmetic —
+    (v-min)·zmax integer-divided by (max-min) — so Spark and any
     replaying engine produce bit-identical ranks. The product can
     exceed 2^53 (epoch-microsecond deltas × 65535), where double
     division silently rounds, so the divide runs in decimal(38,0):
     exact at any int64 magnitude, identical to BIGINT `//` in an
     oracle engine. A constant column (max == min) quantizes to 0."""
     span = vmax - vmin
-    scaled = ((v - vmin).cast("decimal(38,0)") * F.lit(ZMAX)).cast("decimal(38,0)")
+    scaled = ((v - vmin).cast("decimal(38,0)") * F.lit(zmax)).cast("decimal(38,0)")
     return F.when(span <= 0, F.lit(0).cast("long")).otherwise(
         F.floor(scaled / span.cast("decimal(38,0)")).cast("long")
     )
@@ -65,6 +65,89 @@ def zorder_key(x_q: Column, y_q: Column) -> Column:
     a time-only sort prunes time predicates but reads every file for
     a key predicate; the Z-order layout prunes both at once."""
     return _spread16(x_q).bitwiseOR(F.shiftleft(_spread16(y_q), 1))
+
+
+# Hilbert quantization width: 8 bits per dimension → a 256×256 grid of
+# curve cells, plenty for FILE-level clustering (files ≪ 2^16) while
+# keeping the unrolled rotation ladder shallow.
+HILBERT_ORDER = 8
+
+
+def with_hilbert_key(
+    df: DataFrame, x_q: str, y_q: str, out: str = "_hkey", order: int = HILBERT_ORDER
+) -> DataFrame:
+    """Append the Hilbert-curve index of quantized dims (`x_q`, `y_q`,
+    each in [0, 2^order)) as column `out` — the classic xy2d walk,
+    unrolled into `order` chained projections (each step extracts one
+    quadrant bit pair, accumulates its curve offset, and rotates the
+    frame). Why next to `zorder_key`: the Z curve teleports at
+    quadrant seams (…01111 → 10000 jumps across the whole span), so a
+    key-range file can briefly cover two far-apart rectangles; the
+    Hilbert curve is seam-free — consecutive cells are always grid
+    neighbors, giving strictly tighter worst-case file bounding boxes.
+    Chained `select`s keep the expression tree linear in `order`
+    (a single nested expression triples per step — 3^8 leaves);
+    Catalyst's CollapseProject keeps multiply-referenced non-cheap
+    aliases materialized, so the plan stays one narrow projection
+    chain. All-integer, engine-replayable."""
+    d, x, y = f"{out}__d", f"{out}__x", f"{out}__y"
+    cur = df.withColumns(
+        {d: F.lit(0).cast("long"), x: F.col(x_q), y: F.col(y_q)}
+    )
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = F.when(F.col(x).bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(F.col(y).bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        step = {
+            d: F.col(d) + F.lit(s * s) * (rx * 3).bitwiseXOR(ry).cast("long"),
+            # ry == 0 → reflect when rx == 1, then swap x and y.
+            x: F.when(
+                ry == 0,
+                F.when(rx == 1, F.lit(s - 1) - F.col(y)).otherwise(F.col(y)),
+            ).otherwise(F.col(x)),
+            y: F.when(
+                ry == 0,
+                F.when(rx == 1, F.lit(s - 1) - F.col(x)).otherwise(F.col(x)),
+            ).otherwise(F.col(y)),
+        }
+        cur = cur.withColumns(step)
+        s >>= 1
+    return cur.withColumn(out, F.col(d)).drop(d, x, y)
+
+
+def write_hilbert(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    n_files: int,
+    order: int = HILBERT_ORDER,
+) -> None:
+    """`write_zordered`'s seam-free sibling: cluster on the Hilbert
+    index of (`x`, `y`) and write `n_files` contiguous-range parquet
+    files. Same single-shuffle cost; choose it when worst-case (not
+    just mean) per-file bounding boxes matter."""
+    bounds = df.agg(
+        F.min(x).alias("xmin"),
+        F.max(x).alias("xmax"),
+        F.min(y).alias("ymin"),
+        F.max(y).alias("ymax"),
+    )
+    zmax = (1 << order) - 1
+    keyed = df.crossJoin(F.broadcast(bounds)).withColumns(
+        {
+            "_hqx": quantize_dim(F.col(x), F.col("xmin"), F.col("xmax"), zmax),
+            "_hqy": quantize_dim(F.col(y), F.col("ymin"), F.col("ymax"), zmax),
+        }
+    ).drop("xmin", "xmax", "ymin", "ymax")
+    keyed = with_hilbert_key(keyed, "_hqx", "_hqy", "_hkey", order).drop("_hqx", "_hqy")
+    (
+        keyed.repartitionByRange(n_files, "_hkey")
+        .sortWithinPartitions("_hkey")
+        .drop("_hkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
 
 
 def write_zordered(

@@ -237,6 +237,90 @@ def test_write_zordered_prunes_both_dims(spark, tmp_path):
     assert back.exceptAll(df).count() == 0
 
 
+def _hilbert_xy2d_ref(order, x, y):
+    d, s = 0, 1 << (order - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def test_hilbert_key_bijective_and_matches_reference(spark):
+    """The unrolled Hilbert walk is the textbook xy2d: on the full
+    16×16 grid (order 4) the keys are exactly the permutation
+    0..255 matching the reference implementation, and consecutive
+    curve positions are always GRID NEIGHBORS (|Δx|+|Δy| == 1 — the
+    seam-free property the Z curve lacks)."""
+    from pyspark.sql import functions as F
+
+    from query_processing_over_streaming_data_using_flink_spark.operators import layout
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "qx long, qy long"
+    )
+    rows = layout.with_hilbert_key(grid, "qx", "qy", "h", order=4).collect()
+    got = {(r["qx"], r["qy"]): r["h"] for r in rows}
+    assert sorted(got.values()) == list(range(256))
+    for (x, y), h in got.items():
+        assert h == _hilbert_xy2d_ref(4, x, y), (x, y)
+    pos = {h: xy for xy, h in got.items()}
+    for h in range(255):
+        (x0, y0), (x1, y1) = pos[h], pos[h + 1]
+        assert abs(x1 - x0) + abs(y1 - y0) == 1, h
+
+
+def test_write_hilbert_bounds_both_dims(spark, tmp_path):
+    """Hilbert layout on real events: every file's footer interval is
+    bounded in BOTH dimensions, like the Z-order layout — with the
+    seam-free curve the mean bounding-box area is at least as tight."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from query_processing_over_streaming_data_using_flink_spark.operators import layout
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    df = ev.select(us.alias("t"), F.col("user_id").alias("u"))
+    path = str(tmp_path / "hil")
+    layout.write_hilbert(df, path, "t", "u", n_files=8)
+
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) == 8
+    per, glo = [], {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        lo, hi = {}, {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                st, name = col.statistics, col.path_in_schema
+                lo[name] = min(lo.get(name, st.min), st.min)
+                hi[name] = max(hi.get(name, st.max), st.max)
+        per.append((lo, hi))
+        for k in ("t", "u"):
+            glo.setdefault(k, [lo[k], hi[k]])
+            glo[k][0] = min(glo[k][0], lo[k])
+            glo[k][1] = max(glo[k][1], hi[k])
+
+    def mean_span(k):
+        g = glo[k][1] - glo[k][0]
+        return sum((hi[k] - lo[k]) / g for lo, hi in per) / len(per)
+
+    assert mean_span("u") < 0.6
+    assert mean_span("t") < 0.8
+    back = spark.read.parquet(path)
+    assert back.count() == df.count()
+    assert back.exceptAll(df).count() == 0
+
+
 def test_compact_zordered_restores_pruning(spark, tmp_path):
     """OPTIMIZE-ZORDER: events written in arrival order across many
     small files (every file spans ~the full user range — zone maps
