@@ -214,32 +214,42 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
     return media.mapInPandas(op, schema=REAL_META_SCHEMA)
 
 
-def synthesize_image_corpus(docs: DataFrame, repeat: int = 101) -> DataFrame:
-    """Deterministic PPM corpus WITH PLANTED NEAR-DUPLICATES: every doc
-    gets a real binary PPM whose base pixels derive from
+def synthesize_image_corpus(
+    docs: DataFrame, repeat: int = 101, mixed_containers: bool = False
+) -> DataFrame:
+    """Deterministic image corpus WITH PLANTED NEAR-DUPLICATES: every
+    doc gets a real binary raster whose base pixels derive from
     ``doc_id % repeat`` (so ~n/repeat docs share each base image), and
     odd doc_ids get the 2× nearest-neighbor UPSCALE of the base — a
     true perceptual near-dup (different bytes, different dimensions,
-    same content). Feeds `image_dhash` + banded hamming pairing; the
-    DuckDB oracle recomputes every dHash in closed form from doc_id
-    arithmetic alone."""
+    same content). With ``mixed_containers`` every third doc is
+    encoded as BMP instead of PPM — same raster, entirely different
+    bytes — so the downstream dHash pairing also certifies
+    CROSS-FORMAT dedup (and the closed-form oracle is untouched: the
+    hash depends only on decoded pixels, never the container). Feeds
+    `image_dhash` + banded hamming pairing."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from query_processing_over_streaming_data_using_flink_spark.operators import media_codec as mc
 
         for pdf in batches:
-            contents = []
+            contents, types = [], []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 px = mc.synth_image_pixels_mixed(d % repeat)
                 if d % 2 == 1:
                     px = mc.resize_nearest(px, 2 * px.shape[1], 2 * px.shape[0])
-                contents.append(mc.encode_ppm(px))
+                if mixed_containers and d % 3 == 0:
+                    contents.append(mc.encode_bmp(px))
+                    types.append(BMP_TYPE)
+                else:
+                    contents.append(mc.encode_ppm(px))
+                    types.append(PPM_TYPE)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "content": contents,
-                    "media_type": [PPM_TYPE] * len(pdf),
+                    "media_type": types,
                 }
             )
 

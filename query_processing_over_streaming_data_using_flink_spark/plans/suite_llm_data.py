@@ -2083,6 +2083,27 @@ FROM cand WHERE bit_count(xor(dh_a, dh_b)) <= 3
 register("image_phash_near_dup", image_phash_near_dup, _IMAGE_PHASH_SQL)
 
 
+def image_cross_format_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-CONTAINER perceptual image dedup: the same planted-near-dup
+    corpus as `image_phash_near_dup`, but every third doc is encoded as
+    BMP instead of PPM — same raster, entirely different bytes, so an
+    exact fingerprint can never pair a PPM upload with its BMP
+    re-upload. The Spark side therefore exercises BOTH real decoders
+    in one pass (`multimodal._decode_image` dispatch); the DuckDB
+    oracle is the SAME closed-form dHash SQL — the hash depends only on
+    decoded pixels, which is precisely the property being certified:
+    identical output for identical content regardless of container."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.synthesize_image_corpus(docs, repeat=101, mixed_containers=True)
+    dh = mm.image_dhash(media)
+    return dd.hamming_band_pairs(dh, "dh", max_hamming=3).select(
+        "doc_a", "doc_b", "hamming"
+    )
+
+
+register("image_cross_format_near_dup", image_cross_format_near_dup, _IMAGE_PHASH_SQL)
+
+
 def image_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete image-dedup story composed end-to-end from real
     bytes: decode → dHash → banded hamming pairs → connected components

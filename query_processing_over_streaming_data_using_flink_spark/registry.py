@@ -109,6 +109,7 @@ _PRIORITY_FIRST = [
     # The rotation test mechanically enforces that overflow entries are
     # contiguous at 50+ and only exist when forced demand exceeds 50.
     "ann_ivf_filtered",
+    "image_cross_format_near_dup",
 ]
 _PUSH_LAST = [
     # Driver-green in round 5 (CORRECTNESS_r05, fresh certification;
