@@ -32,13 +32,71 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # fully verified by scripts/verify_contract.py every round). Names not
 # listed keep registration order after the priority block.
 _PRIORITY_FIRST = [
-    # New in round 6 (never driver-checked). The flagship
-    # q3_shipping_priority rotates OUT of the prefix for the first time
-    # this round: with 11 new queries plus the 39-query stale block the
-    # 50 slots are exactly spoken for, and the flagship is the one
-    # member with slack — r5-green, exercised by the driver's entry()
-    # smoke every round, and first in registration order so it returns
-    # to the prefix as soon as slots free up in r7.
+    # Round-7 prefix. Forced set (38 queries): the 2 r6 overflow-queue
+    # entries (never driver-checked), then the 36 queries whose last
+    # driver-green row is round 4 — exactly the 3-round staleness
+    # bound. New round-7 queries are inserted at the TOP as they land
+    # (never-checked ⇒ forced), each one displacing a filler from the
+    # tail block below.
+    # --- r6 overflow queue, first in line as promised:
+    "ann_ivf_filtered",
+    "image_cross_format_near_dup",
+    # --- r4-last-green block (stale at the bound):
+    "q3_sql_stream",
+    "events_tumbling_hourly",
+    "events_sliding_30m_15m",
+    "events_session_window",
+    "attr_interval_join_pairs",
+    "attr_last_touch",
+    "enrich_segment_activity",
+    "join_salted_user_nation",
+    "rollup_hourly_daily",
+    "events_retention_cohorts",
+    "text_token_count",
+    "dedup_keep_best",
+    "sample_weighted_sources",
+    "chunk_documents_overlap",
+    "ann_recall_ivf_vs_exact",
+    "agg_events_by_type",
+    "agg_events_daily",
+    "sessionize_events",
+    "agg_grouping_sets_events",
+    "events_json_extract",
+    "events_to_json",
+    "pivot_event_counts",
+    "join_asof_purchase",
+    "resample_gap_fill",
+    "funnel_click_to_purchase",
+    "cdc_latest_per_key",
+    "dq_referential_integrity",
+    "dq_profile_orders",
+    "clean_winsorize_values",
+    "unpivot_lineitem_amounts",
+    "agg_filtered_counts",
+    "basket_part_pairs",
+    "orders_backlog_curve",
+    "approx_distinct_users",
+    "hll_union_daily_users",
+    "approx_quantiles_event_value",
+    # --- filler block: r5-green queries that hit the staleness bound
+    # next round (r8) — re-certifying them now smooths r8's forced
+    # demand. Each new round-7 query replaces one of these (drop from
+    # the END) so the prefix stays exactly 50.
+    "q3_shipping_priority",
+    "filter_project_customer",
+    "filter_dates_orders",
+    "changelog_build",
+    "changelog_state_counts",
+    "agg_lineitem_pricing_summary",
+    "join_orders_lineitem_revenue",
+    "scalar_expressions",
+    "window_running_totals",
+    "ann_bruteforce",
+    "ann_lsh",
+    "ann_ivf",
+]
+_PUSH_LAST = [
+    # Driver-green in round 6 (the full r6 prefix came back 50/50):
     "dedup_cross_snapshot_minhash",
     "image_phash_near_dup",
     "image_dedup_keep_best",
@@ -50,18 +108,11 @@ _PRIORITY_FIRST = [
     "zorder_events_clusters",
     "text_boilerplate_strip",
     "changelog_windowed_churn_state",
-    # Stalest certifications: last driver-green in round 1 (the three
-    # API variants were parked past the cap as redundant; rotate them in
-    # once so nothing in the registry stays r1-only):
     "topk_orders",
     "set_ops_active_keys",
     "q3_shipping_priority_sql",
     "ann_bruteforce_pandas",
     "join_customer_orders",
-    # r3-green block — 3 rounds stale by r6, exactly the staleness bound
-    # (VERDICT r5 ask #1 rotates the displaced twenty back in; the rest
-    # of the r3-greens from _PUSH_LAST rotate too so the whole registry
-    # stays within the bound):
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q8_national_market_share",
@@ -96,22 +147,6 @@ _PRIORITY_FIRST = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    # The r4-green prefix tail (sessionize_events,
-    # funnel_click_to_purchase, events_tumbling_hourly) rotated out for
-    # the three late-round-6 queries (ann_ivfpq, its recall cert, and
-    # zorder_events_clusters) — all three displaced queries are
-    # r4-green, so still inside the 3-round staleness bound until r7's
-    # prefix, where they rotate back in.
-    # --- position 51+: the explicit OVERFLOW QUEUE. This round the
-    # forced set (never-checked + ≥3-rounds-stale) is 51 queries for 50
-    # slots, so the last-registered new query waits here, first in line
-    # for r7 — fully verified by the local dual-scale sweep meanwhile.
-    # The rotation test mechanically enforces that overflow entries are
-    # contiguous at 50+ and only exist when forced demand exceeds 50.
-    "ann_ivf_filtered",
-    "image_cross_format_near_dup",
-]
-_PUSH_LAST = [
     # Driver-green in round 5 (CORRECTNESS_r05, fresh certification;
     # scripts/verify_contract.py still checks them every round) — safe
     # past the 50-entry cap.
@@ -138,20 +173,14 @@ _PUSH_LAST = [
     "corpus_quality_report",
     "dedup_cross_snapshot",
     "q17_small_quantity_revenue",
-    "scalar_expressions",
     "join_range_price_tiers",
     "topk_orders_per_segment",
-    "window_running_totals",
     "agg_median_order_price",
     "agg_rollup_orders",
     "agg_cube_lineitem",
     "join_semi_anti",
     "join_outer_order_counts",
     "join_snowflake_dims",
-    "agg_lineitem_pricing_summary",
-    "ann_bruteforce",
-    "ann_lsh",
-    "ann_ivf",
     "multimodal_meta",
     "curation_pipeline",
     "token_frequencies",
@@ -159,11 +188,6 @@ _PUSH_LAST = [
     "dedup_clusters_ngram",
     "decontaminate_eval_overlap",
     "sample_stratified_lang",
-    "filter_project_customer",
-    "filter_dates_orders",
-    "join_orders_lineitem_revenue",
-    "changelog_build",
-    "changelog_state_counts",
 ]
 
 
