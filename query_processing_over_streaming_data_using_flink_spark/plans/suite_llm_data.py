@@ -866,7 +866,7 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_ivfpq(e, _queries_df(spark, sf_dir), k=5)
 
 
-def _ivfpq_sql() -> str:
+def _ivfpq_sql(rank_limit: int = 5, nprobe: int = sim.IVF_NPROBE) -> str:
     m, k, q = sim.PQ_M, sim.PQ_K, sim.PQ_QUANT
 
     def l2(a: str, b: str) -> str:
@@ -936,7 +936,7 @@ probes AS (
            row_number() OVER (PARTITION BY q.vec_id
                               ORDER BY {_cosine_sql('q.vec', 'c.cvec')} DESC, c.cell) AS r
     FROM (SELECT * FROM e WHERE vec_id < {_N_QUERIES}) q CROSS JOIN cents c)
-  WHERE r <= {sim.IVF_NPROBE}
+  WHERE r <= {nprobe}
 ),
 -- PQ codebooks + codes (identical to the ann_pq oracle)
 pcomp AS (
@@ -971,11 +971,127 @@ ranked AS (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
   FROM scored
 )
-SELECT q_id, n_id, rank, round(score, 6) AS score FROM ranked WHERE rank <= 5
+SELECT q_id, n_id, rank, round(score, 6) AS score FROM ranked WHERE rank <= {rank_limit}
 """
 
 
 register("ann_ivfpq", ann_ivfpq, _ivfpq_sql())
+
+
+def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ+R (`operators/similarity.py:knn_ivfpq_rerank`) — the
+    production composition: the codes-only ADC scan nominates the top
+    50 candidates per query (nprobe raised to 8, since re-ranking
+    cannot recover unprobed cells), then the candidates alone are
+    re-scored with the EXACT inner product from raw vectors. The
+    re-rank fetch is a broadcast of the R·q candidate list against the
+    corpus, so the refinement costs one narrow join at any scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.knn_ivfpq_rerank(e, _queries_df(spark, sf_dir), k=5)
+
+
+def _ivfpq_rerank_sql() -> str:
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce([{a}[i] * {b}[i] for i in range(1, len({a}) + 1)], "
+            "(p, q) -> p + q)"
+        )
+
+    cand = _ivfpq_sql(
+        rank_limit=sim.IVFPQ_RERANK, nprobe=sim.IVFPQ_RERANK_NPROBE
+    )
+    return f"""
+WITH cand AS ({cand}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+rescored AS (
+  SELECT c.q_id, c.n_id, {dot('q.vec', 'n.vec')} AS score
+  FROM cand c
+  JOIN e q ON q.vec_id = c.q_id
+  JOIN e n ON n.vec_id = c.n_id
+),
+reranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+  FROM rescored
+)
+SELECT q_id, n_id, rank, round(score, 6) AS score FROM reranked WHERE rank <= 5
+"""
+
+
+register("ann_ivfpq_rerank", ann_ivfpq_rerank, _ivfpq_rerank_sql())
+
+
+def ann_recall_ivfpq_rerank_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The re-ranked index's quality as an oracle-checked number:
+    per-query recall@5 of IVFPQ+R against exact inner-product brute
+    force, plus the mean. Re-ranking removes the code-quantization
+    loss entirely — what remains is only cell-containment (did the
+    probed cells hold the true neighbors?), so this number certifies
+    the recall a user actually gets from the production search path."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qdf = _queries_df(spark, sf_dir)
+    exact = sim.knn_bruteforce_dot(e, qdf, k=5).select("q_id", "n_id")
+    approx = sim.knn_ivfpq_rerank(e, qdf, k=5).select("q_id", "n_id")
+    per_q = (
+        exact.join(approx, ["q_id", "n_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    per_query = (
+        exact.select("q_id").distinct()
+        .join(per_q, "q_id", "left")
+        .select(
+            "q_id",
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / 5.0, 6).alias("recall_at_5"),
+        )
+    )
+    summary = per_query.agg(
+        F.lit(-1).cast("long").alias("q_id"),
+        F.round(F.avg("recall_at_5"), 6).alias("recall_at_5"),
+    )
+    return per_query.unionByName(summary)
+
+
+def _ivfpq_rerank_recall_sql() -> str:
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce([{a}[i] * {b}[i] for i in range(1, len({a}) + 1)], "
+            "(p, q) -> p + q)"
+        )
+
+    exact_dot = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id, {dot('q.vec', 'c.vec')} AS score
+  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+  FROM pairs
+)
+SELECT q_id, n_id FROM ranked WHERE rank <= 5
+"""
+    return f"""
+WITH exact AS ({exact_dot}),
+approx AS ({_ivfpq_rerank_sql()}),
+per_q AS (
+  SELECT e.q_id,
+         round(count(a.n_id) / 5.0, 6) AS recall_at_5
+  FROM exact e
+  LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+  GROUP BY e.q_id
+)
+SELECT q_id, recall_at_5 FROM per_q
+UNION ALL
+SELECT CAST(-1 AS BIGINT), round(avg(recall_at_5), 6) FROM per_q
+"""
+
+
+register(
+    "ann_recall_ivfpq_rerank_vs_exact",
+    ann_recall_ivfpq_rerank_vs_exact,
+    _ivfpq_rerank_recall_sql(),
+)
 
 
 def ann_recall_ivfpq_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -38,6 +38,9 @@ _PRIORITY_FIRST = [
     # bound. New round-7 queries are inserted at the TOP as they land
     # (never-checked ⇒ forced), each one displacing a filler from the
     # tail block below.
+    # --- new in round 7 (never driver-checked):
+    "ann_ivfpq_rerank",
+    "ann_recall_ivfpq_rerank_vs_exact",
     # --- r6 overflow queue, first in line as promised:
     "ann_ivf_filtered",
     "image_cross_format_near_dup",
@@ -92,8 +95,6 @@ _PRIORITY_FIRST = [
     "scalar_expressions",
     "window_running_totals",
     "ann_bruteforce",
-    "ann_lsh",
-    "ann_ivf",
 ]
 _PUSH_LAST = [
     # Driver-green in round 6 (the full r6 prefix came back 50/50):
