@@ -547,3 +547,72 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         F.col("key_b").alias("sh_b"),
         "hamming",
     )
+
+
+# Exact-substring (span-level) dedup — the standard training-data
+# result (Lee et al., "Deduplicating Training Data Makes Language
+# Models Better"): find exact shared token spans of length ≥ K across
+# documents, which doc-level MinHash misses (syndicated articles with
+# different boilerplate, quoted chunks). The suffix-array construction
+# of the paper is sequential; the relational rendering is overlapping
+# K-token shingle hashes + diagonal run-merging:
+#   * a shared span of L ≥ K tokens ⟺ L-K+1 CONSECUTIVE positions on
+#     one (doc_a, doc_b, pos_a - pos_b) diagonal share a shingle hash,
+#   * so maximal spans are gaps-and-islands over matched positions
+#     per diagonal (pos - row_number() is constant within a run).
+# Cost at 100 TB: the shingle hash is computed inside codegen from the
+# token array (no K× text blowup leaves the scan — the exchange
+# carries only (doc_id, pos, 8-byte md5_hash64 key) per position), the
+# hash join output is ~true matches, and the window runs per
+# (doc_a, doc_b, diag) partition. Collisions: 60-bit hash over the
+# actual K-token text — ~n²/2^61 expected false pairs, negligible
+# below ~10^8 shared-shingle matches; re-verify survivors against raw
+# text if that bound ever matters.
+SPAN_TOKENS = 50
+
+
+def exact_substring_spans(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataFrame:
+    """Maximal exact shared token spans of length ≥ `span_tokens`
+    between document pairs. Returns (doc_a, doc_b, a_start, b_start,
+    span_len) with 1-based token offsets, doc_a < doc_b."""
+    from query_processing_over_streaming_data_using_flink_spark.operators.text import TOKEN_SPLIT_RE
+    from pyspark.sql.window import Window
+
+    k = span_tokens
+    t = docs.select("doc_id", F.split(F.col("text"), TOKEN_SPLIT_RE).alias("toks"))
+    sh = (
+        t.filter(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - k + 1),
+                    lambda i: md5_hash64(F.concat_ws(" ", F.slice(F.col("toks"), i, F.lit(k)))),
+                )
+            ).alias("p0", "h"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "h")
+    m = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "pos_a", "pos_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = m.withColumn("isl", F.col("pos_a") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(F.min("pos_a").alias("a_start"), F.max("pos_a").alias("a_end"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "a_start",
+            (F.col("a_start") - F.col("diag")).alias("b_start"),
+            (F.col("a_end") - F.col("a_start") + k).alias("span_len"),
+        )
+    )

@@ -2894,3 +2894,50 @@ register(
     dedup_cross_snapshot_minhash,
     _cross_snapshot_minhash_sql(),
 )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (span-level) dedup
+# ---------------------------------------------------------------------------
+
+_SPAN_TOKENS_Q = 20  # fixture docs are 10-99 tokens; operator default is 50
+
+
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup
+    (`operators/dedup.py:exact_substring_spans`): maximal exact shared
+    token spans of ≥ K tokens between doc pairs — the partial-overlap
+    duplicates doc-level MinHash misses. Overlapping K-token shingle
+    hashes (computed inside codegen, 8-byte keys in the exchange) →
+    hash equi-join → gaps-and-islands run merge per (pair, diagonal).
+    K=20 here, scaled to the fixture's 10-99-token docs (operator
+    default 50)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_substring_spans(docs, span_tokens=_SPAN_TOKENS_Q)
+
+
+def _exact_substring_sql(k: int = _SPAN_TOKENS_Q) -> str:
+    h = _H64.format(x=f"array_to_string(toks[i.i : i.i + {k} - 1], ' ')")
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, i.i AS pos, {h} AS h
+  FROM t, unnest(range(1, len(toks) - {k} + 2)) AS i(i)
+  WHERE len(toks) >= {k}
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+         a.pos - b.pos AS diag
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT *, pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS isl
+  FROM m
+)
+SELECT doc_a, doc_b, min(pos_a) AS a_start, min(pos_a) - diag AS b_start,
+       max(pos_a) - min(pos_a) + {k} AS span_len
+FROM runs GROUP BY doc_a, doc_b, diag, isl
+"""
+
+
+register("dedup_exact_substring", dedup_exact_substring, _exact_substring_sql())

@@ -40,6 +40,7 @@ _PRIORITY_FIRST = [
     # tail block below.
     # --- new in round 7 (never driver-checked):
     "ann_ivfpq_rerank",
+    "dedup_exact_substring",
     "ann_recall_ivfpq_rerank_vs_exact",
     # --- r6 overflow queue, first in line as promised:
     "ann_ivf_filtered",
@@ -94,7 +95,6 @@ _PRIORITY_FIRST = [
     "join_orders_lineitem_revenue",
     "scalar_expressions",
     "window_running_totals",
-    "ann_bruteforce",
 ]
 _PUSH_LAST = [
     # Driver-green in round 6 (the full r6 prefix came back 50/50):

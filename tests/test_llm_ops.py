@@ -916,3 +916,43 @@ def test_mixture_temperature_upsamples_small_sources(spark):
     lo, hi = by_tokens[0], by_tokens[-1]
     if lo.keep_rate < 1.0 and hi.keep_rate < 1.0:
         assert lo.keep_rate > hi.keep_rate
+
+
+def test_exact_substring_spans_planted(spark):
+    """The VERDICT-r6 acceptance case: one shared 60-token span across
+    otherwise-distinct docs pairs them at the default K=50 (with the
+    exact maximal span reported); a 40-token shared span does not.
+    Also: a doc repeating another's full text twice yields two spans
+    (two diagonals), and offsets are exact."""
+    span60 = [f"s{j}" for j in range(60)]
+    span40 = [f"f{j}" for j in range(40)]
+
+    def doc(prefix, n, middle, suffix_prefix, m):
+        return " ".join(
+            [f"{prefix}{i}" for i in range(n)] + middle + [f"{suffix_prefix}{i}" for i in range(m)]
+        )
+
+    rows = [
+        # docs 0/1 share the 60-token span at different offsets
+        (0, doc("a", 10, span60, "b", 5)),
+        (1, doc("c", 25, span60, "d", 15)),
+        # docs 2/3 share only 40 tokens — below threshold
+        (2, doc("e", 10, span40, "g", 10)),
+        (3, doc("h", 5, span40, "i", 20)),
+        # doc 4 contains the 60-token span TWICE (separated by noise)
+        (4, " ".join(span60 + ["x0", "x1", "x2"] + span60)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dd.exact_substring_spans(docs, span_tokens=50).collect()
+    by_pair = {}
+    for r in out:
+        by_pair.setdefault((r["doc_a"], r["doc_b"]), []).append(r)
+
+    assert (2, 3) not in by_pair, "40-token overlap must NOT pair at K=50"
+    # 0-1: one maximal span, exact offsets (1-based), exact length 60
+    assert [(r["a_start"], r["b_start"], r["span_len"]) for r in by_pair[(0, 1)]] == [
+        (11, 26, 60)
+    ]
+    # 0-4: the span occurs twice in doc 4 → two diagonals, two spans
+    got = sorted((r["a_start"], r["b_start"], r["span_len"]) for r in by_pair[(0, 4)])
+    assert got == [(11, 1, 60), (11, 64, 60)]
