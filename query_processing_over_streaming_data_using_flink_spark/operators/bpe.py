@@ -1,0 +1,231 @@
+"""True byte-pair-encoding token counting (driver mandate, SURVEY.md
+§2.11 — no reference counterpart; the reference has no text operators
+at all).
+
+`operators/text.py:token_count_bpe_regex` counts GPT-2 pre-tokenizer
+PIECES; real token budgets need the merge table applied inside each
+piece. Two interchangeable implementations:
+
+  * `bpe_token_counts` — the production path: standard greedy BPE
+    (min-rank pair, merge all occurrences leftmost-first, repeat) in
+    pure Python over Arrow batches via `mapInPandas`. The merge table
+    rides the closure (broadcast it explicitly for a 50k-merge GPT-2
+    table); per-row work is independent, so the operator is an
+    embarrassingly parallel scan at 100 TB.
+  * `bpe_count_expr` — the relational rendering used by the DuckDB
+    oracle: each piece is char-marked with a separator, then the merge
+    table is applied as a chain of literal `replace` calls in rank
+    order (leftmost non-overlapping — exactly one BPE pass per rank).
+
+The two agree EXACTLY for causally-ordered merge tables (every merge's
+operands are single characters or outputs of earlier merges — true of
+any trained table): a merge of rank r creates a symbol whose pairs can
+only be later-rank merges, and merging never makes two previously
+non-adjacent old symbols adjacent, so no earlier-rank pair can ever
+(re)appear after its pass — greedy-by-rank and one-pass-per-rank
+produce identical symbol sequences. `tests/test_llm_ops.py` pins both
+paths to known counts and to each other; the registry oracle certifies
+the Python path against the SQL rendering on every round.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from query_processing_over_streaming_data_using_flink_spark.operators.text import BPE_PRETOKEN_RE
+
+# Symbol framing — control chars stripped from the input on both
+# engines before counting, so they can never collide with corpus text.
+# Every symbol is stored as MARK+sym+SEP: the start marker makes the
+# merge pattern MARK+x+SEP+MARK+y+SEP unambiguous (with a terminator
+# alone, "e§s§" would falsely match inside "le§s§" where 'e' is only
+# the SUFFIX of symbol "le"); the terminator keeps it unambiguous on
+# the right (y can't be a prefix of a longer symbol). BOUND separates
+# pre-tokenizer pieces so merges never cross piece boundaries.
+BPE_SEP = "\x01"
+BPE_BOUND = "\x02"
+BPE_MARK = "\x03"
+
+# Demo merge table: ~30 high-frequency English merges, causally
+# ordered (operands are single chars or earlier outputs — mechanically
+# checked by `validate_merges`). Production swaps in a real trained
+# table (e.g. GPT-2's 50k merges loaded from its public merges.txt)
+# through the `merges` parameter; the algorithm is rank-order BPE
+# either way.
+DEFAULT_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("e", "r"),
+    ("a", "n"),
+    ("r", "e"),
+    ("o", "n"),
+    ("a", "t"),
+    ("s", "t"),
+    ("e", "n"),
+    ("o", "r"),
+    ("a", "r"),
+    ("a", "l"),
+    ("o", "u"),
+    ("i", "t"),
+    ("e", "d"),
+    ("i", "s"),
+    ("in", "g"),
+    ("a", "s"),
+    ("l", "e"),
+    ("e", "s"),
+    ("u", "e"),
+    ("c", "h"),
+    ("s", "s"),
+    (" ", "t"),
+    (" t", "h"),
+    (" th", "e"),
+    (" ", "a"),
+    (" ", "s"),
+    (" ", "w"),
+    (" ", "c"),
+)
+
+
+def validate_merges(merges: tuple[tuple[str, str], ...]) -> None:
+    """Raise if `merges` is not causally ordered (the property that
+    makes rank-order passes ≡ greedy BPE)."""
+    formed = set()
+    for i, (x, y) in enumerate(merges):
+        for part in (x, y):
+            if len(part) > 1 and part not in formed:
+                raise ValueError(
+                    f"merge {i} {x!r}+{y!r}: operand {part!r} is neither a "
+                    "single character nor the output of an earlier merge"
+                )
+        formed.add(x + y)
+
+
+def bpe_piece(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Standard greedy BPE on one pre-tokenizer piece: repeatedly merge
+    every occurrence (leftmost-first) of the lowest-rank adjacent pair."""
+    symbols = list(word)
+    while len(symbols) > 1:
+        best = None
+        for i in range(len(symbols) - 1):
+            r = ranks.get((symbols[i], symbols[i + 1]))
+            if r is not None and (best is None or r < best[0]):
+                best = (r, symbols[i], symbols[i + 1])
+        if best is None:
+            break
+        _, a, b = best
+        out: list[str] = []
+        i = 0
+        while i < len(symbols):
+            if i < len(symbols) - 1 and symbols[i] == a and symbols[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        symbols = out
+    return symbols
+
+
+def bpe_count_text(text: str, ranks: dict[tuple[str, str], int], pat: re.Pattern) -> int:
+    """Total BPE token count of one document (sum over pieces)."""
+    clean = text.replace(BPE_SEP, "").replace(BPE_BOUND, "").replace(BPE_MARK, "")
+    return sum(len(bpe_piece(piece, ranks)) for piece in pat.findall(clean))
+
+
+def bpe_token_counts(
+    docs: DataFrame, merges: tuple[tuple[str, str], ...] = DEFAULT_MERGES
+) -> DataFrame:
+    """(doc_id, n_pieces, n_tokens_bpe) per document — the production
+    path: Arrow-batched pure-Python BPE via `mapInPandas` (no
+    row-at-a-time UDF; the merge table rides the closure)."""
+    validate_merges(merges)
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pat = re.compile(BPE_PRETOKEN_RE)
+        for pdf in batches:
+            texts = pdf["text"].astype(str)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_pieces": [len(pat.findall(t)) for t in texts],
+                    "n_tokens_bpe": [bpe_count_text(t, ranks, pat) for t in texts],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, "doc_id long, n_pieces long, n_tokens_bpe long"
+    )
+
+
+def bpe_count_expr(
+    text: Column, merges: tuple[tuple[str, str], ...] = DEFAULT_MERGES
+) -> Column:
+    """BPE token count as a pure Catalyst expression (the oracle path,
+    and a JVM-side alternative for small merge tables): pieces are
+    char-marked with `BPE_SEP`, joined on `BPE_BOUND` (so merges never
+    cross piece boundaries), the merge table applies as a rank-ordered
+    chain of literal replaces, and the count is the number of
+    surviving separators."""
+    validate_merges(merges)
+    clean = F.replace(text, F.lit(BPE_SEP), F.lit(""))
+    clean = F.replace(clean, F.lit(BPE_BOUND), F.lit(""))
+    clean = F.replace(clean, F.lit(BPE_MARK), F.lit(""))
+    pieces = F.regexp_extract_all(clean, F.lit(BPE_PRETOKEN_RE), F.lit(0))
+    marked = F.transform(
+        pieces, lambda p: F.regexp_replace(p, r"(?s)(.)", BPE_MARK + "$1" + BPE_SEP)
+    )
+    s = F.array_join(marked, BPE_BOUND)
+    for x, y in merges:
+        s = F.replace(
+            s,
+            F.lit(BPE_MARK + x + BPE_SEP + BPE_MARK + y + BPE_SEP),
+            F.lit(BPE_MARK + x + y + BPE_SEP),
+        )
+    return (F.length(s) - F.length(F.replace(s, F.lit(BPE_SEP), F.lit("")))).cast(
+        "long"
+    )
+
+
+def bpe_count_sql(
+    text_expr: str,
+    bpe_re_sql: str,
+    merges: tuple[tuple[str, str], ...] = DEFAULT_MERGES,
+) -> str:
+    """DuckDB rendering of `bpe_count_expr` (chr(1)/chr(2) literals;
+    `bpe_re_sql` is the SQL-quoted pre-tokenizer regex)."""
+    validate_merges(merges)
+
+    def q(lit: str) -> str:
+        # SQL string literal with control chars via chr() concatenation
+        out: list[str] = []
+        for ch in lit:
+            if ch == BPE_SEP:
+                out.append("chr(1)")
+            elif ch == BPE_BOUND:
+                out.append("chr(2)")
+            elif ch == BPE_MARK:
+                out.append("chr(3)")
+            else:
+                out.append("'" + ch.replace("'", "''") + "'")
+        return " || ".join(out)
+
+    s = (
+        f"array_to_string(list_transform(regexp_extract_all("
+        f"replace(replace(replace({text_expr}, chr(1), ''), chr(2), ''), chr(3), ''), "
+        f"{bpe_re_sql}), "
+        f"p -> regexp_replace(p, '(?s)(.)', chr(3) || '\\1' || chr(1), 'g')), chr(2))"
+    )
+    for x, y in merges:
+        s = (
+            f"replace({s}, "
+            f"{q(BPE_MARK + x + BPE_SEP + BPE_MARK + y + BPE_SEP)}, "
+            f"{q(BPE_MARK + x + y + BPE_SEP)})"
+        )
+    return f"(length({s}) - length(replace({s}, chr(1), '')))"

@@ -41,6 +41,8 @@ _PRIORITY_FIRST = [
     # --- new in round 7 (never driver-checked):
     "ann_ivfpq_rerank",
     "dedup_exact_substring",
+    "text_bpe_token_count",
+    "pack_sequences_bpe",
     "ann_recall_ivfpq_rerank_vs_exact",
     # --- r6 overflow queue, first in line as promised:
     "ann_ivf_filtered",
@@ -93,8 +95,6 @@ _PRIORITY_FIRST = [
     "changelog_state_counts",
     "agg_lineitem_pricing_summary",
     "join_orders_lineitem_revenue",
-    "scalar_expressions",
-    "window_running_totals",
 ]
 _PUSH_LAST = [
     # Driver-green in round 6 (the full r6 prefix came back 50/50):

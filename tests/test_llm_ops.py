@@ -956,3 +956,41 @@ def test_exact_substring_spans_planted(spark):
     # 0-4: the span occurs twice in doc 4 → two diagonals, two spans
     got = sorted((r["a_start"], r["b_start"], r["span_len"]) for r in by_pair[(0, 4)])
     assert got == [(11, 1, 60), (11, 64, 60)]
+
+
+def test_bpe_known_strings_pinned(spark):
+    """True-BPE counting pinned to hand-derived token sequences under
+    DEFAULT_MERGES, plus path equality: the mapInPandas production
+    tokenizer and the Catalyst replace-chain rendering must agree
+    exactly (the causal-ordering equivalence `operators/bpe.py`
+    documents)."""
+    import re
+    from query_processing_over_streaming_data_using_flink_spark.operators import bpe as bp
+
+    bp.validate_merges(bp.DEFAULT_MERGES)
+    ranks = {m: i for i, m in enumerate(bp.DEFAULT_MERGES)}
+    pat = re.compile(bp.BPE_PRETOKEN_RE)
+
+    # hand-derived: "the" → [the]; " the" → [' ', 'the']; " resting" →
+    # [' ', 're', 'st', 'ing']; "don't" → [d, on] + ['t]
+    assert bp.bpe_piece("the", ranks) == ["the"]
+    assert bp.bpe_piece(" the", ranks) == [" ", "the"]
+    assert bp.bpe_piece(" resting", ranks) == [" ", "re", "st", "ing"]
+    assert bp.bpe_count_text("the theatre is resting", ranks, pat) == 11
+    assert bp.bpe_count_text("don't", ranks, pat) == 4  # [d,on] ['t→',t]
+    assert bp.bpe_count_text("", ranks, pat) == 0
+
+    rows = [
+        (0, "the theatre is resting"),
+        (1, "don't stop believing 123!!"),
+        (2, ""),
+        (3, "tables are the worst\nand the best"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    py = {r["doc_id"]: r["n_tokens_bpe"] for r in bp.bpe_token_counts(docs).collect()}
+    ex = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", bp.bpe_count_expr(F.col("text")).alias("n")).collect()
+    }
+    assert py == ex
+    assert py[0] == 11 and py[2] == 0
