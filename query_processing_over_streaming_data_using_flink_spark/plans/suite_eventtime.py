@@ -677,3 +677,96 @@ FROM z GROUP BY 1
 """
 
 register("zorder_events_clusters", zorder_events_clusters, ZORDER_SQL)
+
+
+def hilbert_events_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering of events on (ts, user_id) — the
+    seam-free sibling of `zorder_events_clusters` (`operators/
+    layout.py:with_hilbert_key`): the Z curve teleports at quadrant
+    seams, so a key-range file can cover two far-apart rectangles;
+    consecutive Hilbert cells are always grid neighbors, so worst-case
+    per-file bounding boxes are strictly tighter. Dims quantize to 8
+    bits (256×256 grid), the xy2d rotation ladder runs as 8 chained
+    integer projections, and the key's top 8 bits give 256 clusters;
+    the output is the same oracle-checked zone map (count + min/max
+    per quantized dim) a parquet scan would prune on."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    df = ev.select(us.alias("t"), F.col("user_id").alias("u"))
+    bounds = df.agg(
+        F.min("t").alias("tmin"),
+        F.max("t").alias("tmax"),
+        F.min("u").alias("umin"),
+        F.max("u").alias("umax"),
+    )
+    zmax = (1 << lay.HILBERT_ORDER) - 1
+    keyed = df.crossJoin(F.broadcast(bounds)).select(
+        lay.quantize_dim(F.col("t"), F.col("tmin"), F.col("tmax"), zmax).alias("qt"),
+        lay.quantize_dim(F.col("u"), F.col("umin"), F.col("umax"), zmax).alias("qu"),
+    )
+    h = lay.with_hilbert_key(keyed, "qt", "qu", "h")
+    return (
+        h.groupBy(F.shiftright("h", 8).cast("long").alias("cluster"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("qt").alias("qt_min"),
+            F.max("qt").alias("qt_max"),
+            F.min("qu").alias("qu_min"),
+            F.max("qu").alias("qu_max"),
+        )
+        .select(
+            "cluster",
+            "n_events",
+            "qt_min",
+            "qt_max",
+            (F.col("qt_max") - F.col("qt_min")).alias("qt_span"),
+            "qu_min",
+            "qu_max",
+            (F.col("qu_max") - F.col("qu_min")).alias("qu_span"),
+        )
+    )
+
+
+def _hilbert_sql(order: int = 8) -> str:
+    """The xy2d rotation ladder unrolled as chained CTEs — same step
+    order, constants, and tie handling as `with_hilbert_key`."""
+    zmax = (1 << order) - 1
+    sql = f"""
+WITH e AS (SELECT epoch_us(ts) AS t, user_id AS u FROM events),
+b AS (SELECT min(t) AS tmin, max(t) AS tmax, min(u) AS umin, max(u) AS umax FROM e),
+q AS (
+  SELECT CASE WHEN tmax - tmin <= 0 THEN 0
+              ELSE ((t - tmin) * {zmax}) // (tmax - tmin) END AS qt,
+         CASE WHEN umax - umin <= 0 THEN 0
+              ELSE ((u - umin) * {zmax}) // (umax - umin) END AS qu
+  FROM e CROSS JOIN b
+),
+h0 AS (SELECT qt, qu, CAST(0 AS BIGINT) AS d, qt AS x, qu AS y FROM q),
+"""
+    prev = "h0"
+    for i in range(order):
+        s = 1 << (order - 1 - i)
+        name = f"h{i + 1}"
+        sql += f"""{name} AS (
+  SELECT qt, qu,
+         d + {s * s} * xor((CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END) * 3,
+                           CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END) AS d,
+         CASE WHEN (y & {s}) = 0
+              THEN (CASE WHEN (x & {s}) > 0 THEN {s - 1} - y ELSE y END)
+              ELSE x END AS x,
+         CASE WHEN (y & {s}) = 0
+              THEN (CASE WHEN (x & {s}) > 0 THEN {s - 1} - x ELSE x END)
+              ELSE y END AS y
+  FROM {prev}),
+"""
+        prev = name
+    sql += f"""final AS (SELECT qt, qu, d FROM {prev})
+SELECT d >> 8 AS cluster, count(*) AS n_events,
+       min(qt) AS qt_min, max(qt) AS qt_max, max(qt) - min(qt) AS qt_span,
+       min(qu) AS qu_min, max(qu) AS qu_max, max(qu) - min(qu) AS qu_span
+FROM final GROUP BY 1
+"""
+    return sql
+
+
+register("hilbert_events_clusters", hilbert_events_clusters, _hilbert_sql())

@@ -43,6 +43,7 @@ _PRIORITY_FIRST = [
     "dedup_exact_substring",
     "text_bpe_token_count",
     "pack_sequences_bpe",
+    "hilbert_events_clusters",
     "ann_recall_ivfpq_rerank_vs_exact",
     # --- r6 overflow queue, first in line as promised:
     "ann_ivf_filtered",
@@ -94,7 +95,6 @@ _PRIORITY_FIRST = [
     "changelog_build",
     "changelog_state_counts",
     "agg_lineitem_pricing_summary",
-    "join_orders_lineitem_revenue",
 ]
 _PUSH_LAST = [
     # Driver-green in round 6 (the full r6 prefix came back 50/50):
