@@ -302,9 +302,14 @@ def boilerplate_strip(docs, chunk_tokens: int = 4, min_docs: int = 3):
     from the surviving segments in order. Returns (doc_id, n_chunks,
     n_boilerplate, boilerplate_ratio, cleaned_md5) — the md5
     value-checks the rewrite itself. Three linear shuffles; the
-    frequency shuffle keys on segment text for oracle exactness (at
-    100 TB key it on xxhash64(segment) and keep text only on the
-    surviving side)."""
+    frequency shuffle keys on xxhash64(segment) — an 8-byte exchange
+    with the wide text column pruned (asserted in
+    tests/test_scale_plans.py) instead of shuffling every segment's
+    text; segment text rides only the chunks side, which has to carry
+    it anyway for the reassembly. A 64-bit collision would fuse two
+    segments' doc-frequencies (~n²/2^64 — negligible below ~10^9
+    distinct segments; the DuckDB oracle groups on exact text, so any
+    collision would surface as a round-level mismatch)."""
     toks = docs.select(
         "doc_id", F.posexplode(F.split(F.col("text"), TOKEN_SPLIT_RE)).alias("pos", "tok")
     )
@@ -320,11 +325,16 @@ def boilerplate_strip(docs, chunk_tokens: int = 4, min_docs: int = 3):
                 ),
             ).alias("ctext")
         )
+        .withColumn("ck", F.xxhash64("ctext"))
     )
-    freq = chunks.groupBy("ctext").agg(F.countDistinct("doc_id").alias("nd"))
+    freq = (
+        chunks.select("ck", "doc_id")
+        .groupBy("ck")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+    )
     boiler = F.col("nd") >= min_docs
     return (
-        chunks.join(freq, "ctext")
+        chunks.join(freq, "ck")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_chunks"),

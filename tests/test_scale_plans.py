@@ -331,3 +331,23 @@ def test_covariance_gram_partial_plan(spark):
     assert "MapInPandas" in plan
     assert plan.count("Exchange") == 1, plan
     assert "ReadSchema: struct<embedding:array<float>>" in plan, plan
+
+
+def test_boilerplate_frequency_exchange_carries_hash_not_text(spark):
+    """`boilerplate_strip`'s documented scale fix: the segment
+    doc-frequency aggregate must shuffle on the 8-byte
+    xxhash64(segment) key with the wide segment text pruned from that
+    exchange — shuffling every segment's text was the one
+    scale-killer flagged in the r6 verdict."""
+    from query_processing_over_streaming_data_using_flink_spark.operators.text import boilerplate_strip
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _formatted(spark, boilerplate_strip(docs))
+    hash_keyed = [
+        b
+        for b in plan.split("\n\n")
+        if "Exchange" in b.split("\n")[0] and "hashpartitioning(ck#" in b
+    ]
+    assert hash_keyed, f"no hash-keyed frequency exchange found:\n{plan[:2000]}"
+    for b in hash_keyed:
+        assert "ctext" not in b, f"text column in hash-keyed exchange:\n{b}"
