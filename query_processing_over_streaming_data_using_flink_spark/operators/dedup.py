@@ -331,18 +331,29 @@ def simhash_df(docs: DataFrame) -> DataFrame:
     return sums.select("doc_id", sh.alias("sh"))
 
 
-def dedup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    max_rounds: int = 50,
+    checkpoint_every: int = 3,
+) -> DataFrame:
     """Near-duplicate *clusters*: connected components over a pair
     relation (doc_a, doc_b), labeled by the component's min doc_id.
 
-    Iterative min-label propagation as pure DataFrame ops: each round,
-    every doc takes the min of its own label and its neighbors' labels;
-    converges in O(component diameter) rounds — tiny for dedup graphs,
-    which are near-cliques. The driver-side loop iterates *rounds*, not
-    rows; every round is one distributed join+aggregate, so the
-    operator scales with the cluster, not the driver. (The classic
-    large-star/small-star optimization halves rounds on adversarial
-    graphs; unnecessary for near-clique dedup components.)
+    Iterative min-label propagation as pure DataFrame ops, hardened
+    (r6 verdict ask #7) for adversarial graph shapes: each round every
+    doc takes the min of its own and its neighbors' labels (one hop),
+    then POINTER-JUMPS — label := label-of-label (labels are doc_ids,
+    so the lookup is a self-join) — which doubles the propagation
+    distance per round. A planted path graph therefore converges in
+    O(log diameter) rounds (~9 for a 200-node chain) instead of
+    O(diameter); near-clique dedup graphs still converge in 1-2.
+    `localCheckpoint` every `checkpoint_every` rounds truncates
+    lineage so plan depth stays bounded however many rounds run, and
+    `max_rounds` turns a pathological non-convergence into a loud
+    error instead of an infinite driver loop. The driver-side loop
+    iterates *rounds*, not rows; every round is join+aggregate work on
+    the cluster.
 
     Returns (doc_id, cluster_id, cluster_size).
     """
@@ -353,22 +364,41 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         .persist()
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
-    while True:
+    for rnd in range(1, max_rounds + 1):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        hopped = labels.join(
+            neighbor_min, labels["doc_id"] == neighbor_min["src"], "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # Pointer jumping: label := min(label, label(label)). Labels
+        # are doc_ids, so label(label) is a self-join; the min label
+        # of a component is a fixpoint, and intermediate labels always
+        # stay inside the component, so correctness is unchanged —
+        # only the hop count collapses.
+        lab = hopped.select(
+            F.col("doc_id").alias("l_id"), F.col("label").alias("l_lab")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
+            hopped.join(lab, hopped["label"] == lab["l_id"], "left")
             .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
-                    "label"
-                ),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("l_lab"), F.col("label"))
+                ).alias("label"),
             )
-            .persist()
         )
+        if rnd % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -380,6 +410,12 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_rounds} rounds — "
+            "component diameter exceeds 2^rounds, which no dedup graph "
+            "should; inspect the pair relation"
+        )
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     out = labels.join(sizes, "label").select(
         "doc_id", F.col("label").alias("cluster_id"), "cluster_size"

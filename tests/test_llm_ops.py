@@ -994,3 +994,30 @@ def test_bpe_known_strings_pinned(spark):
     }
     assert py == ex
     assert py[0] == 11 and py[2] == 0
+
+
+def test_dedup_clusters_adversarial_chain(spark):
+    """The r6 verdict's adversarial case: a 200-node path graph (pairs
+    forming one long chain) — plain min-label propagation needs
+    diameter rounds; the hardened pointer-jumping loop must converge
+    well under the cap with the whole chain labeled 0, and the lineage
+    checkpointing keeps plan depth bounded."""
+    n = 200
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    out = dd.dedup_clusters(docs, pairs, max_rounds=12).collect()
+    assert len(out) == n
+    assert all(r["cluster_id"] == 0 and r["cluster_size"] == n for r in out)
+
+
+def test_dedup_clusters_nonconvergence_raises(spark):
+    """max_rounds turns pathological non-convergence into a loud error."""
+    n = 64
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.dedup_clusters(docs, pairs, max_rounds=1)
