@@ -285,11 +285,15 @@ class IncrementalIVFPQIndex:
     Both quantizers (IVF centroids + PQ codebooks) are FROZEN at
     creation — caller-provided from a bootstrap corpus, or trained on
     the first batch. Honest boundary vs the flat index: the state holds
-    codes only, so there is no `refresh_centroids()` here — re-encoding
-    under a retrained quantizer needs the raw vectors, i.e. a rebuild
-    from the upstream corpus (standard IVF-PQ operations: retrain
-    offline, swap the index). A deployment that needs in-place
-    recluster keeps the flat variant; the two share the store layout.
+    codes only, so in-place re-encoding is impossible — drift handling
+    is `rebuild_from_source(corpus)`: retrain both quantizers on the
+    raw upstream corpus (the table the stream also feeds), re-encode
+    everything, and swap atomically as one `compact()` version flip —
+    the standard "retrain offline, swap the index" IVF-PQ operation,
+    with the same continue-ingesting / replay-no-op guarantees as the
+    flat index's `refresh_centroids`. A deployment that needs
+    source-free recluster keeps the flat variant; the two share the
+    store layout.
     """
 
     _TABLES = {
@@ -398,10 +402,61 @@ class IncrementalIVFPQIndex:
         self.state.commit(epoch_id, append=True)
         self.epoch = epoch_id
 
+    # -- maintenance ---------------------------------------------------------
+
+    def rebuild_from_source(
+        self, corpus: DataFrame, refine: int = sim.IVF_REFINE
+    ) -> None:
+        """Offline retrain + atomic swap — the drift-maintenance pass
+        for a codes-only index (mirrors the flat index's
+        `refresh_centroids`, which re-encoding-from-state cannot serve
+        here because the state holds no raw vectors): the caller
+        supplies the raw (vec_id, embedding) corpus — the upstream
+        table the stream also feeds, covering everything ingested —
+        and this retrains BOTH quantizers on it (same deterministic
+        `ivf_centroids` / `pq_codebooks` as the batch index, so
+        stream==batch `knn_ivfpq` equivalence holds again immediately),
+        re-encodes every vector, and flips the store version as one
+        atomic `compact()`: in-flight readers keep resolving the old
+        version, ingestion continues on the new one (epoch pointer
+        preserved), and redelivered epochs stay no-ops."""
+        cents = sim.ivf_centroids(
+            corpus, cells=self.cells, refine=refine
+        ).localCheckpoint(eager=True)
+        books = sim.pq_codebooks(corpus, self.m).localCheckpoint(eager=True)
+        src = corpus.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("vec"),
+        )
+        codes = (
+            sim._nearest_cells(src, cents, 1)
+            .select("id", "cell")
+            .join(sim.pq_encode(corpus, books, self.m), "id")
+            .select(
+                F.col("cell").cast("int").alias("bucket"),
+                F.col("id").alias("n_id"),
+                F.col("cell").cast("int").alias("cell"),
+                F.col("s").cast("int").alias("s"),
+                F.col("code").cast("int").alias("code"),
+            )
+        )
+        self.state.compact(
+            {
+                "inv": lambda _old: codes,
+                "cents": lambda _old: self._cents_long(cents),
+                "books": lambda _old: self._books_long(books),
+            }
+        )
+
     # -- search --------------------------------------------------------------
 
     def search(
-        self, queries: DataFrame, k: int = 5, allowed: DataFrame | None = None
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        allowed: DataFrame | None = None,
+        rerank_from: DataFrame | None = None,
+        rerank: int = sim.IVFPQ_RERANK,
     ) -> DataFrame:
         """Top-k by ADC over the probed cells' code lists — identical
         scoring (fixed-subspace-order fold, approximate inner product)
@@ -410,7 +465,12 @@ class IncrementalIVFPQIndex:
         broadcast codebooks; the scan touches only code rows in the
         probed cells' bucket directories. `allowed` (one `id` column)
         restricts candidates by metadata predicate — semi-join on the
-        code rows, one index serving many filters."""
+        code rows, one index serving many filters. `rerank_from` (a raw
+        (vec_id, embedding) source — the upstream corpus) switches on
+        IVFPQ+R refinement: the top `rerank` ADC candidates per query
+        are re-scored with the EXACT inner product fetched from the
+        source by broadcasting the R·q candidate list (the batch
+        `knn_ivfpq_rerank` composition, against the live index)."""
         cents = self.centroids()
         books = self.books()
         inv = self.state.read("inv")
@@ -453,8 +513,28 @@ class IncrementalIVFPQIndex:
             )
         )
         w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+        ranked = scored.withColumn("rank", F.row_number().over(w))
+        if rerank_from is None:
+            return ranked.filter(F.col("rank") <= k).select(
+                "q_id", "n_id", "rank", F.round("score", 6).alias("score")
+            )
+        cand = ranked.filter(F.col("rank") <= rerank).select("q_id", "n_id")
+        raw = rerank_from.select(
+            F.col("vec_id").alias("n_id"),
+            F.col("embedding").cast("array<double>").alias("n_vec"),
+        )
+        qraw = queries.select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").cast("array<double>").alias("q_vec"),
+        )
+        rescored = (
+            raw.join(F.broadcast(cand), "n_id")
+            .join(F.broadcast(qraw), "q_id")
+            .withColumn("score", sim.dot(F.col("q_vec"), F.col("n_vec")))
+        )
+        w2 = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
         return (
-            scored.withColumn("rank", F.row_number().over(w))
+            rescored.withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k)
             .select("q_id", "n_id", "rank", F.round("score", 6).alias("score"))
         )
