@@ -81,13 +81,35 @@ def main() -> None:
 
     # Suite queries run twice and report the min (single runs drifted
     # ±10% round-over-round, polluting regression detection); both runs
-    # are recorded in extra.query_runs.
+    # are recorded in extra.query_runs. Cached blocks are cleared
+    # before EVERY timed run: several operators persist intermediates
+    # (minhash signatures, PQ codebooks) that a later invocation never
+    # reuses — letting them accumulate made the documented "cold data
+    # cache" claim false and run 2 of dedup_minhash_lsh measurably
+    # slower than run 1 in round 6 (2.15 s → 3.88 s under the leaked
+    # blocks' GC pressure). With the clear, both runs execute the
+    # identical cold plan.
+    # Each timed pair is preceded by ONE untimed priming run of the
+    # exact thunk (recorded in extra.prime_runs): the first execution
+    # of a plan at a new scale pays JIT/scheduler/file-listing warm-in
+    # (~0.5 s flat) that the sf0.01 shape-warmup cannot absorb, which
+    # kept the two recorded runs ~30% apart. With priming + the cache
+    # clear, both timed runs execute the identical cold-data
+    # steady-state plan — the reference baseline times the same way
+    # (its timer starts after the Flink job graph is compiled).
     query_runs: dict[str, list[float]] = {}
+    prime_runs: dict[str, float] = {}
     extra["query_runs"] = query_runs
+    extra["prime_runs"] = prime_runs
 
     def bench(name: str, thunk) -> None:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        thunk()
+        prime_runs[name] = round(time.time() - t0, 3)
         runs = []
         for _ in range(2):
+            spark.catalog.clearCache()
             t0 = time.time()
             thunk()
             runs.append(round(time.time() - t0, 3))
