@@ -652,3 +652,64 @@ def exact_substring_spans(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> Da
             (F.col("a_end") - F.col("a_start") + k).alias("span_len"),
         )
     )
+
+
+def exact_substring_rewrite(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataFrame:
+    """The rewrite half of span-level dedup (keep-first-occurrence):
+    every token position covered by a span shared with a LOWER doc_id
+    (the `doc_b` side of `exact_substring_spans`) is stripped; the doc
+    reassembles from surviving tokens in order. Returns (doc_id,
+    n_tokens, n_dup_tokens, dup_ratio, cleaned_md5) — the md5
+    value-checks the rewrite itself, the `boilerplate_strip` pattern.
+
+    Scale: spans explode to covered (doc_id, pos) rows — bounded by
+    total corpus tokens, usually far below — and the strip is one
+    left-anti join against the token table; no interval-merge pass is
+    needed because positions dedupe directly."""
+    from query_processing_over_streaming_data_using_flink_spark.operators.text import TOKEN_SPLIT_RE
+
+    spans = exact_substring_spans(docs, span_tokens)
+    covered = (
+        spans.select(
+            F.col("doc_b").alias("doc_id"),
+            F.explode(
+                F.sequence(
+                    F.col("b_start"), F.col("b_start") + F.col("span_len") - 1
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), TOKEN_SPLIT_RE)).alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    n_dup = covered.groupBy("doc_id").agg(F.count("*").alias("n_dup_tokens"))
+    totals = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    cleaned = kept.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda t: t["tok"],
+                ),
+            )
+        ).alias("cleaned_md5")
+    )
+    return (
+        totals.join(n_dup, "doc_id", "left")
+        .join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup_tokens"), F.lit(0)).alias("n_dup_tokens"),
+            F.round(
+                F.coalesce(F.col("n_dup_tokens"), F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("dup_ratio"),
+            # a fully-duplicated doc keeps no tokens: md5 of the empty
+            # string, same as the oracle's string_agg over zero rows
+            F.coalesce(F.col("cleaned_md5"), F.md5(F.lit(""))).alias("cleaned_md5"),
+        )
+    )

@@ -3018,3 +3018,49 @@ FROM c
 """
 
 register("pack_sequences_bpe", pack_sequences_bpe, _PACK_BPE_SQL)
+
+
+def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The md5-verified rewrite half of span-level dedup
+    (`operators/dedup.py:exact_substring_rewrite`): token positions
+    covered by a span shared with a lower doc_id are stripped
+    (keep-first-occurrence), and the oracle value-checks the
+    reassembled text through its md5 — the `text_boilerplate_strip`
+    certification pattern applied to partial-overlap duplicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_substring_rewrite(docs, span_tokens=_SPAN_TOKENS_Q)
+
+
+def _substring_rewrite_sql(k: int = _SPAN_TOKENS_Q) -> str:
+    return f"""
+WITH spans AS ({_exact_substring_sql(k)}),
+covered AS (
+  SELECT DISTINCT doc_b AS doc_id, i.i AS pos
+  FROM spans, unnest(range(b_start, b_start + span_len)) AS i(i)
+),
+toks AS (
+  SELECT doc_id, t.i AS pos, tk[t.i] AS tok
+  FROM (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+       unnest(range(1, len(tk) + 1)) AS t(i)
+),
+totals AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),
+ndup AS (SELECT doc_id, count(*) AS n_dup_tokens FROM covered GROUP BY doc_id),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM toks t
+  ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+),
+cleaned AS (
+  SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       coalesce(n.n_dup_tokens, 0) AS n_dup_tokens,
+       round(coalesce(n.n_dup_tokens, 0) / t.n_tokens, 6) AS dup_ratio,
+       coalesce(c.cleaned_md5, md5('')) AS cleaned_md5
+FROM totals t
+LEFT JOIN ndup n ON t.doc_id = n.doc_id
+LEFT JOIN cleaned c ON t.doc_id = c.doc_id
+"""
+
+
+register("dedup_substring_rewrite", dedup_substring_rewrite, _substring_rewrite_sql())

@@ -41,6 +41,7 @@ _PRIORITY_FIRST = [
     # --- new in round 7 (never driver-checked):
     "ann_ivfpq_rerank",
     "dedup_exact_substring",
+    "dedup_substring_rewrite",
     "text_bpe_token_count",
     "pack_sequences_bpe",
     "hilbert_events_clusters",
@@ -94,7 +95,6 @@ _PRIORITY_FIRST = [
     "filter_dates_orders",
     "changelog_build",
     "changelog_state_counts",
-    "agg_lineitem_pricing_summary",
 ]
 _PUSH_LAST = [
     # Driver-green in round 6 (the full r6 prefix came back 50/50):

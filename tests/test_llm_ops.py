@@ -1021,3 +1021,28 @@ def test_dedup_clusters_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dd.dedup_clusters(docs, pairs, max_rounds=1)
+
+
+def test_exact_substring_rewrite_keeps_first_occurrence(spark):
+    """Rewrite semantics: the lower doc_id keeps its copy of a shared
+    span; the higher doc_id has exactly the covered positions
+    stripped, md5-verified against the hand-built expected text."""
+    import hashlib
+
+    span = [f"s{j}" for j in range(60)]
+    a_text = " ".join([f"a{i}" for i in range(10)] + span + ["a_tail"])
+    b_pre = [f"b{i}" for i in range(5)]
+    b_post = ["b_tail0", "b_tail1"]
+    b_text = " ".join(b_pre + span + b_post)
+    docs = spark.createDataFrame(
+        [(0, a_text), (1, b_text)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dd.exact_substring_rewrite(docs, span_tokens=50).collect()}
+    # doc 0 (first occurrence): untouched
+    assert out[0]["n_dup_tokens"] == 0
+    assert out[0]["cleaned_md5"] == hashlib.md5(a_text.encode()).hexdigest()
+    # doc 1: the 60 span tokens stripped, surroundings survive in order
+    assert out[1]["n_tokens"] == 5 + 60 + 2
+    assert out[1]["n_dup_tokens"] == 60
+    expect = " ".join(b_pre + b_post)
+    assert out[1]["cleaned_md5"] == hashlib.md5(expect.encode()).hexdigest()
