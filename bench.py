@@ -166,11 +166,27 @@ def main() -> None:
         ("ann_ivf", llm.ann_ivf),
         ("ann_pq", llm.ann_pq),
         ("ann_ivfpq", llm.ann_ivfpq),
+        ("ann_ivfpq_rerank", llm.ann_ivfpq_rerank),
     ):
         t0 = time.time()
         _run(vfn(spark, sf_dir))
         ann_variants[vname] = round(time.time() - t0, 3)
     extra["ann_variants"] = ann_variants
+
+    # Round-7 LLM-pipeline additions at suite scale (single runs, like
+    # the ANN variant spectrum): span-level dedup incl. the md5-verified
+    # rewrite, and true-BPE counting (mapInPandas over Arrow batches).
+    r7: dict[str, float] = {}
+    for vname, vfn in (
+        ("dedup_exact_substring", llm.dedup_exact_substring),
+        ("dedup_substring_rewrite", llm.dedup_substring_rewrite),
+        ("text_bpe_token_count", llm.text_bpe_token_count),
+    ):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        _run(vfn(spark, sf_dir))
+        r7[vname] = round(time.time() - t0, 3)
+    extra["llm_extras"] = r7
 
     # SF-1 parity datapoint: BASELINE.md measures the reference at SF-1
     # (15.3M events, ~71s best). No sf1 testdata directory exists, so
