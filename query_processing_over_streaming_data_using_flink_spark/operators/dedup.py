@@ -607,16 +607,14 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 SPAN_TOKENS = 50
 
 
-def exact_substring_spans(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataFrame:
-    """Maximal exact shared token spans of length ≥ `span_tokens`
-    between document pairs. Returns (doc_a, doc_b, a_start, b_start,
-    span_len) with 1-based token offsets, doc_a < doc_b."""
+def _span_shingles(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, h): the overlapping k-token shingle hash at every
+    1-based position — computed inside codegen from the token array,
+    so only (doc_id, pos, 8-byte key) ever leaves the scan."""
     from query_processing_over_streaming_data_using_flink_spark.operators.text import TOKEN_SPLIT_RE
-    from pyspark.sql.window import Window
 
-    k = span_tokens
     t = docs.select("doc_id", F.split(F.col("text"), TOKEN_SPLIT_RE).alias("toks"))
-    sh = (
+    return (
         t.filter(F.size("toks") >= k)
         .select(
             "doc_id",
@@ -629,6 +627,16 @@ def exact_substring_spans(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> Da
         )
         .select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
     )
+
+
+def exact_substring_spans(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataFrame:
+    """Maximal exact shared token spans of length ≥ `span_tokens`
+    between document pairs. Returns (doc_a, doc_b, a_start, b_start,
+    span_len) with 1-based token offsets, doc_a < doc_b."""
+    from pyspark.sql.window import Window
+
+    k = span_tokens
+    sh = _span_shingles(docs, k)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "h")
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "h")
     m = (
@@ -711,5 +719,56 @@ def exact_substring_rewrite(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> 
             # a fully-duplicated doc keeps no tokens: md5 of the empty
             # string, same as the oracle's string_agg over zero rows
             F.coalesce(F.col("cleaned_md5"), F.md5(F.lit(""))).alias("cleaned_md5"),
+        )
+    )
+
+
+def cross_snapshot_substring(
+    history: DataFrame, batch: DataFrame, span_tokens: int = SPAN_TOKENS
+) -> DataFrame:
+    """Cross-snapshot SPAN-level dedup — the incremental-crawl variant
+    of `exact_substring_spans`, completing the cross-snapshot family
+    (exact fingerprint → MinHash near-dup → exact substring): which
+    NEW-batch docs share an exact token span of ≥ `span_tokens` with
+    the HISTORICAL corpus (syndicated re-publications, partial
+    re-crawls that doc-level signatures miss)? Same shingle-hash +
+    diagonal run-merge construction, but the equi-join is new-batch
+    positions against the history shingle table — in production a
+    maintained table keyed by hash, so the per-batch cost is the new
+    docs' shingles, never a history rescan. Returns one flat row per
+    batch doc: (doc_id, n_dup_sources, n_spans, max_span_len,
+    is_novel)."""
+    from pyspark.sql.window import Window
+
+    k = span_tokens
+    hist = _span_shingles(history, k).select(
+        F.col("doc_id").alias("doc_h"), F.col("pos").alias("pos_h"), "h"
+    )
+    new = _span_shingles(batch, k).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "h"
+    )
+    m = new.join(hist, "h").select(
+        "doc_b", "doc_h", "pos_b", (F.col("pos_b") - F.col("pos_h")).alias("diag")
+    )
+    w = Window.partitionBy("doc_b", "doc_h", "diag").orderBy("pos_b")
+    spans = (
+        m.withColumn("isl", F.col("pos_b") - F.row_number().over(w))
+        .groupBy("doc_b", "doc_h", "diag", "isl")
+        .agg((F.max("pos_b") - F.min("pos_b") + k).alias("span_len"))
+    )
+    per_doc = spans.groupBy("doc_b").agg(
+        F.countDistinct("doc_h").alias("n_dup_sources"),
+        F.count("*").alias("n_spans"),
+        F.max("span_len").alias("max_span_len"),
+    )
+    return (
+        batch.select("doc_id")
+        .join(per_doc, batch["doc_id"] == per_doc["doc_b"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_dup_sources"), F.lit(0)).alias("n_dup_sources"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+            F.coalesce(F.col("max_span_len"), F.lit(0)).alias("max_span_len"),
+            F.col("n_dup_sources").isNull().alias("is_novel"),
         )
     )

@@ -3064,3 +3064,65 @@ LEFT JOIN cleaned c ON t.doc_id = c.doc_id
 
 
 register("dedup_substring_rewrite", dedup_substring_rewrite, _substring_rewrite_sql())
+
+
+def dedup_cross_snapshot_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot SPAN-level dedup (`operators/dedup.py:
+    cross_snapshot_substring`): the new batch (top fifth of doc_ids)
+    shingle-joined against the historical corpus at K=20 tokens —
+    flags partial re-publications (shared exact spans) that the
+    fingerprint and MinHash cross-snapshot variants miss or can only
+    score doc-globally. Flat per-batch-doc output (doc_id,
+    n_dup_sources, n_spans, max_span_len, is_novel)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = docs.agg(F.expr("(count(*) * 4) DIV 5").cast("long").alias("cutoff"))
+    tagged = docs.crossJoin(F.broadcast(cutoff))
+    history = tagged.filter(F.col("doc_id") < F.col("cutoff")).select("doc_id", "text")
+    batch = tagged.filter(F.col("doc_id") >= F.col("cutoff")).select("doc_id", "text")
+    return dd.cross_snapshot_substring(history, batch, span_tokens=_SPAN_TOKENS_Q)
+
+
+def _cross_snapshot_substring_sql(k: int = _SPAN_TOKENS_Q) -> str:
+    h = _H64.format(x=f"array_to_string(toks[i.i : i.i + {k} - 1], ' ')")
+    return f"""
+WITH cut AS (SELECT (count(*) * 4) // 5 AS cutoff FROM documents),
+t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, i.i AS pos, {h} AS h
+  FROM t, unnest(range(1, len(toks) - {k} + 2)) AS i(i)
+  WHERE len(toks) >= {k}
+),
+hist AS (SELECT doc_id AS doc_h, pos AS pos_h, h FROM sh, cut WHERE doc_id < cutoff),
+new AS (SELECT doc_id AS doc_b, pos AS pos_b, h FROM sh, cut WHERE doc_id >= cutoff),
+m AS (
+  SELECT n.doc_b, hi.doc_h, n.pos_b, n.pos_b - hi.pos_h AS diag
+  FROM new n JOIN hist hi ON n.h = hi.h
+),
+runs AS (
+  SELECT *, pos_b - row_number() OVER (PARTITION BY doc_b, doc_h, diag ORDER BY pos_b) AS isl
+  FROM m
+),
+spans AS (
+  SELECT doc_b, doc_h, max(pos_b) - min(pos_b) + {k} AS span_len
+  FROM runs GROUP BY doc_b, doc_h, diag, isl
+),
+per_doc AS (
+  SELECT doc_b, count(DISTINCT doc_h) AS n_dup_sources, count(*) AS n_spans,
+         max(span_len) AS max_span_len
+  FROM spans GROUP BY doc_b
+)
+SELECT d.doc_id,
+       coalesce(p.n_dup_sources, 0) AS n_dup_sources,
+       coalesce(p.n_spans, 0) AS n_spans,
+       coalesce(p.max_span_len, 0) AS max_span_len,
+       p.n_dup_sources IS NULL AS is_novel
+FROM (SELECT doc_id FROM documents, cut WHERE doc_id >= cutoff) d
+LEFT JOIN per_doc p ON d.doc_id = p.doc_b
+"""
+
+
+register(
+    "dedup_cross_snapshot_substring",
+    dedup_cross_snapshot_substring,
+    _cross_snapshot_substring_sql(),
+)

@@ -42,6 +42,7 @@ _PRIORITY_FIRST = [
     "ann_ivfpq_rerank",
     "dedup_exact_substring",
     "dedup_substring_rewrite",
+    "dedup_cross_snapshot_substring",
     "text_bpe_token_count",
     "pack_sequences_bpe",
     "hilbert_events_clusters",
@@ -94,7 +95,6 @@ _PRIORITY_FIRST = [
     "filter_project_customer",
     "filter_dates_orders",
     "changelog_build",
-    "changelog_state_counts",
 ]
 _PUSH_LAST = [
     # Driver-green in round 6 (the full r6 prefix came back 50/50):

@@ -1046,3 +1046,32 @@ def test_exact_substring_rewrite_keeps_first_occurrence(spark):
     assert out[1]["n_dup_tokens"] == 60
     expect = " ".join(b_pre + b_post)
     assert out[1]["cleaned_md5"] == hashlib.md5(expect.encode()).hexdigest()
+
+
+def test_cross_snapshot_substring_planted(spark):
+    """A new-batch doc sharing a 60-token span with history is flagged
+    with the exact span length and source count; a 40-token overlap
+    and a fully-novel doc stay novel at K=50."""
+    span = [f"s{j}" for j in range(60)]
+    short = [f"f{j}" for j in range(40)]
+    history = spark.createDataFrame(
+        [
+            (0, " ".join([f"h{i}" for i in range(8)] + span)),
+            (1, " ".join(span + [f"g{i}" for i in range(5)])),
+            (2, " ".join(short)),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, " ".join([f"x{i}" for i in range(12)] + span + ["tail"])),
+            (101, " ".join(short + [f"y{i}" for i in range(30)])),
+            (102, " ".join(f"z{i}" for i in range(70))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dd.cross_snapshot_substring(history, batch, 50).collect()}
+    assert out[100]["n_dup_sources"] == 2 and out[100]["max_span_len"] == 60
+    assert not out[100]["is_novel"]
+    assert out[101]["is_novel"] and out[101]["n_spans"] == 0
+    assert out[102]["is_novel"]

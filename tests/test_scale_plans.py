@@ -212,6 +212,10 @@ _BNLJ_ALLOWED = {
     "dedup_cross_snapshot",  # 1-row broadcast snapshot-cutoff scalar
     "dedup_cross_snapshot_minhash",  # same 1-row cutoff scalar tagging the sides
     "ann_recall_pq_vs_exact",  # exact-baseline side is the allowed brute force
+    "ann_ivfpq_rerank",  # composes the allowed IVF-PQ candidate stage
+    "ann_recall_ivfpq_rerank_vs_exact",  # exact-baseline side is the brute force
+    "hilbert_events_clusters",  # 1-row broadcast min/max-bounds scalar (like zorder)
+    "dedup_cross_snapshot_substring",  # same 1-row cutoff scalar as its siblings
 }
 
 
