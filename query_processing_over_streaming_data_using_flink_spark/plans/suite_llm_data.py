@@ -3126,3 +3126,86 @@ register(
     dedup_cross_snapshot_substring,
     _cross_snapshot_substring_sql(),
 )
+
+
+def mixture_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mixture_token_budget` with the per-doc token mass measured by
+    the TRUE BPE tokenizer (`operators/bpe.py`) instead of the chars/4
+    estimate — the budget arithmetic downstream (per-source keep-rates
+    in integer parts-per-10000, deterministic md5 draws) is unchanged,
+    so the only delta is that the mixture now spends a budget of REAL
+    tokens. Same plan shape plus the one Arrow-batched tokenizer pass;
+    the oracle replays the counts through the replace-chain rendering
+    and the identical rate/draw arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = bp.bpe_token_counts(docs).select(
+        "doc_id", F.col("n_tokens_bpe").alias("toks")
+    )
+    per_doc = docs.select("doc_id", "source").join(counts, "doc_id")
+    per_src = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("toks").alias("est_tokens")
+    )
+    totals = per_src.agg(
+        F.sum("est_tokens").alias("total"), F.count("*").alias("n_sources")
+    )
+    rates = (
+        per_src.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "rate_ppm",
+            F.least(
+                F.lit(10000).cast("long"),
+                F.expr("(((total DIV 2) DIV n_sources) * 10000) DIV est_tokens"),
+            ),
+        )
+        .select("source", "n_docs", "est_tokens", "rate_ppm")
+    )
+    draw = F.pmod(
+        md5_hash64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+        F.lit(10000),
+    )
+    kept = (
+        per_doc.join(F.broadcast(rates.select("source", "rate_ppm")), "source")
+        .filter(draw < F.col("rate_ppm"))
+        .groupBy("source")
+        .agg(F.count("*").alias("kept_docs"), F.sum("toks").alias("kept_tokens"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "est_tokens",
+            F.round(F.col("rate_ppm") / 10000.0, 6).alias("keep_rate"),
+            F.coalesce(F.col("kept_docs"), F.lit(0)).alias("kept_docs"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).alias("kept_tokens"),
+        )
+    )
+
+
+_MIXTURE_BPE_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id, source, CAST({_BPE_COUNT} AS BIGINT) AS toks
+  FROM documents
+), per_src AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS est_tokens
+  FROM per_doc GROUP BY source
+), tot AS (
+  SELECT sum(est_tokens) AS total, count(*) AS n_sources FROM per_src
+), rates AS (
+  SELECT source, n_docs, est_tokens,
+         least(10000, (((total // 2) // n_sources) * 10000) // est_tokens) AS rate_ppm
+  FROM per_src, tot
+), kept AS (
+  SELECT d.source, count(*) AS kept_docs, CAST(sum(d.toks) AS BIGINT) AS kept_tokens
+  FROM per_doc d JOIN rates r USING (source)
+  WHERE ({_H64.format(x="'mix:' || CAST(doc_id AS VARCHAR)")}) % 10000 < r.rate_ppm
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.est_tokens,
+       round(r.rate_ppm / 10000.0, 6) AS keep_rate,
+       coalesce(k.kept_docs, 0) AS kept_docs,
+       coalesce(k.kept_tokens, 0) AS kept_tokens
+FROM rates r LEFT JOIN kept k USING (source)
+"""
+
+register("mixture_bpe_token_budget", mixture_bpe_token_budget, _MIXTURE_BPE_SQL)

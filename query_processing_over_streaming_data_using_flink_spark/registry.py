@@ -45,6 +45,7 @@ _PRIORITY_FIRST = [
     "dedup_cross_snapshot_substring",
     "text_bpe_token_count",
     "pack_sequences_bpe",
+    "mixture_bpe_token_budget",
     "hilbert_events_clusters",
     "ann_recall_ivfpq_rerank_vs_exact",
     # --- r6 overflow queue, first in line as promised:
@@ -94,7 +95,6 @@ _PRIORITY_FIRST = [
     "q3_shipping_priority",
     "filter_project_customer",
     "filter_dates_orders",
-    "changelog_build",
 ]
 _PUSH_LAST = [
     # Driver-green in round 6 (the full r6 prefix came back 50/50):

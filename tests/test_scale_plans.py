@@ -206,6 +206,7 @@ _BNLJ_ALLOWED = {
     "q11_important_stock",  # 1-row broadcast scalar-total threshold
     "hll_union_daily_users",  # 1-row exact anchor x 1-row sketch rollup
     "mixture_token_budget",  # 1-row broadcast corpus-total x per-source rate table
+    "mixture_bpe_token_budget",  # same shape, BPE-exact token mass
     "mixture_temperature_sampling",  # same shape, temperature-weighted rates
     "embedding_pca_power_iter",  # 1-row broadcast max|m| normalizer per iteration
     "embedding_top_pc_projection",  # composes the above + 1-row eigvec-array broadcast
