@@ -772,3 +772,17 @@ def cross_snapshot_substring(
             F.col("n_dup_sources").isNull().alias("is_novel"),
         )
     )
+
+
+def span_band_key_rows(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataFrame:
+    """(doc_id, band_key) rows for the streaming band-ownership state
+    (`streaming/dedup.py:IncrementalNearDedup`): every overlapping
+    `span_tokens`-token shingle hash. A doc sharing an exact span of
+    ≥ K tokens with ANY earlier-ingested doc shares ≥ 1 shingle key
+    with it, so the ownership collision flags exactly the partial-
+    overlap re-publications `cross_snapshot_substring` finds in batch
+    — span-level dedup as the third streaming modality next to
+    MinHash-band text and perceptual image/audio."""
+    return _span_shingles(docs, span_tokens).select(
+        "doc_id", F.col("h").alias("band_key")
+    )

@@ -1672,3 +1672,47 @@ def test_ivfpq_rebuild_recovers_drifted_recall(spark, tmp_path):
     late = _planted_vectors(spark, range(2000, 2050), lambda i: [(8 + i % 16, 1.0)])
     idx.process_batch(late, 3)
     assert idx.state.read("inv").count() == n_before + 50 * sim.PQ_M
+
+
+def test_streaming_span_dedup_across_batches(spark, tmp_path):
+    """Span-level dedup as a streaming modality on the same
+    band-ownership state: with the span-shingle band_fn, a batch-2 doc
+    sharing a 60-token span with a batch-1 doc (otherwise different
+    text) flags that doc as its canonical at K=50; a 40-token overlap
+    and a fresh doc are admitted."""
+    from query_processing_over_streaming_data_using_flink_spark.operators import dedup as dd
+    from query_processing_over_streaming_data_using_flink_spark.streaming.dedup import (
+        IncrementalNearDedup,
+    )
+
+    span = [f"s{j}" for j in range(60)]
+    short = [f"f{j}" for j in range(40)]
+
+    def docs_df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    b1 = docs_df(
+        [
+            (0, " ".join([f"a{i}" for i in range(10)] + span)),
+            (1, " ".join(short + [f"g{i}" for i in range(20)])),
+            (2, " ".join(f"h{i}" for i in range(70))),
+        ]
+    )
+    b2 = docs_df(
+        [
+            (10, " ".join([f"x{i}" for i in range(25)] + span + ["tail"])),
+            (11, " ".join([f"y{i}" for i in range(15)] + short)),
+            (12, " ".join(f"z{i}" for i in range(80))),
+        ]
+    )
+    h = IncrementalNearDedup(
+        spark,
+        str(tmp_path / "state"),
+        band_fn=lambda b: dd.span_band_key_rows(b, span_tokens=50),
+    )
+    v1 = {r["doc_id"]: r["dup_of"] for r in h.process_batch(b1, 0).collect()}
+    assert all(v is None for v in v1.values())
+    v2 = {r["doc_id"]: r["dup_of"] for r in h.process_batch(b2, 1).collect()}
+    assert v2[10] == 0, "60-token shared span flags the batch-1 canonical"
+    assert v2[11] is None, "40-token overlap is below the K=50 threshold"
+    assert v2[12] is None, "fresh doc admitted"
