@@ -646,3 +646,22 @@ def knn_ivf(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", F.round("sim", 6).alias("sim"))
     )
+
+
+def training_sample(
+    embeddings: DataFrame, rate_ppm: int = 100_000, salt: str = "pqtrain"
+) -> DataFrame:
+    """Deterministic hash-sample of the embedding corpus for quantizer
+    training (OPERATIONS.md sizing rule: at 10^9 vectors the codebooks
+    and centroids are DISTRIBUTION statistics, not per-vector state —
+    train them on a fraction and encode the full corpus). The draw is
+    the engine's salted-md5 discipline: bit-identical across engines,
+    partitionings, and retries, so a sample-trained index is as
+    replayable as a full-trained one."""
+    from query_processing_over_streaming_data_using_flink_spark.functions.scalar import md5_hash64
+
+    draw = F.pmod(
+        md5_hash64(F.concat(F.lit(salt + ":"), F.col("vec_id").cast("string"))),
+        F.lit(1_000_000),
+    )
+    return embeddings.filter(draw < rate_ppm)

@@ -1075,3 +1075,47 @@ def test_cross_snapshot_substring_planted(spark):
     assert not out[100]["is_novel"]
     assert out[101]["is_novel"] and out[101]["n_spans"] == 0
     assert out[102]["is_novel"]
+
+
+def test_pq_sample_trained_books_hold_recall(spark):
+    """The OPERATIONS.md 10^9-vector rule, evidenced: PQ codebooks
+    trained on a deterministic 50% hash-sample of the corpus (then
+    encoding ALL vectors) must hold ADC recall@5 within 0.1 of the
+    full-corpus-trained books — codebooks are distribution statistics,
+    so a sample suffices; and the sample itself is replayable."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = sim.knn_bruteforce_dot(emb, queries, k=5).select("q_id", "n_id")
+    truth = {(r["q_id"], r["n_id"]) for r in exact.collect()}
+
+    def adc_recall(books):
+        codes = sim.pq_encode(emb, books)
+        lut = sim._pq_subvectors(queries, sim.PQ_M).join(F.broadcast(books), "s").select(
+            F.col("id").alias("q_id"), "s", "code",
+            sim.dot(F.col("sub"), F.col("cvec")).alias("part"),
+        )
+        scored = (
+            codes.join(F.broadcast(lut), ["s", "code"])
+            .filter(F.col("q_id") != F.col("id"))
+            .groupBy("q_id", F.col("id").alias("n_id"))
+            .agg(F.sum("part").alias("score"))
+        )
+        w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+        got = {
+            (r["q_id"], r["n_id"])
+            for r in scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5).select("q_id", "n_id").collect()
+        }
+        return len(got & truth) / len(truth)
+
+    sample = sim.training_sample(emb, rate_ppm=500_000)
+    n_all, n_sample = emb.count(), sample.count()
+    assert 0.35 * n_all < n_sample < 0.65 * n_all
+    # replayable: the same draw twice is the same sample
+    assert sim.training_sample(emb, rate_ppm=500_000).count() == n_sample
+
+    full = adc_recall(sim.pq_codebooks(emb).persist())
+    sampled = adc_recall(sim.pq_codebooks(sample).persist())
+    assert sampled >= full - 0.1, (full, sampled)
