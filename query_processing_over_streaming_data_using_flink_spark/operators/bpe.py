@@ -93,8 +93,24 @@ DEFAULT_MERGES: tuple[tuple[str, str], ...] = (
 
 
 def validate_merges(merges: tuple[tuple[str, str], ...]) -> None:
-    """Raise if `merges` is not causally ordered (the property that
-    makes rank-order passes ≡ greedy BPE)."""
+    """Raise unless `merges` has the two properties that make
+    rank-order passes ≡ greedy BPE:
+
+    1. causal ordering — each operand is a single character or the
+       output of an earlier merge, and
+    2. unique producers — no symbol string is the output of two
+       different merges. Without this the equivalence FAILS: with
+       merges (('b','a'),('c','b'),('a','b'),('b','ab'),('ba','b'))
+       the later ('ba','b') can create a 'bab' symbol that an
+       earlier-rank merge consuming 'bab' has already passed over, so
+       the replace chain under-merges where greedy BPE proceeds.
+       With unique producers, any occurrence of a symbol exists
+       before its consumers' ranks, so no earlier-rank pair can ever
+       (re)appear after its pass.
+
+    Trained tables (e.g. GPT-2's merges.txt) satisfy both by
+    construction — each merge line introduces one new vocabulary
+    entry."""
     formed = set()
     for i, (x, y) in enumerate(merges):
         for part in (x, y):
@@ -103,7 +119,14 @@ def validate_merges(merges: tuple[tuple[str, str], ...]) -> None:
                     f"merge {i} {x!r}+{y!r}: operand {part!r} is neither a "
                     "single character nor the output of an earlier merge"
                 )
-        formed.add(x + y)
+        out = x + y
+        if out in formed:
+            raise ValueError(
+                f"merge {i} {x!r}+{y!r}: output {out!r} is already produced "
+                "by an earlier merge — duplicate producers break the "
+                "rank-order-pass ≡ greedy-BPE equivalence"
+            )
+        formed.add(out)
 
 
 def bpe_piece(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
@@ -150,12 +173,24 @@ def bpe_token_counts(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pat = re.compile(BPE_PRETOKEN_RE)
         for pdf in batches:
-            texts = pdf["text"].astype(str)
+            # NULL text stays NULL (matching the SQL oracle's regexp/
+            # replace chain over NULL) — astype(str) would fabricate
+            # the literal string 'None' and count its tokens.
+            texts = [None if pd.isna(t) else str(t) for t in pdf["text"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_pieces": [len(pat.findall(t)) for t in texts],
-                    "n_tokens_bpe": [bpe_count_text(t, ranks, pat) for t in texts],
+                    "n_pieces": pd.array(
+                        [None if t is None else len(pat.findall(t)) for t in texts],
+                        dtype="Int64",
+                    ),
+                    "n_tokens_bpe": pd.array(
+                        [
+                            None if t is None else bpe_count_text(t, ranks, pat)
+                            for t in texts
+                        ],
+                        dtype="Int64",
+                    ),
                 }
             )
 

@@ -370,6 +370,9 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # hopped feeds BOTH sides of the pointer-jump self-join below;
+        # persisting it keeps the neighbor_min join+aggregate from
+        # being evaluated twice inside one plan.
         hopped = labels.join(
             neighbor_min, labels["doc_id"] == neighbor_min["src"], "left"
         ).select(
@@ -377,7 +380,7 @@ def dedup_clusters(
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
-        )
+        ).persist()
         # Pointer jumping: label := min(label, label(label)). Labels
         # are doc_ids, so label(label) is a self-join; the min label
         # of a component is a fixpoint, and intermediate labels always
@@ -407,6 +410,7 @@ def dedup_clusters(
             .count()
         )
         labels.unpersist()
+        hopped.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -420,6 +424,12 @@ def dedup_clusters(
     out = labels.join(sizes, "label").select(
         "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
     )
+    # Materialize the result once so every block cached during the
+    # iteration (the final round's labels included) can be released
+    # here instead of leaking for the lifetime of the returned lazy
+    # plan — the accumulation pattern the bench caught in round 6.
+    out = out.localCheckpoint(eager=True)
+    labels.unpersist()
     edges.unpersist()
     return out
 
@@ -782,7 +792,21 @@ def span_band_key_rows(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataF
     with it, so the ownership collision flags exactly the partial-
     overlap re-publications `cross_snapshot_substring` finds in batch
     — span-level dedup as the third streaming modality next to
-    MinHash-band text and perceptual image/audio."""
-    return _span_shingles(docs, span_tokens).select(
+    MinHash-band text and perceptual image/audio.
+
+    Docs SHORTER than `span_tokens` have no shingles but must still
+    receive a verdict (the ownership state derives its verdict frame
+    from band rows — a doc with zero rows would silently vanish from
+    the admit/drop log), so each gets a private sentinel key,
+    -(doc_id)-1: strictly negative, so it can never collide with the
+    non-negative 60-bit shingle hashes, and unique per doc, so short
+    docs are always admitted as their own owners."""
+    from query_processing_over_streaming_data_using_flink_spark.operators.text import TOKEN_SPLIT_RE
+
+    shingled = _span_shingles(docs, span_tokens).select(
         "doc_id", F.col("h").alias("band_key")
     )
+    short = docs.filter(
+        F.size(F.split(F.col("text"), TOKEN_SPLIT_RE)) < span_tokens
+    ).select("doc_id", (-F.col("doc_id") - 1).cast("long").alias("band_key"))
+    return shingled.unionByName(short)

@@ -658,10 +658,8 @@ def training_sample(
     the engine's salted-md5 discipline: bit-identical across engines,
     partitionings, and retries, so a sample-trained index is as
     replayable as a full-trained one."""
-    from query_processing_over_streaming_data_using_flink_spark.functions.scalar import md5_hash64
+    from query_processing_over_streaming_data_using_flink_spark.operators.text import sample_hash
 
-    draw = F.pmod(
-        md5_hash64(F.concat(F.lit(salt + ":"), F.col("vec_id").cast("string"))),
-        F.lit(1_000_000),
+    return embeddings.filter(
+        sample_hash(F.col("vec_id"), salt, modulus=1_000_000) < rate_ppm
     )
-    return embeddings.filter(draw < rate_ppm)

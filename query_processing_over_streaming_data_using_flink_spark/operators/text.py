@@ -174,13 +174,15 @@ def shingle_hash_rows(docs, k: int = 3):
     return sh.select("doc_id", md5_hash64(F.col("shingle")).alias("h")).distinct()
 
 
-def sample_hash(id_col: Column, salt: str = "smp") -> Column:
-    """Deterministic per-row sampling hash in [0, 1000): md5-based, so
-    it is reproducible across runs, engines (DuckDB oracle shares the
-    md5 bits), cluster sizes, and partitionings — unlike `df.sample`,
-    whose output depends on partition layout. Salting the key decouples
-    this draw from any other hash use of the same id."""
-    return md5_hash64(F.concat(F.lit(salt + ":"), id_col.cast("string"))) % 1000
+def sample_hash(id_col: Column, salt: str = "smp", modulus: int = 1000) -> Column:
+    """Deterministic per-row sampling hash in [0, modulus): md5-based,
+    so it is reproducible across runs, engines (DuckDB oracle shares
+    the md5 bits), cluster sizes, and partitionings — unlike
+    `df.sample`, whose output depends on partition layout. Salting the
+    key decouples this draw from any other hash use of the same id;
+    `modulus` sets the rate resolution (permille by default, ppm for
+    e.g. quantizer-training samples)."""
+    return md5_hash64(F.concat(F.lit(salt + ":"), id_col.cast("string"))) % modulus
 
 
 def stratified_sample(docs, rates_permille: dict[str, int], strata_col: str = "lang"):

@@ -34,6 +34,15 @@ _TOKENS = r"regexp_split_to_array(text, '\s+')"
 _H64 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"  # == md5_hash64
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """DuckDB fixed-left-fold dot product — the one rendering every
+    ANN oracle shares (a change here changes them all together)."""
+    return (
+        f"list_reduce([{a}[i] * {b}[i] for i in range(1, len({a}) + 1)], "
+        "(p, q) -> p + q)"
+    )
+
+
 def _shingles_sql(tokens_expr: str, k: int = 3) -> str:
     parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
     return (
@@ -49,12 +58,9 @@ def _shingle_hashes_sql() -> str:
 
 
 def _cosine_sql(a: str, b: str) -> str:
-    def dot(x: str, y: str) -> str:
-        return (
-            f"list_reduce([{x}[i] * {y}[i] for i in range(1, len({x}) + 1)], (p, q) -> p + q)"
-        )
-
-    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+    return (
+        f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+    )
 
 
 def _sig_sql(v: str, bits: int = sim.SIG_BITS, offset: int = 0) -> str:
@@ -726,12 +732,6 @@ def _pq_sql() -> str:
             f"for i in range(1, len({a}) + 1)], (p, q) -> p + q)"
         )
 
-    def dot(a: str, b: str) -> str:
-        return (
-            f"list_reduce([{a}[i] * {b}[i] for i in range(1, len({a}) + 1)], "
-            "(p, q) -> p + q)"
-        )
-
     def mean_books(assign: str) -> str:
         return f"""
   SELECT s, code, list(v ORDER BY sdim) AS cvec FROM (
@@ -765,7 +765,7 @@ a1 AS ({nearest('b0')}),
 books AS ({mean_books('a1')}),
 codes AS ({nearest('books')}),
 lut AS (
-  SELECT u.vec_id AS q_id, u.s, b.code, {dot('u.sub', 'b.cvec')} AS part
+  SELECT u.vec_id AS q_id, u.s, b.code, {_dot_sql('u.sub', 'b.cvec')} AS part
   FROM subs u JOIN books b ON u.s = b.s
   WHERE u.vec_id < {_N_QUERIES}
 ),
@@ -817,16 +817,10 @@ def ann_recall_pq_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_recall_sql() -> str:
-    def dot(a: str, b: str) -> str:
-        return (
-            f"list_reduce([{a}[i] * {b}[i] for i in range(1, len({a}) + 1)], "
-            "(p, q) -> p + q)"
-        )
-
     exact_dot = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
 pairs AS (
-  SELECT q.vec_id AS q_id, c.vec_id AS n_id, {dot('q.vec', 'c.vec')} AS score
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id, {_dot_sql('q.vec', 'c.vec')} AS score
   FROM e q JOIN e c ON q.vec_id <> c.vec_id
   WHERE q.vec_id < {_N_QUERIES}
 ),
@@ -873,12 +867,6 @@ def _ivfpq_sql(rank_limit: int = 5, nprobe: int = sim.IVF_NPROBE) -> str:
         return (
             f"list_reduce([({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) "
             f"for i in range(1, len({a}) + 1)], (p, q) -> p + q)"
-        )
-
-    def dot(a: str, b: str) -> str:
-        return (
-            f"list_reduce([{a}[i] * {b}[i] for i in range(1, len({a}) + 1)], "
-            "(p, q) -> p + q)"
         )
 
     def mean_books(assign: str) -> str:
@@ -952,7 +940,7 @@ pa1 AS ({nearest_code('pb0')}),
 pbooks AS ({mean_books('pa1')}),
 pcodes AS ({nearest_code('pbooks')}),
 lut AS (
-  SELECT u.vec_id AS q_id, u.s, b.code, {dot('u.sub', 'b.cvec')} AS part
+  SELECT u.vec_id AS q_id, u.s, b.code, {_dot_sql('u.sub', 'b.cvec')} AS part
   FROM psubs u JOIN pbooks b ON u.s = b.s
   WHERE u.vec_id < {_N_QUERIES}
 ),
@@ -991,12 +979,6 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_rerank_sql() -> str:
-    def dot(a: str, b: str) -> str:
-        return (
-            f"list_reduce([{a}[i] * {b}[i] for i in range(1, len({a}) + 1)], "
-            "(p, q) -> p + q)"
-        )
-
     cand = _ivfpq_sql(
         rank_limit=sim.IVFPQ_RERANK, nprobe=sim.IVFPQ_RERANK_NPROBE
     )
@@ -1004,7 +986,7 @@ def _ivfpq_rerank_sql() -> str:
 WITH cand AS ({cand}),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
 rescored AS (
-  SELECT c.q_id, c.n_id, {dot('q.vec', 'n.vec')} AS score
+  SELECT c.q_id, c.n_id, {_dot_sql('q.vec', 'n.vec')} AS score
   FROM cand c
   JOIN e q ON q.vec_id = c.q_id
   JOIN e n ON n.vec_id = c.n_id
@@ -1052,16 +1034,10 @@ def ann_recall_ivfpq_rerank_vs_exact(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 def _ivfpq_rerank_recall_sql() -> str:
-    def dot(a: str, b: str) -> str:
-        return (
-            f"list_reduce([{a}[i] * {b}[i] for i in range(1, len({a}) + 1)], "
-            "(p, q) -> p + q)"
-        )
-
     exact_dot = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
 pairs AS (
-  SELECT q.vec_id AS q_id, c.vec_id AS n_id, {dot('q.vec', 'c.vec')} AS score
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id, {_dot_sql('q.vec', 'c.vec')} AS score
   FROM e q JOIN e c ON q.vec_id <> c.vec_id
   WHERE q.vec_id < {_N_QUERIES}
 ),
@@ -1126,16 +1102,10 @@ def ann_recall_ivfpq_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_recall_sql() -> str:
-    def dot(a: str, b: str) -> str:
-        return (
-            f"list_reduce([{a}[i] * {b}[i] for i in range(1, len({a}) + 1)], "
-            "(p, q) -> p + q)"
-        )
-
     exact_dot = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
 pairs AS (
-  SELECT q.vec_id AS q_id, c.vec_id AS n_id, {dot('q.vec', 'c.vec')} AS score
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id, {_dot_sql('q.vec', 'c.vec')} AS score
   FROM e q JOIN e c ON q.vec_id <> c.vec_id
   WHERE q.vec_id < {_N_QUERIES}
 ),

@@ -1119,3 +1119,56 @@ def test_pq_sample_trained_books_hold_recall(spark):
     full = adc_recall(sim.pq_codebooks(emb).persist())
     sampled = adc_recall(sim.pq_codebooks(sample).persist())
     assert sampled >= full - 0.1, (full, sampled)
+
+
+def test_validate_merges_rejects_duplicate_producers():
+    """The code-review counterexample: a table where 'bab' is the
+    output of TWO merges passes causal ordering but breaks the
+    rank-order-pass ≡ greedy-BPE equivalence (on 'babcb' greedy gives
+    1 token, the replace chain 2) — validate_merges must reject it."""
+    from query_processing_over_streaming_data_using_flink_spark.operators import bpe as bp
+
+    bad = (("b", "a"), ("c", "b"), ("a", "b"), ("b", "ab"), ("bab", "cb"), ("ba", "b"))
+    with pytest.raises(ValueError, match="duplicate producers|already produced"):
+        bp.validate_merges(bad)
+
+
+def test_bpe_null_text_stays_null(spark):
+    """NULL text must stay NULL through the Python tokenizer (the SQL
+    oracle's regexp/replace chain over NULL yields NULL) — not the
+    literal string 'None' and its fabricated token mass."""
+    from query_processing_over_streaming_data_using_flink_spark.operators import bpe as bp
+
+    docs = spark.createDataFrame(
+        [(0, "the end"), (1, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bp.bpe_token_counts(docs).collect()}
+    assert out[0]["n_tokens_bpe"] == 4  # [the] + [' ', 'en', 'd']
+    assert out[1]["n_tokens_bpe"] is None and out[1]["n_pieces"] is None
+
+
+def test_streaming_span_dedup_short_docs_get_verdicts(spark, tmp_path):
+    """Docs shorter than span_tokens have no shingles but must still
+    appear in the verdict frame (admitted as their own sentinel-key
+    owners) — a doc silently missing from the admit/drop log is a
+    data-loss bug."""
+    from query_processing_over_streaming_data_using_flink_spark.streaming.dedup import (
+        IncrementalNearDedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"a{i}" for i in range(60))),
+            (1, "tiny doc"),
+            (2, "another short one"),
+        ],
+        "doc_id long, text string",
+    )
+    h = IncrementalNearDedup(
+        spark,
+        str(tmp_path / "state"),
+        band_fn=lambda b: dd.span_band_key_rows(b, span_tokens=50),
+    )
+    v = {r["doc_id"]: r["dup_of"] for r in h.process_batch(docs, 0).collect()}
+    assert set(v) == {0, 1, 2}, "every doc gets a verdict, short ones included"
+    assert v[1] is None and v[2] is None
