@@ -630,10 +630,11 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_ivf(e, _queries_df(spark, sf_dir), k=5)
 
 
-def _ivf_sql(inv_filter: str = "") -> str:
+def _ivf_sql(inv_filter: str = "", nprobe: int = sim.IVF_NPROBE) -> str:
     """The IVF-flat oracle, parameterized on an extra candidate-id
     predicate appended to the inverted-list CTE (empty for the plain
-    index; the filtered variant injects a semi-join on documents)."""
+    index; the filtered variant injects a semi-join on documents) and
+    on the probe width (the recall-curve query sweeps it)."""
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
 comp0 AS (
@@ -671,7 +672,7 @@ probes AS (
            row_number() OVER (PARTITION BY q.vec_id
                               ORDER BY {_cosine_sql('q.vec', 'c.cvec')} DESC, c.cell) AS r
     FROM (SELECT * FROM e WHERE vec_id < {_N_QUERIES}) q CROSS JOIN cents c)
-  WHERE r <= {sim.IVF_NPROBE}
+  WHERE r <= {nprobe}
 ),
 scored AS (
   SELECT q_id, n_id, {_cosine_sql('q_vec', 'n_vec')} AS sim
@@ -3179,3 +3180,66 @@ FROM rates r LEFT JOIN kept k USING (source)
 """
 
 register("mixture_bpe_token_budget", mixture_bpe_token_budget, _MIXTURE_BPE_SQL)
+
+
+_NPROBE_SWEEP = (1, 2, 4, 8, 16)
+
+
+def ann_recall_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF cost/recall TUNING CURVE as oracle-checked numbers: mean
+    recall@5 vs exact cosine brute force at nprobe ∈ {1,2,4,8,16} over
+    the 16-cell index — the operational knob a deployment turns when
+    the single-point cert (`ann_recall_ivf_vs_exact`, nprobe=4) isn't
+    enough recall. The nprobe=16 row probes every cell, so the curve
+    self-certifies at recall 1.0 — any other value there would expose
+    an indexing bug, not a tuning choice. Scan cost grows linearly in
+    nprobe (candidates ≈ n·nprobe/cells per query)."""
+    from functools import reduce
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qdf = _queries_df(spark, sf_dir)
+    exact = sim.knn_bruteforce(e, qdf, k=5).select("q_id", "n_id")
+    parts = []
+    for np_ in _NPROBE_SWEEP:
+        approx = sim.knn_ivf(e, qdf, k=5, nprobe=np_).select("q_id", "n_id")
+        hits = exact.join(approx, ["q_id", "n_id"], "left_semi")
+        parts.append(
+            hits.agg(F.count("*").alias("n_hits")).select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                F.round(F.col("n_hits") / F.lit(5.0 * _N_QUERIES), 6).alias(
+                    "recall_at_5"
+                ),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _ivf_nprobe_curve_sql() -> str:
+    exact = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id, {_cosine_sql('q.vec', 'c.vec')} AS sim
+  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+  FROM pairs
+)
+SELECT q_id, n_id FROM ranked WHERE rank <= 5
+"""
+    rows = []
+    for np_ in _NPROBE_SWEEP:
+        rows.append(f"""
+SELECT CAST({np_} AS BIGINT) AS nprobe,
+       round(count(*) / (5.0 * {_N_QUERIES}), 6) AS recall_at_5
+FROM ({exact}) x
+JOIN ({_ivf_sql(nprobe=np_)}) a ON x.q_id = a.q_id AND x.n_id = a.n_id""")
+    return "\nUNION ALL\n".join(rows)
+
+
+register(
+    "ann_recall_ivf_nprobe_curve",
+    ann_recall_ivf_nprobe_curve,
+    _ivf_nprobe_curve_sql(),
+)

@@ -215,6 +215,7 @@ _BNLJ_ALLOWED = {
     "ann_recall_pq_vs_exact",  # exact-baseline side is the allowed brute force
     "ann_ivfpq_rerank",  # composes the allowed IVF-PQ candidate stage
     "ann_recall_ivfpq_rerank_vs_exact",  # exact-baseline side is the brute force
+    "ann_recall_ivf_nprobe_curve",  # brute-force baseline x the allowed IVF at 5 widths
     "hilbert_events_clusters",  # 1-row broadcast min/max-bounds scalar (like zorder)
     "dedup_cross_snapshot_substring",  # same 1-row cutoff scalar as its siblings
 }
