@@ -1318,3 +1318,65 @@ register(
     FROM net
     """,
 )
+
+
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates done DETERMINISTICALLY: per-returnflag
+    Pearson correlation and least-squares slope/intercept of
+    l_extendedprice on l_quantity, computed from EXACT integer moment
+    sums (values quantized to cents, Σx/Σy/Σxy/Σx²/Σy² accumulated as
+    decimal(38,0) — associative, bit-identical under any partitioning)
+    and combined in one fixed double expression at the end. The
+    built-in `corr`/`regr_slope` aggregates are order-dependent float
+    folds that can differ across engines and even across runs — the
+    moment rendering is how a 1000-executor job gets a reproducible
+    answer. One map-side-partial hash aggregate; no second pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qx = F.floor(F.col("l_quantity") * 100).cast("decimal(38,0)")
+    qy = F.floor(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(qx).cast("double").alias("sx"),
+        F.sum(qy).cast("double").alias("sy"),
+        F.sum(qx * qx).cast("double").alias("sxx"),
+        F.sum(qy * qy).cast("double").alias("syy"),
+        F.sum(qx * qy).cast("double").alias("sxy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_x
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
+        # slope/intercept are in cents per cent == price units per
+        # quantity unit, so no de-quantization factor is needed for the
+        # slope; the intercept converts back to price units (/100).
+        F.round(slope, 6).alias("slope_cents"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n") / 100.0, 6).alias(
+            "intercept_price"
+        ),
+    )
+
+
+_CORR_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS DOUBLE) AS sx,
+         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sy,
+         CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT) * CAST(floor(l_quantity * 100) AS BIGINT)) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) * CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS syy,
+         CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT) * CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_cents,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n / 100.0, 6) AS intercept_price
+FROM m
+"""
+
+register("agg_corr_regression", agg_corr_regression, _CORR_SQL)

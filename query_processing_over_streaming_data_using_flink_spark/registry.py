@@ -49,6 +49,7 @@ _PRIORITY_FIRST = [
     "hilbert_events_clusters",
     "ann_recall_ivfpq_rerank_vs_exact",
     "ann_recall_ivf_nprobe_curve",
+    "agg_corr_regression",
     # --- r6 overflow queue, first in line as promised:
     "ann_ivf_filtered",
     "image_cross_format_near_dup",
@@ -94,7 +95,6 @@ _PRIORITY_FIRST = [
     # demand. Each new round-7 query replaces one of these (drop from
     # the END) so the prefix stays exactly 50.
     "q3_shipping_priority",
-    "filter_project_customer",
 ]
 _PUSH_LAST = [
     # Driver-green in round 6 (the full r6 prefix came back 50/50):
