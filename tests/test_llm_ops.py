@@ -1172,3 +1172,30 @@ def test_streaming_span_dedup_short_docs_get_verdicts(spark, tmp_path):
     v = {r["doc_id"]: r["dup_of"] for r in h.process_batch(docs, 0).collect()}
     assert set(v) == {0, 1, 2}, "every doc gets a verdict, short ones included"
     assert v[1] is None and v[2] is None
+
+
+def test_rerank_improves_ivfpq_recall_and_curve_endpoint(spark):
+    """Two recall invariants pinned at smoke scale: (a) IVFPQ+R beats
+    plain IVF-PQ recall@5 (re-ranking removes the code-quantization
+    loss; nprobe 8 vs 4 widens cell containment), and (b) probing all
+    16 cells makes IVF exact — recall exactly 1.0, the curve's
+    self-certifying endpoint."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact_dot = sim.knn_bruteforce_dot(emb, queries, k=5).select("q_id", "n_id")
+    truth_dot = {(r["q_id"], r["n_id"]) for r in exact_dot.collect()}
+
+    def recall(df, truth):
+        got = {(r["q_id"], r["n_id"]) for r in df.select("q_id", "n_id").collect()}
+        return len(got & truth) / len(truth)
+
+    plain = recall(sim.knn_ivfpq(emb, queries, k=5), truth_dot)
+    reranked = recall(sim.knn_ivfpq_rerank(emb, queries, k=5), truth_dot)
+    assert reranked > plain, (plain, reranked)
+
+    exact_cos = sim.knn_bruteforce(emb, queries, k=5).select("q_id", "n_id")
+    truth_cos = {(r["q_id"], r["n_id"]) for r in exact_cos.collect()}
+    full_probe = recall(
+        sim.knn_ivf(emb, queries, k=5, nprobe=sim.IVF_CELLS), truth_cos
+    )
+    assert full_probe == 1.0, full_probe
