@@ -1716,3 +1716,67 @@ def test_streaming_span_dedup_across_batches(spark, tmp_path):
     assert v2[10] == 0, "60-token shared span flags the batch-1 canonical"
     assert v2[11] is None, "40-token overlap is below the K=50 threshold"
     assert v2[12] is None, "fresh doc admitted"
+
+
+def test_streaming_sequence_packing_matches_batch(spark, tmp_path):
+    """Streaming sequence packing (per-lang BPE token budgets carried
+    across micro-batches) must reproduce the batch `pack_sequences_bpe`
+    assignment exactly when arrival order equals doc_id order — the
+    stream==batch convergence criterion; and a redelivered epoch must
+    return its recorded assignments instead of double-spending the
+    budget."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        pack_sequences_bpe,
+    )
+    from query_processing_over_streaming_data_using_flink_spark.streaming.packing import (
+        IncrementalSequencePacker,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "text")
+    packer = IncrementalSequencePacker(
+        spark, str(tmp_path / "pack"), budget_tokens=2048
+    )
+    n = docs.count()
+    cuts = (n // 3, 2 * n // 3)
+    packer.process_batch(docs.filter(F.col("doc_id") < cuts[0]), 0)
+    packer.process_batch(
+        docs.filter((F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])), 1
+    )
+    packer.process_batch(docs.filter(F.col("doc_id") >= cuts[1]), 2)
+
+    got = {
+        r["doc_id"]: (r["lang"], r["n_tokens"], r["seq_id"], r["seq_offset"])
+        for r in packer.packed_df().collect()
+    }
+    want = {
+        r["doc_id"]: (r["lang"], r["n_tokens"], r["seq_id"], r["seq_offset"])
+        for r in pack_sequences_bpe(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+    # Replay: re-delivering epoch 1 must not advance any cursor and
+    # must return the recorded frame.
+    before = {(r["lang"], r["spent"]) for r in packer.state.read("cursor").collect()}
+    replay = packer.process_batch(
+        docs.filter((F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])), 1
+    )
+    assert {r["doc_id"] for r in replay.collect()} == {
+        d for d in got if cuts[0] <= d < cuts[1]
+    }
+    after = {(r["lang"], r["spent"]) for r in packer.state.read("cursor").collect()}
+    assert after == before
+
+    # Restart recovery: a new handle resumes the cursors and keeps
+    # packing where the old one stopped.
+    packer2 = IncrementalSequencePacker(
+        spark, str(tmp_path / "pack"), budget_tokens=2048
+    )
+    assert packer2.epoch == 2
+    late = spark.createDataFrame(
+        [(100000, "en", "late arrival doc with some tokens")],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["doc_id"]: r for r in packer2.process_batch(late, 3).collect()}
+    en_spent = dict(before)["en"] if "en" in dict(before) else 0
+    assert out[100000]["seq_id"] == en_spent // 2048
+    assert out[100000]["seq_offset"] == en_spent % 2048
