@@ -83,3 +83,78 @@ def test_result_independent_of_partitioning(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", original)
     assert a == b, f"{name} changed under repartitioning"
+
+
+def _replace_chain_tokens(word: str, merges) -> int:
+    """Pure-python simulation of `bpe_count_expr`'s framed replace
+    chain (MARK+sym+SEP framing, one leftmost-nonoverlapping pass per
+    rank) for property-testing against the greedy tokenizer."""
+    from query_processing_over_streaming_data_using_flink_spark.operators.bpe import (
+        BPE_MARK,
+        BPE_SEP,
+    )
+
+    s = "".join(BPE_MARK + ch + BPE_SEP for ch in word)
+    for x, y in merges:
+        s = s.replace(
+            BPE_MARK + x + BPE_SEP + BPE_MARK + y + BPE_SEP,
+            BPE_MARK + x + y + BPE_SEP,
+        )
+    return s.count(BPE_SEP)
+
+
+def test_bpe_pass_equivalence_property():
+    """The invariant behind the text_bpe_token_count oracle, fuzzed:
+    for ANY merge table accepted by validate_merges (causally ordered,
+    unique producers), greedy BPE and the rank-order replace chain
+    produce identical token counts on arbitrary strings. The round-7
+    code review found a counterexample table that slipped the original
+    validator — this property test keeps the validator honest against
+    the whole space, not just the shipped DEFAULT_MERGES."""
+    from hypothesis import given, settings, strategies as st
+
+    from query_processing_over_streaming_data_using_flink_spark.operators import bpe as bp
+
+    alphabet = "abc"
+
+    @st.composite
+    def merge_tables(draw):
+        symbols = list(alphabet)
+        merges = []
+        formed = set()
+        for _ in range(draw(st.integers(0, 10))):
+            x = draw(st.sampled_from(symbols))
+            y = draw(st.sampled_from(symbols))
+            if x + y in formed or len(x + y) > 12:
+                continue
+            merges.append((x, y))
+            formed.add(x + y)
+            symbols.append(x + y)
+        return tuple(merges)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        merges=merge_tables(),
+        word=st.text(alphabet=alphabet, min_size=0, max_size=24),
+    )
+    def check(merges, word):
+        bp.validate_merges(merges)  # generator only emits valid tables
+        ranks = {m: i for i, m in enumerate(merges)}
+        greedy = len(bp.bpe_piece(word, ranks))
+        chain = _replace_chain_tokens(word, merges)
+        assert greedy == chain, (merges, word, greedy, chain)
+
+    check()
+
+
+def test_bpe_review_counterexample_diverges_without_guard():
+    """Documentation-by-test of WHY validate_merges rejects duplicate
+    producers: on the review's table the two renderings genuinely
+    diverge (greedy 1 token, chain 2 on 'babcb') — so acceptance of
+    such a table would mean oracle mismatches, not harmless noise."""
+    from query_processing_over_streaming_data_using_flink_spark.operators import bpe as bp
+
+    bad = (("b", "a"), ("c", "b"), ("a", "b"), ("b", "ab"), ("bab", "cb"), ("ba", "b"))
+    ranks = {m: i for i, m in enumerate(bad)}
+    assert len(bp.bpe_piece("babcb", ranks)) == 1
+    assert _replace_chain_tokens("babcb", bad) == 2
