@@ -264,3 +264,98 @@ def bpe_count_sql(
             f"{q(BPE_MARK + x + y + BPE_SEP)})"
         )
     return f"(length({s}) - length(replace({s}, chr(1), '')))"
+
+
+def framed_text(text: Column) -> Column:
+    """The framed symbol representation (pieces char-marked
+    MARK+ch+SEP, joined on BOUND) shared by `bpe_count_expr` and the
+    trainer — one definition so application and training can never
+    disagree on the framing."""
+    clean = F.replace(text, F.lit(BPE_SEP), F.lit(""))
+    clean = F.replace(clean, F.lit(BPE_BOUND), F.lit(""))
+    clean = F.replace(clean, F.lit(BPE_MARK), F.lit(""))
+    pieces = F.regexp_extract_all(clean, F.lit(BPE_PRETOKEN_RE), F.lit(0))
+    marked = F.transform(
+        pieces, lambda p: F.regexp_replace(p, r"(?s)(.)", BPE_MARK + "$1" + BPE_SEP)
+    )
+    return F.array_join(marked, BPE_BOUND)
+
+
+# SQL fragments over the framed string: symbols of one piece, and the
+# adjacent-pair structs of a symbol array (0-based indexing).
+_SYMS_EXPR = (
+    "transform(filter(split(p, '\x03'), t -> t != ''), "
+    "t -> left(t, length(t) - 1))"
+)
+_PAIRS_EXPR = (
+    "CASE WHEN size(sy) > 1 THEN "
+    "transform(sequence(1, size(sy) - 1), i -> struct(sy[i-1] AS x, sy[i] AS y)) "
+    "ELSE array() END"
+)
+
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int = 16,
+    text_col: str = "text",
+    checkpoint_every: int = 6,
+) -> list[tuple[str, str]]:
+    """BPE TRAINING as distributed relational ops — the loop that
+    produces the merge table `bpe_token_counts` consumes, closing the
+    tokenizer story in-engine (train AND apply, both oracle-checkable):
+    each round counts adjacent symbol pairs across the whole corpus
+    (one explode + hash aggregate — a linear corpus pass), picks the
+    most frequent pair (ties → lexicographic (x, y); pairs whose
+    concatenation equals an already-formed symbol are skipped, which
+    keeps the learned table inside `validate_merges`' unique-producer
+    space), and merges every occurrence via the framed-string literal
+    replace. The driver loop iterates ROUNDS, not rows — the only
+    driver-side data is one argmax row per round (the same bounded
+    reduction as `dedup_clusters`' convergence count).
+
+    Determinism: integer pair counts + lexicographic tie-break, so any
+    engine, partitioning, or retry learns the identical table — the
+    registered oracle replays all rounds in SQL.
+
+    Returns the learned merge list (causally ordered by construction).
+    """
+    state = docs.select(
+        "doc_id", framed_text(F.col(text_col)).alias("s")
+    ).persist()
+    merges: list[tuple[str, str]] = []
+    formed: set[str] = set()
+    for rnd in range(1, num_merges + 1):
+        pairs = (
+            state.select(F.explode(F.split("s", BPE_BOUND)).alias("p"))
+            .select(F.expr(_SYMS_EXPR).alias("sy"))
+            .select(F.explode(F.expr(_PAIRS_EXPR)).alias("pr"))
+            .select("pr.x", "pr.y")
+        )
+        counts = pairs.groupBy("x", "y").agg(F.count("*").alias("cnt"))
+        if formed:
+            counts = counts.filter(
+                ~F.concat(F.col("x"), F.col("y")).isin(*sorted(formed))
+            )
+        best = counts.orderBy(F.desc("cnt"), F.asc("x"), F.asc("y")).limit(1).first()
+        if best is None:
+            break
+        x, y = best["x"], best["y"]
+        merges.append((x, y))
+        formed.add(x + y)
+        new_state = state.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(BPE_MARK + x + BPE_SEP + BPE_MARK + y + BPE_SEP),
+                F.lit(BPE_MARK + x + y + BPE_SEP),
+            ),
+        )
+        if rnd % checkpoint_every == 0:
+            new_state = new_state.localCheckpoint(eager=True)
+        else:
+            new_state = new_state.persist()
+        state.unpersist()
+        state = new_state
+    state.unpersist()
+    validate_merges(tuple(merges))
+    return merges

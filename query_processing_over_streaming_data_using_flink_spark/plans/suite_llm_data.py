@@ -3243,3 +3243,79 @@ register(
     ann_recall_ivf_nprobe_curve,
     _ivf_nprobe_curve_sql(),
 )
+
+
+# ---------------------------------------------------------------------------
+# BPE training (learned merge table) — train AND apply, both in-engine
+# ---------------------------------------------------------------------------
+
+_BPE_TRAIN_ROUNDS = 16
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TRAINING as distributed relational ops
+    (`operators/bpe.py:bpe_train`): 16 rounds of corpus-wide adjacent-
+    pair counting (one explode + hash aggregate per round — a linear
+    corpus pass), deterministic argmax (ties → lexicographic;
+    duplicate-producer outputs skipped so the learned table stays
+    inside `validate_merges`' equivalence space), framed-string merge
+    application. The oracle replays ALL rounds in SQL — materialized
+    CTE per round, argmax via ORDER/LIMIT, the merge applied through
+    correlated scalar subqueries in `replace` — certifying the learned
+    table itself, not just its application."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bp.bpe_train(docs, num_merges=_BPE_TRAIN_ROUNDS)
+    return spark.createDataFrame(
+        [(i + 1, x, y) for i, (x, y) in enumerate(merges)],
+        "rank long, x string, y string",
+    )
+
+
+def _bpe_train_sql(rounds: int = _BPE_TRAIN_ROUNDS) -> str:
+    framed = (
+        "array_to_string(list_transform(regexp_extract_all("
+        "replace(replace(replace(text, chr(1), ''), chr(2), ''), chr(3), ''), "
+        f"{_BPE_RE_SQL}), "
+        "p -> regexp_replace(p, '(?s)(.)', chr(3) || '\\1' || chr(1), 'g')), chr(2))"
+    )
+    ctes = [f"d0 AS MATERIALIZED (SELECT doc_id, {framed} AS s FROM documents)"]
+    for r in range(1, rounds + 1):
+        formed = ""
+        if r > 1:
+            prior = " UNION ALL ".join(
+                f"SELECT x || y AS o FROM b{j}" for j in range(1, r)
+            )
+            formed = f"WHERE (x || y) NOT IN (SELECT o FROM ({prior}))"
+        ctes.append(f"""p{r} AS MATERIALIZED (
+  SELECT x, y, count(*) AS cnt FROM (
+    SELECT left(sy[i.i], length(sy[i.i]) - 1) AS x,
+           left(sy[i.i + 1], length(sy[i.i + 1]) - 1) AS y
+    FROM (
+      SELECT list_filter(string_split(pc.p, chr(3)), t -> t <> '') AS sy
+      FROM d{r - 1}, unnest(string_split(s, chr(2))) AS pc(p)
+    ), unnest(range(1, len(sy))) AS i(i)
+  )
+  {formed}
+  GROUP BY x, y
+)""")
+        ctes.append(
+            f"b{r} AS MATERIALIZED (SELECT x, y FROM p{r} "
+            f"ORDER BY cnt DESC, x, y LIMIT 1)"
+        )
+        if r < rounds:
+            ctes.append(f"""d{r} AS MATERIALIZED (
+  SELECT doc_id,
+         replace(s,
+                 chr(3) || (SELECT x FROM b{r}) || chr(1) ||
+                 chr(3) || (SELECT y FROM b{r}) || chr(1),
+                 chr(3) || (SELECT x FROM b{r}) || (SELECT y FROM b{r}) || chr(1)) AS s
+  FROM d{r - 1}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, x, y FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+register("bpe_train_merges", bpe_train_merges, _bpe_train_sql())

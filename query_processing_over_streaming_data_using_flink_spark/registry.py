@@ -50,6 +50,7 @@ _PRIORITY_FIRST = [
     "ann_recall_ivfpq_rerank_vs_exact",
     "ann_recall_ivf_nprobe_curve",
     "agg_corr_regression",
+    "bpe_train_merges",
     # --- r6 overflow queue, first in line as promised:
     "ann_ivf_filtered",
     "image_cross_format_near_dup",
@@ -90,11 +91,6 @@ _PRIORITY_FIRST = [
     "approx_distinct_users",
     "hll_union_daily_users",
     "approx_quantiles_event_value",
-    # --- filler block: r5-green queries that hit the staleness bound
-    # next round (r8) — re-certifying them now smooths r8's forced
-    # demand. Each new round-7 query replaces one of these (drop from
-    # the END) so the prefix stays exactly 50.
-    "q3_shipping_priority",
 ]
 _PUSH_LAST = [
     # Driver-green in round 6 (the full r6 prefix came back 50/50):

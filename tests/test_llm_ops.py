@@ -1199,3 +1199,29 @@ def test_rerank_improves_ivfpq_recall_and_curve_endpoint(spark):
         sim.knn_ivf(emb, queries, k=5, nprobe=sim.IVF_CELLS), truth_cos
     )
     assert full_probe == 1.0, full_probe
+
+
+def test_bpe_train_planted(spark):
+    """BPE training on a planted corpus: the most frequent adjacent
+    pair is learned first, later rounds consume earlier outputs
+    (causal ordering by construction), and the learned table feeds
+    straight into the tokenizer (validate_merges accepts it; counts
+    drop vs. the untrained char baseline)."""
+    from query_processing_over_streaming_data_using_flink_spark.operators import bpe as bp
+
+    # 'ab' appears 3x per doc in 4 docs => pair (a,b) dominates.
+    docs = spark.createDataFrame(
+        [(i, "abz abz abz qq") for i in range(4)], "doc_id long, text string"
+    )
+    merges = bp.bpe_train(docs, num_merges=3)
+    assert merges[0] == ("a", "b")
+    bp.validate_merges(tuple(merges))
+    counts = {
+        r["doc_id"]: r["n_tokens_bpe"]
+        for r in bp.bpe_token_counts(docs, tuple(merges)).collect()
+    }
+    baseline = {
+        r["doc_id"]: r["n_tokens_bpe"]
+        for r in bp.bpe_token_counts(docs, ()).collect()
+    }
+    assert all(counts[d] < baseline[d] for d in counts)
