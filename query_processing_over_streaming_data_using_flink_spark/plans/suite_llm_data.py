@@ -3271,7 +3271,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_train_sql(rounds: int = _BPE_TRAIN_ROUNDS) -> str:
+def _bpe_train_ctes(rounds: int, final_state: bool) -> list[str]:
     framed = (
         "array_to_string(list_transform(regexp_extract_all("
         "replace(replace(replace(text, chr(1), ''), chr(2), ''), chr(3), ''), "
@@ -3302,7 +3302,7 @@ def _bpe_train_sql(rounds: int = _BPE_TRAIN_ROUNDS) -> str:
             f"b{r} AS MATERIALIZED (SELECT x, y FROM p{r} "
             f"ORDER BY cnt DESC, x, y LIMIT 1)"
         )
-        if r < rounds:
+        if r < rounds or final_state:
             ctes.append(f"""d{r} AS MATERIALIZED (
   SELECT doc_id,
          replace(s,
@@ -3311,6 +3311,11 @@ def _bpe_train_sql(rounds: int = _BPE_TRAIN_ROUNDS) -> str:
                  chr(3) || (SELECT x FROM b{r}) || (SELECT y FROM b{r}) || chr(1)) AS s
   FROM d{r - 1}
 )""")
+    return ctes
+
+
+def _bpe_train_sql(rounds: int = _BPE_TRAIN_ROUNDS) -> str:
+    ctes = _bpe_train_ctes(rounds, final_state=False)
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS BIGINT) AS rank, x, y FROM b{r}"
         for r in range(1, rounds + 1)
@@ -3319,3 +3324,31 @@ def _bpe_train_sql(rounds: int = _BPE_TRAIN_ROUNDS) -> str:
 
 
 register("bpe_train_merges", bpe_train_merges, _bpe_train_sql())
+
+
+def text_token_count_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The closing composition of the tokenizer story: TRAIN the merge
+    table on the corpus (`bpe_train`, 16 rounds), then TOKENIZE the
+    corpus with it (`bpe_token_counts`) — self-supervised subword
+    counting with no external vocabulary, end to end in-engine. The
+    oracle replays the full training chain AND reads the token counts
+    off the final framed state (count of symbol terminators), so a
+    MATCH certifies the trained tokenizer's output, not just its
+    table."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bp.bpe_train(docs, num_merges=_BPE_TRAIN_ROUNDS)
+    return bp.bpe_token_counts(docs, tuple(merges)).select(
+        "doc_id", "n_tokens_bpe"
+    )
+
+
+def _trained_count_sql(rounds: int = _BPE_TRAIN_ROUNDS) -> str:
+    ctes = _bpe_train_ctes(rounds, final_state=True)
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT doc_id, CAST(length(s) - length(replace(s, chr(1), '')) AS BIGINT)"
+        f" AS n_tokens_bpe FROM d{rounds}"
+    )
+
+
+register("text_token_count_trained", text_token_count_trained, _trained_count_sql())

@@ -91,6 +91,13 @@ _PRIORITY_FIRST = [
     "approx_distinct_users",
     "hll_union_daily_users",
     "approx_quantiles_event_value",
+    # --- position 51: the explicit OVERFLOW QUEUE (r7 forced demand =
+    # 51 never-checked/stale queries for 50 slots; the rotation test
+    # requires overflow to be contiguous at 51+ and never-checked —
+    # this trained-tokenizer composition landed last and waits here,
+    # first in line for r8, fully verified by the local dual-scale
+    # sweep meanwhile).
+    "text_token_count_trained",
 ]
 _PUSH_LAST = [
     # Driver-green in round 6 (the full r6 prefix came back 50/50):
