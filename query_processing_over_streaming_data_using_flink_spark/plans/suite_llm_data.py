@@ -3251,6 +3251,23 @@ register(
 
 _BPE_TRAIN_ROUNDS = 16
 
+# Training is deterministic (integer counts, lexicographic ties), so
+# the learned table per fixture dir is a pure function of the data —
+# memoized per process to keep the two trained-tokenizer queries (and
+# the test suite's repeated invocations) from re-running the 16-round
+# loop.
+_TRAINED_MERGES: dict[str, tuple[tuple[str, str], ...]] = {}
+
+
+def _trained_merges(spark: SparkSession, sf_dir: str) -> tuple[tuple[str, str], ...]:
+    if sf_dir not in _TRAINED_MERGES:
+        _TRAINED_MERGES[sf_dir] = tuple(
+            bp.bpe_train(
+                load_table(spark, sf_dir, "documents"), num_merges=_BPE_TRAIN_ROUNDS
+            )
+        )
+    return _TRAINED_MERGES[sf_dir]
+
 
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE TRAINING as distributed relational ops
@@ -3263,8 +3280,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE per round, argmax via ORDER/LIMIT, the merge applied through
     correlated scalar subqueries in `replace` — certifying the learned
     table itself, not just its application."""
-    docs = load_table(spark, sf_dir, "documents")
-    merges = bp.bpe_train(docs, num_merges=_BPE_TRAIN_ROUNDS)
+    merges = _trained_merges(spark, sf_dir)
     return spark.createDataFrame(
         [(i + 1, x, y) for i, (x, y) in enumerate(merges)],
         "rank long, x string, y string",
@@ -3336,10 +3352,8 @@ def text_token_count_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     MATCH certifies the trained tokenizer's output, not just its
     table."""
     docs = load_table(spark, sf_dir, "documents")
-    merges = bp.bpe_train(docs, num_merges=_BPE_TRAIN_ROUNDS)
-    return bp.bpe_token_counts(docs, tuple(merges)).select(
-        "doc_id", "n_tokens_bpe"
-    )
+    merges = _trained_merges(spark, sf_dir)
+    return bp.bpe_token_counts(docs, merges).select("doc_id", "n_tokens_bpe")
 
 
 def _trained_count_sql(rounds: int = _BPE_TRAIN_ROUNDS) -> str:
