@@ -181,6 +181,10 @@ def main() -> None:
         ("dedup_exact_substring", llm.dedup_exact_substring),
         ("dedup_substring_rewrite", llm.dedup_substring_rewrite),
         ("text_bpe_token_count", llm.text_bpe_token_count),
+        # 16 training rounds + tokenize-with-learned-table, end to end
+        # (the trained table is memoized, so the pair costs one train).
+        ("bpe_train_merges", llm.bpe_train_merges),
+        ("text_token_count_trained", llm.text_token_count_trained),
     ):
         spark.catalog.clearCache()
         t0 = time.time()
