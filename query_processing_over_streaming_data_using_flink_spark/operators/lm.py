@@ -1,0 +1,212 @@
+"""Statistical language-model operators for corpus quality filtering
+(driver mandate, LLM-data pipeline; no reference counterpart — the
+reference at `/root/reference/` has no text operators at all).
+
+Two classic curation components, both expressed as relational plans:
+
+* **Bigram-LM perplexity filter** (CCNet / RefinedWeb style): train an
+  add-one-smoothed bigram language model on a designated clean subset,
+  then score every document by its per-token cross-entropy under that
+  model. Documents whose perplexity is far above the clean subset's
+  are boilerplate/gibberish and get filtered. Training is two hash
+  aggregates (bigram counts, context counts); scoring is one
+  pair-keyed equi-join — nothing quadratic, nothing driver-side.
+
+* **Naive Bayes classifier** (fastText-style quality/domain classifier
+  role): multinomial NB trained on a labeled split (per-class term
+  counts + priors), applied with one term-keyed join and a per-doc
+  argmax. Training IS counting, so the "model fit" distributes as
+  ordinary aggregations and the learned model is itself a DataFrame.
+
+Determinism across engines (the repo-wide discipline): every log
+probability is a pure function of a small integer tuple (counts,
+vocabulary size), quantized to integer micro-nats with floor() BEFORE
+any aggregation — so all sums are associative 64-bit integer sums,
+immune to partition order, and bit-equal in DuckDB. The only float
+steps are final per-row presentation expressions (exp / divide /
+round) applied to already-aggregated integer pairs.
+
+Scale shape at 100 TB: the model tables are (vocab²)-bounded for the
+bigram LM and (classes × vocab) for NB — both shuffle on their natural
+keys and never touch raw text after tokenization; the corpus is
+scanned once for training and once for scoring. No collect, no
+per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from query_processing_over_streaming_data_using_flink_spark.operators import text as tx
+
+BOS = "<s>"  # sentence-start context for the first real token
+MICRO = 1_000_000  # micro-nat quantization of log probabilities
+
+
+def _lp_micro(num: Column, den: Column) -> Column:
+    """floor(ln(num/den) * 1e6) as a 64-bit integer — the one log
+    quantization every operator here shares. num/den are integer
+    columns, so equal count pairs give bit-equal results everywhere."""
+    return F.floor(F.log(num.cast("double") / den.cast("double")) * F.lit(MICRO)).cast(
+        "long"
+    )
+
+
+def doc_bigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Explode each document into its (prev, w) bigram stream with a
+    BOS context prepended — one map-side pass, no shuffle. A document
+    with n tokens yields exactly n scored positions."""
+    arr = F.concat(F.array(F.lit(BOS)), tx.tokens(F.col(text_col)))
+    pairs = F.expr(
+        "transform(sequence(1, size(arr) - 1), "
+        "i -> struct(arr[i - 1] AS prev, arr[i] AS w))"
+    )
+    return (
+        docs.withColumn("arr", arr)
+        .withColumn("pair", F.explode(pairs))
+        .select(*docs.columns, F.col("pair.prev").alias("prev"), F.col("pair.w").alias("w"))
+    )
+
+
+def bigram_lm_train(train_docs: DataFrame, text_col: str = "text"):
+    """Fit the add-one bigram LM: returns (bigram_counts, context_counts,
+    vocab) DataFrames — the model is data, mergeable and incrementally
+    maintainable (counts are signed-weight-friendly).
+
+    vocab is a 1-row frame (v = distinct predicted tokens in training)
+    meant to be broadcast into the scoring join."""
+    pairs = doc_bigrams(train_docs, text_col)
+    big = pairs.groupBy("prev", "w").agg(F.count("*").alias("c_pw"))
+    ctx = big.groupBy("prev").agg(F.sum("c_pw").alias("c_p"))
+    vocab = big.agg(F.countDistinct("w").alias("v"))
+    return big, ctx, vocab
+
+
+def perplexity(
+    docs: DataFrame,
+    big: DataFrame,
+    ctx: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document under the trained bigram LM.
+
+    Per position: lp = ln((c_pw + 1) / (c_p + v)) — add-one smoothing,
+    so unseen bigrams and unseen contexts are well-defined. Quantized
+    to integer micro-nats per POSITION, then integer-summed per doc;
+    ppl = exp(-mean nats) is computed once from the (sum, count) pair.
+
+    Plan: the corpus explodes to its bigram stream, equi-joins the
+    model on (prev, w) then (prev) — both shuffles are on the model's
+    natural keys; the 1-row vocab broadcasts. At web scale the model
+    tables are vocabulary-bounded while the corpus side streams
+    through, which is exactly how CCNet's KenLM scoring parallelizes."""
+    pairs = doc_bigrams(docs, text_col).select("doc_id", "prev", "w")
+    scored = (
+        pairs.join(big, ["prev", "w"], "left")
+        .join(ctx, ["prev"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "lp_micro",
+            _lp_micro(
+                F.coalesce(F.col("c_pw"), F.lit(0)) + F.lit(1),
+                F.coalesce(F.col("c_p"), F.lit(0)) + F.col("v"),
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_scored"),
+        F.sum("lp_micro").alias("lp_sum_micro"),
+    )
+    return per_doc.withColumn(
+        "ppl",
+        F.round(
+            F.exp(
+                -F.col("lp_sum_micro").cast("double")
+                / F.col("n_scored").cast("double")
+                / F.lit(float(MICRO))
+            ),
+            6,
+        ),
+    )
+
+
+def nb_train(train_docs: DataFrame, label_col: str, text_col: str = "text"):
+    """Fit a multinomial Naive Bayes model — three count tables:
+
+    * term_counts (label, term, c): per-class term frequencies
+    * class_totals (label, tot, n_docs): token + document totals
+    * stats: 1-row (n_train_docs, v = distinct training terms)
+
+    Training is two aggregations over the exploded token stream; the
+    model is (classes × vocab)-bounded, broadcastable for small label
+    sets and join-keyed on `term` otherwise."""
+    tok = train_docs.select(
+        F.col(label_col).alias("label"),
+        F.explode(tx.tokens(F.col(text_col))).alias("term"),
+    )
+    term_counts = tok.groupBy("label", "term").agg(F.count("*").alias("c"))
+    class_totals = term_counts.groupBy("label").agg(F.sum("c").alias("tot"))
+    doc_counts = train_docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("n_docs")
+    )
+    class_totals = class_totals.join(doc_counts, "label")
+    stats = term_counts.agg(
+        F.countDistinct("term").alias("v"),
+    ).crossJoin(train_docs.agg(F.count("*").alias("n_train")))
+    return term_counts, class_totals, stats
+
+
+def nb_classify(
+    docs: DataFrame,
+    term_counts: DataFrame,
+    class_totals: DataFrame,
+    stats: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply the NB model: argmax over classes of
+    ln prior + Σ_t tf(t) · ln((c(label,t) + 1) / (tot_label + v)).
+
+    Every log term is floor-quantized to micro-nats from its integer
+    inputs, the per-(doc, label) score is an integer sum (weighted by
+    integer tf), and the argmax breaks ties on label asc — fully
+    order-independent. Plan: doc term frequencies cross the small
+    class-totals frame (broadcast; |classes| rows), left-join the
+    term_counts model on (term, label), aggregate on (doc_id, label),
+    then one row_number window picks the winner."""
+    tf = docs.select(
+        "doc_id", F.explode(tx.tokens(F.col(text_col))).alias("term")
+    ).groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+    expanded = (
+        tf.crossJoin(F.broadcast(class_totals))
+        .join(term_counts, ["term", "label"], "left")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "lp_micro",
+            F.col("tf")
+            * _lp_micro(
+                F.coalesce(F.col("c"), F.lit(0)) + F.lit(1),
+                F.col("tot") + F.col("v"),
+            ),
+        )
+    )
+    per_class = expanded.groupBy("doc_id", "label").agg(
+        F.sum("lp_micro").alias("like_micro"),
+        F.first("n_docs").alias("n_docs"),
+        F.first("n_train").alias("n_train"),
+    )
+    scored = per_class.withColumn(
+        "score_micro", F.col("like_micro") + _lp_micro(F.col("n_docs"), F.col("n_train"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("label")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("label").alias("pred_label"), "score_micro")
+    )

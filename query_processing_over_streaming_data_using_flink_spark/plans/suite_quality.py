@@ -1,0 +1,288 @@
+"""Model-based corpus quality suite (round 8; driver mandate — no
+reference counterpart, `/root/reference/` has no text operators).
+
+Three curation components every production LLM-data pipeline runs,
+each registered with an exact DuckDB oracle that replays the full
+train → apply chain in SQL (the `bpe_train_merges` discipline):
+
+* `text_perplexity_filter` — CCNet-style bigram-LM perplexity gate:
+  the model trains on a designated clean subset (source = 'src0') and
+  every document is scored by cross-entropy under it.
+* `classify_naive_bayes_lang` — a distributed multinomial Naive Bayes
+  classifier (the fastText-classifier role): trained on the even
+  doc_ids, applied to the whole corpus, reported with accuracy-ready
+  columns.
+* `text_gopher_rules` — the Gopher/Falcon heuristic rule battery
+  (word count, mean word length, symbol ratio, alpha-word fraction,
+  stopword evidence) as one integer-only scan.
+
+Determinism: all log-probabilities are floor-quantized to integer
+micro-nats BEFORE aggregation (see `operators/lm.py`), so every sum is
+an associative integer sum and the oracle hash-match certifies the
+trained models themselves, not just plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from query_processing_over_streaming_data_using_flink_spark.operators import lm
+from query_processing_over_streaming_data_using_flink_spark.operators import text as tx
+from query_processing_over_streaming_data_using_flink_spark.registry import register
+from query_processing_over_streaming_data_using_flink_spark.sources.catalog import load_table
+
+_TOKENS = r"regexp_split_to_array(text, '\s+')"
+
+# --------------------------------------------------------------------------
+# Bigram-LM perplexity filter (CCNet-style)
+# --------------------------------------------------------------------------
+
+PPL_TRAIN_SOURCE = "src0"  # the designated "clean" training subset
+PPL_KEEP_MAX = 35.0  # keep threshold, chosen from the clean subset's range
+
+
+def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity gating: an add-one bigram LM trained on
+    the src0 subset scores every document; high-perplexity documents
+    (gibberish / far off the clean distribution) are dropped.
+
+    The oracle replays training AND scoring in SQL, so a hash match
+    certifies the learned count tables, the smoothing arithmetic, the
+    micro-nat quantization, and the gate itself end to end.
+
+    Scale: training = two vocabulary-bounded hash aggregates; scoring
+    = one (prev, w)-keyed equi-join against the model — the corpus
+    streams through, the model shuffles once. No text survives past
+    tokenization, no Python in the path."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") == PPL_TRAIN_SOURCE)
+    big, ctx, vocab = lm.bigram_lm_train(train)
+    scored = lm.perplexity(docs, big, ctx, vocab)
+    return scored.select(
+        "doc_id",
+        "n_scored",
+        F.col("lp_sum_micro").cast("long").alias("lp_sum_micro"),
+        "ppl",
+        (F.col("ppl") <= F.lit(PPL_KEEP_MAX)).alias("keep"),
+    )
+
+
+_PPL_SQL = f"""
+WITH tokd AS (
+  SELECT doc_id, source, list_prepend('{lm.BOS}', {_TOKENS}) AS arr
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, source, arr[i] AS prev, arr[i+1] AS w
+  FROM tokd, UNNEST(range(1, len(arr))) AS t(i)
+),
+train AS (SELECT prev, w FROM pairs WHERE source = '{PPL_TRAIN_SOURCE}'),
+big AS (SELECT prev, w, count(*) AS c_pw FROM train GROUP BY 1, 2),
+ctx AS (SELECT prev, sum(c_pw) AS c_p FROM big GROUP BY 1),
+voc AS (SELECT count(DISTINCT w) AS v FROM train),
+scored AS (
+  SELECT p.doc_id,
+         CAST(floor(ln((coalesce(b.c_pw, 0) + 1.0) / (coalesce(x.c_p, 0) + voc.v))
+                    * {lm.MICRO}) AS BIGINT) AS lp_micro
+  FROM pairs p
+  LEFT JOIN big b ON p.prev = b.prev AND p.w = b.w
+  LEFT JOIN ctx x ON p.prev = x.prev
+  CROSS JOIN voc
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_scored,
+         CAST(sum(lp_micro) AS BIGINT) AS lp_sum_micro
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, n_scored, lp_sum_micro,
+       round(exp(-lp_sum_micro / (n_scored * {lm.MICRO}.0)), 6) AS ppl,
+       round(exp(-lp_sum_micro / (n_scored * {lm.MICRO}.0)), 6) <= {PPL_KEEP_MAX} AS keep
+FROM per_doc
+"""
+
+register("text_perplexity_filter", text_perplexity_filter, _PPL_SQL)
+
+
+# --------------------------------------------------------------------------
+# Multinomial Naive Bayes language classifier (train + apply)
+# --------------------------------------------------------------------------
+
+
+def classify_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Naive Bayes, trained on the even doc_ids with the
+    observed `lang` as label, applied to EVERY document. Output keeps
+    the true label next to the prediction so the result doubles as an
+    accuracy report (`correct` column).
+
+    This is the fastText-style classifier slot in a curation pipeline
+    (quality / domain / toxicity routing): training is two token-level
+    hash aggregates, the learned model is a (classes × vocab)
+    DataFrame, and inference is one term-keyed join + per-doc argmax —
+    all linear in corpus tokens × |classes|."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    term_counts, class_totals, stats = lm.nb_train(train, label_col="lang")
+    pred = lm.nb_classify(docs, term_counts, class_totals, stats)
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "pred_label",
+            F.col("score_micro").cast("long").alias("score_micro"),
+            (F.col("lang") == F.col("pred_label")).alias("correct"),
+        )
+    )
+
+
+_NB_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_TOKENS}) AS term FROM documents
+),
+train_tok AS (SELECT lang AS label, term FROM tok WHERE doc_id % 2 = 0),
+tc AS (SELECT label, term, count(*) AS c FROM train_tok GROUP BY 1, 2),
+tot AS (SELECT label, CAST(sum(c) AS BIGINT) AS tot FROM tc GROUP BY 1),
+dc AS (
+  SELECT lang AS label, count(*) AS n_docs
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+),
+st AS (
+  SELECT (SELECT count(DISTINCT term) FROM train_tok) AS v,
+         (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS n_train
+),
+classes AS (SELECT tot.label, tot.tot, dc.n_docs FROM tot JOIN dc USING (label)),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+expanded AS (
+  SELECT tf.doc_id, cl.label, cl.n_docs,
+         tf.tf * CAST(floor(ln((coalesce(tc.c, 0) + 1.0) / (cl.tot + st.v))
+                            * {lm.MICRO}) AS BIGINT) AS lp
+  FROM tf
+  CROSS JOIN classes cl
+  LEFT JOIN tc ON tc.term = tf.term AND tc.label = cl.label
+  CROSS JOIN st
+),
+per_class AS (
+  SELECT doc_id, label, CAST(sum(lp) AS BIGINT) AS like_micro
+  FROM expanded GROUP BY doc_id, label
+),
+scored AS (
+  SELECT p.doc_id, p.label,
+         p.like_micro
+           + CAST(floor(ln(cl.n_docs * 1.0 / st.n_train) * {lm.MICRO}) AS BIGINT)
+           AS score_micro
+  FROM per_class p JOIN classes cl USING (label) CROSS JOIN st
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_micro DESC, label) AS rk
+  FROM scored
+)
+SELECT d.doc_id, d.lang, r.label AS pred_label, r.score_micro,
+       d.lang = r.label AS correct
+FROM ranked r JOIN documents d USING (doc_id)
+WHERE r.rk = 1
+"""
+
+register("classify_naive_bayes_lang", classify_naive_bayes_lang, _NB_SQL)
+
+
+# --------------------------------------------------------------------------
+# Gopher/Falcon heuristic quality rule battery
+# --------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL_X100 = 300  # mean word length in [3, 10] chars
+GOPHER_MAX_MWL_X100 = 1000
+GOPHER_STOPWORDS = tx.STOPWORDS["en"]
+
+
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality heuristics (Rae et al. 2021, table A1 —
+    public knowledge; simplified to the signals computable over this
+    corpus) as ONE integer-only projection: word count bounds, mean
+    word length bounds, symbol-to-word ratio, alpha-word fraction,
+    stopword evidence. All comparisons are cross-multiplied integer
+    inequalities — no float thresholds anywhere, so the rule verdicts
+    are trivially engine-portable.
+
+    Scale: embarrassingly parallel scan (no shuffle at all); at 100 TB
+    this runs at read bandwidth, which is why production pipelines run
+    the rule battery FIRST and the model-based filters after."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    n_words = F.size(toks)
+    chars_in_words = F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+    hash_count = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), r"#", "")
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    rules = {
+        "rule_word_count": (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS),
+        # mean word length in [3, 10]: 100*chars between 300*n and 1000*n
+        "rule_mean_word_len": (chars_in_words * 100 >= n_words * GOPHER_MIN_MWL_X100)
+        & (chars_in_words * 100 <= n_words * GOPHER_MAX_MWL_X100),
+        # symbol-to-word ratio (# marks) <= 0.1
+        "rule_symbol_ratio": hash_count * 10 <= n_words,
+        # >= 80% of words contain an alphabetic character
+        "rule_alpha_words": alpha_words * 5 >= n_words * 4,
+        # at least 2 distinct common-English stopwords present
+        "rule_stopwords": stop_hits >= 2,
+    }
+    out = docs.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        chars_in_words.alias("chars_in_words"),
+        alpha_words.alias("alpha_words"),
+        stop_hits.alias("stop_hits"),
+        *[c.alias(name) for name, c in rules.items()],
+    )
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+_GOPHER_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         {_TOKENS} AS toks,
+         len(regexp_replace(text, '\\s+', '', 'g')) AS chars_in_words,
+         len(text) - len(regexp_replace(text, '#', '', 'g')) AS hash_count
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, lang, chars_in_words, hash_count,
+         len(toks) AS n_words,
+         len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS alpha_words,
+         len(list_intersect(list_distinct(toks), [{_STOP_LIST}])) AS stop_hits
+  FROM base
+)
+SELECT doc_id, lang, n_words, chars_in_words, alpha_words, stop_hits,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}) AS rule_word_count,
+       (chars_in_words * 100 >= n_words * {GOPHER_MIN_MWL_X100}
+        AND chars_in_words * 100 <= n_words * {GOPHER_MAX_MWL_X100}) AS rule_mean_word_len,
+       (hash_count * 10 <= n_words) AS rule_symbol_ratio,
+       (alpha_words * 5 >= n_words * 4) AS rule_alpha_words,
+       (stop_hits >= 2) AS rule_stopwords,
+       ((n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+        AND (chars_in_words * 100 >= n_words * {GOPHER_MIN_MWL_X100}
+             AND chars_in_words * 100 <= n_words * {GOPHER_MAX_MWL_X100})
+        AND (hash_count * 10 <= n_words)
+        AND (alpha_words * 5 >= n_words * 4)
+        AND (stop_hits >= 2)) AS keep
+FROM feat
+"""
+
+register("text_gopher_rules", text_gopher_rules, _GOPHER_SQL)

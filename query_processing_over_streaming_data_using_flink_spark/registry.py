@@ -98,6 +98,13 @@ _PRIORITY_FIRST = [
     # first in line for r8, fully verified by the local dual-scale
     # sweep meanwhile).
     "text_token_count_trained",
+    # --- new in round 8 (never driver-checked): the r7 CORRECTNESS
+    # file never landed, so the whole r7 forced set still occupies the
+    # 50-slot prefix and new queries queue contiguously behind it (the
+    # rotation test's overflow rule: contiguous at 51+, never-checked).
+    "text_perplexity_filter",
+    "classify_naive_bayes_lang",
+    "text_gopher_rules",
 ]
 _PUSH_LAST = [
     # Driver-green in round 6 (the full r6 prefix came back 50/50):
@@ -247,6 +254,7 @@ def _load() -> None:
         suite_eventtime,
         suite_graph,
         suite_llm_data,
+        suite_quality,
         suite_relational,
         suite_sketch,
         suite_streaming,

@@ -1,0 +1,155 @@
+"""Planted-corpus tests for the model-based quality suite
+(`plans/suite_quality.py`, `operators/lm.py`): bigram-LM perplexity,
+Naive Bayes train+apply, and the Gopher rule battery. Each test builds
+a corpus where the right answer is known by construction."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from query_processing_over_streaming_data_using_flink_spark.operators import lm
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_bigram_lm_scores_in_distribution_text_lower(spark):
+    """A document made of training bigrams must score (far) lower
+    perplexity than one of never-seen tokens."""
+    train = _docs(
+        spark,
+        [(i, "the cat sat on the mat", "en") for i in range(5)],
+    )
+    score = _docs(
+        spark,
+        [
+            (100, "the cat sat on the mat", "en"),
+            (101, "zq xv qqj wzx vvk pqr", "en"),
+        ],
+    )
+    big, ctx, vocab = lm.bigram_lm_train(train)
+    out = {r["doc_id"]: r for r in lm.perplexity(score, big, ctx, vocab).collect()}
+    assert out[100]["ppl"] < out[101]["ppl"] / 2
+    # every position scored: 6 tokens -> 6 scored bigram positions
+    assert out[100]["n_scored"] == 6
+
+
+def test_bigram_lm_smoothing_handles_unseen_context(spark):
+    """Unseen context rows (c_p NULL after the left join) must produce
+    the uniform add-one probability ln(1/V), not NULL or -inf."""
+    train = _docs(spark, [(0, "a b", "en")])
+    score = _docs(spark, [(1, "zz yy", "en")])
+    big, ctx, vocab = lm.bigram_lm_train(train)
+    row = lm.perplexity(score, big, ctx, vocab).collect()[0]
+    v = vocab.collect()[0]["v"]  # distinct predicted tokens: {'a','b'} -> 2
+    assert v == 2
+    # position 1: seen context '<s>' (c_p=1), unseen bigram -> ln(1/(1+v));
+    # position 2: unseen context 'zz' (c_p=0) -> ln(1/(0+v)).
+    expect = math.floor(math.log(1.0 / (1 + v)) * lm.MICRO) + math.floor(
+        math.log(1.0 / v) * lm.MICRO
+    )
+    assert row["lp_sum_micro"] == expect
+    assert row["ppl"] is not None
+
+
+def test_naive_bayes_separates_disjoint_vocabularies(spark):
+    """Two classes with disjoint vocabularies classify perfectly, and
+    ties (a doc of only unseen words) break on label asc."""
+    train = _docs(
+        spark,
+        [(i, "alpha beta gamma", "en") for i in range(4)]
+        + [(10 + i, "uno dos tres", "es") for i in range(4)],
+    )
+    term_counts, class_totals, stats = lm.nb_train(train, label_col="lang")
+    probe = _docs(
+        spark,
+        [
+            (100, "alpha alpha beta", "?"),
+            (101, "dos tres tres", "?"),
+            (102, "zzz qqq", "?"),  # unseen everywhere -> tie -> 'en' (asc)
+        ],
+    )
+    pred = {
+        r["doc_id"]: r["pred_label"]
+        for r in lm.nb_classify(probe, term_counts, class_totals, stats).collect()
+    }
+    assert pred[100] == "en"
+    assert pred[101] == "es"
+    assert pred[102] == "en"
+
+
+def test_naive_bayes_prior_breaks_near_ties(spark):
+    """With identical likelihoods, the class prior (train doc counts)
+    decides: 3 'en' docs vs 1 'es' doc sharing one common word."""
+    train = _docs(
+        spark,
+        [(0, "shared", "en"), (1, "shared", "en"), (2, "shared", "en"),
+         (3, "shared", "es")],
+    )
+    term_counts, class_totals, stats = lm.nb_train(train, label_col="lang")
+    probe = _docs(spark, [(100, "shared", "?")])
+    row = lm.nb_classify(probe, term_counts, class_totals, stats).collect()[0]
+    assert row["pred_label"] == "en"
+
+
+def test_gopher_rules_flag_each_violation(spark):
+    """Each crafted document violates exactly one rule."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_quality import text_gopher_rules
+
+    good = "the cat and dog runs over a bridge with some very fine style"
+    rows = [
+        (0, good, "en", "s", len(good)),
+        (1, "the cat and", "en", "s", 11),  # too few words
+        (2, good + " " + "x" * 400, "en", "s", 0),  # mean word len > 10
+        (3, good + " # #", "en", "s", 0),  # symbol ratio > 0.1
+        # 5 alpha words of 16 (31% < 80%), mean word length exactly 3
+        (4, "the off and toe you 111 222 333 444 555 666 777 888 999 000 123",
+         "en", "s", 0),
+        (5, "cat dog bridge runs style fine very with some over", "en", "s", 0),  # <2 stopwords
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["doc_id"]: r for r in text_gopher_rules(spark, d).collect()}
+
+    assert out[0]["keep"]
+    assert not out[1]["rule_word_count"] and not out[1]["keep"]
+    assert not out[2]["rule_mean_word_len"] and not out[2]["keep"]
+    assert not out[3]["rule_symbol_ratio"] and not out[3]["keep"]
+    assert not out[4]["rule_alpha_words"] and not out[4]["keep"]
+    assert not out[5]["rule_stopwords"] and not out[5]["keep"]
+    # the clean doc passes every individual rule
+    assert all(out[0][r] for r in (
+        "rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
+        "rule_alpha_words", "rule_stopwords",
+    ))
+
+
+def test_perplexity_lp_is_integer_sum_of_position_quanta(spark):
+    """The per-doc score is exactly the integer sum of per-position
+    floor-quantized log probs — recomputed here in pure Python from
+    the trained counts (associativity / partition-order proof)."""
+    train = _docs(spark, [(0, "a b a b a c", "en")])
+    score = _docs(spark, [(1, "a b c", "en")])
+    big, ctx, vocab = lm.bigram_lm_train(train)
+    bigs = {(r["prev"], r["w"]): r["c_pw"] for r in big.collect()}
+    ctxs = {r["prev"]: r["c_p"] for r in ctx.collect()}
+    v = vocab.collect()[0]["v"]
+
+    toks = ["<s>", "a", "b", "c"]
+    expect = 0
+    for prev, w in zip(toks, toks[1:]):
+        c_pw = bigs.get((prev, w), 0)
+        c_p = ctxs.get(prev, 0)
+        expect += math.floor(math.log((c_pw + 1.0) / (c_p + v)) * lm.MICRO)
+    row = lm.perplexity(score, big, ctx, vocab).collect()[0]
+    assert row["lp_sum_micro"] == expect
