@@ -192,3 +192,129 @@ def latest_per_key(
     sinks): one shuffle on the key, per-partition window scan, no
     driver involvement."""
     return top_k_per_group(df, keys, order, k=1)
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE INTO semantics as one relational pass (Delta/Iceberg
+    MERGE, SQL:2003 MERGE): rows of `source` update matching `target`
+    rows, insert when unmatched, and delete when `delete_col` is true.
+    Both inputs must share the schema (plus the optional delete flag on
+    the source side).
+
+    Rendering: a full outer join on the merge keys, then one projection
+    per column preferring the source side — a single key shuffle, no
+    driver involvement, exactly how Delta's join-based MERGE plans at
+    scale. The source must be key-unique (standard MERGE precondition:
+    multiple source matches per target row are ambiguous — compact with
+    `latest_per_key` first)."""
+    data_cols = [c for c in target.columns if c not in keys]
+    src = source
+    if delete_col is None:
+        src = src.withColumn("__del", F.lit(False))
+    else:
+        src = src.withColumnRenamed(delete_col, "__del")
+    t = target.select(
+        *[F.col(k).alias(f"__tk_{k}") for k in keys],
+        *[F.col(c).alias(f"__t_{c}") for c in data_cols],
+    )
+    s = src.select(
+        *[F.col(k).alias(f"__sk_{k}") for k in keys],
+        *[F.col(c).alias(f"__s_{c}") for c in data_cols],
+        "__del",
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"__tk_{k}") == F.col(f"__sk_{k}")
+        cond = eq if cond is None else cond & eq
+    joined = t.join(s, cond, "full_outer")
+    matched = F.col("__del").isNotNull()  # source row present
+    kept = joined.filter(~matched | ~F.col("__del"))
+    out_cols = [
+        F.coalesce(F.col(f"__sk_{k}"), F.col(f"__tk_{k}")).alias(k) for k in keys
+    ] + [
+        F.when(matched, F.col(f"__s_{c}")).otherwise(F.col(f"__t_{c}")).alias(c)
+        for c in data_cols
+    ]
+    return kept.select(*out_cols)
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Diff two snapshots of the same table into a change feed:
+    (keys..., change ∈ {insert, delete, update}) — the inverse of
+    `merge_upsert`, and the audit primitive for table-format time
+    travel (Delta CDF / Iceberg changelog scans). One full outer join
+    on the key; `update` compares every non-key column null-safely
+    inside codegen."""
+    data_cols = [c for c in old.columns if c not in keys]
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in data_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in data_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        cond = eq if cond is None else cond & eq
+    j = o.join(n, cond, "full_outer")
+    same = None
+    for c in data_cols:
+        eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        same = eq if same is None else same & eq
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(same, F.lit(None).cast("string"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"__nk_{k}"), F.col(f"__ok_{k}")).alias(k)
+                for k in keys
+            ],
+            "change",
+        )
+    )
+
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    name_col: str,
+    block_col,
+    max_distance: int,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: distinct names equi-joined on
+    a blocking key, kept when Levenshtein(name_a, name_b) <= threshold.
+    The blocking key bounds the candidate set (the record-linkage
+    'blocking' step) — the quadratic comparison only ever runs inside a
+    block, never across the corpus, which is what keeps fuzzy matching
+    alive at 10^9 rows; the distance is computed JVM-side.
+
+    Returns (name_a, name_b, block, distance) with name_a < name_b."""
+    names = (
+        df.select(F.col(name_col).alias("name"), block_col.alias("block"))
+        .distinct()
+    )
+    a = names.select(F.col("name").alias("name_a"), "block")
+    b = names.select(F.col("name").alias("name_b"), "block")
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= max_distance)
+        .select("name_a", "name_b", "block", "distance")
+    )

@@ -32,8 +32,11 @@ from query_processing_over_streaming_data_using_flink_spark.functions.scalar imp
 )
 from query_processing_over_streaming_data_using_flink_spark.operators.relational import (
     asof_join,
+    blocked_fuzzy_pairs,
     equi_join,
     latest_per_key,
+    merge_upsert,
+    snapshot_diff,
     top_k,
     top_k_per_group,
 )
@@ -1380,3 +1383,152 @@ FROM m
 """
 
 register("agg_corr_regression", agg_corr_regression, _CORR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Round 8: table-maintenance operators — MERGE upsert, snapshot diff,
+# blocked fuzzy entity resolution.
+# ---------------------------------------------------------------------------
+
+
+def _customer_cdc_source(cust: DataFrame) -> DataFrame:
+    """Deterministic CDC batch over the customer snapshot: updates for
+    custkey ≡ 0 (mod 10), deletes for ≡ 3 (mod 10), and brand-new rows
+    (custkey + 10M) for ≡ 7 (mod 100) — the three MERGE arms."""
+    upd = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(100.5))
+        .withColumn("c_mktsegment", F.lit("UPDATED"))
+        .withColumn("is_delete", F.lit(False))
+    )
+    dele = cust.filter(F.col("c_custkey") % 10 == 3).withColumn(
+        "is_delete", F.lit(True)
+    )
+    ins = cust.filter(F.col("c_custkey") % 100 == 7).select(
+        (F.col("c_custkey") + F.lit(10_000_000)).alias("c_custkey"),
+        F.concat(F.lit("Customer#NEW"), F.col("c_custkey").cast("string")).alias(
+            "c_name"
+        ),
+        F.col("c_nationkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+        F.lit(False).alias("is_delete"),
+    )
+    return upd.unionByName(dele).unionByName(ins)
+
+
+def merge_upsert_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO over the customer snapshot: one deterministic CDC
+    batch carrying updates, deletes, and inserts is applied with
+    `operators.relational.merge_upsert` (full-outer join on the key +
+    per-column source-preference projection — the Delta/Iceberg MERGE
+    plan shape: one key shuffle, linear in |target| + |source|).
+    Returns the complete post-merge snapshot."""
+    cust = load_table(spark, sf_dir, "customer")
+    merged = merge_upsert(
+        cust, _customer_cdc_source(cust), keys=["c_custkey"], delete_col="is_delete"
+    )
+    return merged.select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+
+
+_MERGE_SRC_SQL = """
+src AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.5 AS c_acctbal,
+         'UPDATED' AS c_mktsegment, false AS is_delete
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, true
+  FROM customer WHERE c_custkey % 10 = 3
+  UNION ALL
+  SELECT c_custkey + 10000000, 'Customer#NEW' || CAST(c_custkey AS VARCHAR),
+         c_nationkey, 0.0, 'NEWSEG', false
+  FROM customer WHERE c_custkey % 100 = 7
+)
+"""
+
+# The merge oracle: full outer join on the key, source side wins.
+_MERGE_SQL = f"""
+WITH {_MERGE_SRC_SQL.strip()}
+SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+       CASE WHEN s.is_delete IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+       CASE WHEN s.is_delete IS NOT NULL THEN s.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+       CASE WHEN s.is_delete IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+       CASE WHEN s.is_delete IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+WHERE s.is_delete IS NULL OR NOT s.is_delete
+"""
+
+register("merge_upsert_customer", merge_upsert_customer, _MERGE_SQL)
+
+
+def snapshot_diff_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed between the pre- and post-merge customer snapshots
+    (`operators.relational.snapshot_diff`) — the audit face of MERGE:
+    applying the diff to the old snapshot reproduces the new one.
+    Every CDC arm must surface: updates, deletes, inserts; unchanged
+    rows must NOT appear."""
+    cust = load_table(spark, sf_dir, "customer")
+    merged = merge_upsert(
+        cust, _customer_cdc_source(cust), keys=["c_custkey"], delete_col="is_delete"
+    )
+    return snapshot_diff(cust, merged, keys=["c_custkey"])
+
+
+_DIFF_SQL = f"""
+WITH {_MERGE_SRC_SQL.strip()},
+new_snap AS (
+  SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+         CASE WHEN s.is_delete IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+         CASE WHEN s.is_delete IS NOT NULL THEN s.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+         CASE WHEN s.is_delete IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+         CASE WHEN s.is_delete IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+  FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+  WHERE s.is_delete IS NULL OR NOT s.is_delete
+)
+SELECT coalesce(n.c_custkey, o.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'insert'
+            WHEN n.c_custkey IS NULL THEN 'delete'
+            ELSE 'update' END AS change
+FROM customer o FULL OUTER JOIN new_snap n ON o.c_custkey = n.c_custkey
+WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+   OR NOT (o.c_name IS NOT DISTINCT FROM n.c_name
+           AND o.c_nationkey IS NOT DISTINCT FROM n.c_nationkey
+           AND o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+           AND o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment)
+"""
+
+register("snapshot_diff_customer", snapshot_diff_customer, _DIFF_SQL)
+
+
+ER_MAX_DISTANCE = 3
+
+
+def er_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs over part names: distinct
+    names blocked on their noun (second token), paired when the
+    Levenshtein distance ≤ 3 — the record-linkage blocking pattern
+    ('red gear' ~ 'tan gear', but never compared against 'ring' rows).
+    The quadratic comparison runs only inside a block; the name table
+    is vocabulary-bounded regardless of corpus row count."""
+    part = load_table(spark, sf_dir, "part")
+    return blocked_fuzzy_pairs(
+        part,
+        "p_name",
+        F.split(F.col("p_name"), " ").getItem(1),
+        max_distance=ER_MAX_DISTANCE,
+    )
+
+
+_ER_SQL = f"""
+WITH names AS (
+  SELECT DISTINCT p_name AS name, split_part(p_name, ' ', 2) AS block FROM part
+)
+SELECT a.name AS name_a, b.name AS name_b, a.block AS block,
+       levenshtein(a.name, b.name) AS distance
+FROM names a JOIN names b USING (block)
+WHERE a.name < b.name AND levenshtein(a.name, b.name) <= {ER_MAX_DISTANCE}
+"""
+
+register("er_fuzzy_part_names", er_fuzzy_part_names, _ER_SQL)

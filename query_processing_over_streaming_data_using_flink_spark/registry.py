@@ -105,6 +105,9 @@ _PRIORITY_FIRST = [
     "text_perplexity_filter",
     "classify_naive_bayes_lang",
     "text_gopher_rules",
+    "merge_upsert_customer",
+    "snapshot_diff_customer",
+    "er_fuzzy_part_names",
 ]
 _PUSH_LAST = [
     # Driver-green in round 6 (the full r6 prefix came back 50/50):

@@ -1,0 +1,81 @@
+"""Semantics tests for the table-maintenance operators: MERGE upsert,
+snapshot diff (round-trip law: old + diff == new), and blocked fuzzy
+entity-resolution pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from query_processing_over_streaming_data_using_flink_spark.operators.relational import (
+    blocked_fuzzy_pairs,
+    merge_upsert,
+    snapshot_diff,
+)
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, n long")
+
+
+def test_merge_upsert_three_arms(spark):
+    target = _snap(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)])
+    source = spark.createDataFrame(
+        [
+            (2, "B", 200, False),  # update
+            (3, "c", 30, True),  # delete
+            (9, "z", 90, False),  # insert
+        ],
+        "k long, v string, n long, del boolean",
+    )
+    out = {
+        r["k"]: (r["v"], r["n"])
+        for r in merge_upsert(target, source, ["k"], delete_col="del").collect()
+    }
+    assert out == {1: ("a", 10), 2: ("B", 200), 9: ("z", 90)}
+
+
+def test_merge_upsert_without_delete_col_upserts_only(spark):
+    target = _snap(spark, [(1, "a", 10)])
+    source = _snap(spark, [(1, "A", 11), (2, "b", 20)])
+    out = {
+        r["k"]: (r["v"], r["n"]) for r in merge_upsert(target, source, ["k"]).collect()
+    }
+    assert out == {1: ("A", 11), 2: ("b", 20)}
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    old = _snap(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)])
+    new = _snap(spark, [(2, "B", 20), (3, "c", 30), (4, None, 40), (5, "e", 50)])
+    out = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    # unchanged rows (3, and 4 with a NULL compared null-safely) absent
+    assert out == {1: "delete", 2: "update", 5: "insert"}
+
+
+def test_merge_then_diff_round_trip(spark):
+    """snapshot_diff(old, merge(old, src)) reports exactly the CDC arms
+    that changed something."""
+    target = _snap(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)])
+    source = spark.createDataFrame(
+        [(2, "B", 200, False), (3, "c", 30, True), (9, "z", 90, False),
+         (1, "a", 10, False)],  # no-op update: same values
+        "k long, v string, n long, del boolean",
+    )
+    merged = merge_upsert(target, source, ["k"], delete_col="del")
+    out = {r["k"]: r["change"] for r in snapshot_diff(target, merged, ["k"]).collect()}
+    assert out == {2: "update", 3: "delete", 9: "insert"}
+
+
+def test_blocked_fuzzy_pairs_respects_block_and_threshold(spark):
+    df = spark.createDataFrame(
+        [("red gear",), ("tan gear",), ("red ring",), ("golden gear",)],
+        "name string",
+    )
+    pairs = blocked_fuzzy_pairs(
+        df, "name", F.split(F.col("name"), " ").getItem(1), max_distance=3
+    ).collect()
+    got = {(r["name_a"], r["name_b"]) for r in pairs}
+    # 'red gear' ~ 'tan gear' (distance 3); 'golden gear' too far from
+    # both (6/5); 'red ring' in another block despite distance 3.
+    assert got == {("red gear", "tan gear")}
+    (row,) = pairs
+    assert row["distance"] == 3 and row["block"] == "gear"
