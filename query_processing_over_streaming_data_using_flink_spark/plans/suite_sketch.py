@@ -235,3 +235,149 @@ FROM est ORDER BY n_est DESC, user_id LIMIT 20
 
 
 register("cm_sketch_heavy_hitters", cm_sketch_heavy_hitters, _cm_sql())
+
+
+# ---------------------------------------------------------------------------
+# Round 8: Bloom-filter membership sketch
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 65_536  # m: sized for ~10k members at ~1% fp (m ≈ 10·n)
+BLOOM_WORD = 32  # 32-bit words — DuckDB raises on BIGINT << 63, so
+#                  the mask 1 << (pos % 32) stays far from the sign bit
+BLOOM_K = 3  # hash functions
+
+
+def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership with an exact audit — the runtime-filter
+    / semi-join-reduction primitive: the set of custkeys holding an
+    URGENT order is compressed to a fixed m-bit sketch (k salted md5
+    positions, bit_or into 32-bit words), then EVERY customer is probed
+    against it and compared to the exact semi-join answer.
+
+    Output per market segment: probes, exact members, sketch 'maybe'
+    count, false positives (the sketch's documented slack), and false
+    negatives — which a correct Bloom filter can NEVER produce, so that
+    column doubles as a self-check the oracle hash pins at 0.
+
+    Scale shape: the sketch is ~2k words regardless of member count —
+    the build is a map-side bit_or partial aggregate (the shuffle
+    carries words, not keys) and the probe side broadcasts the sketch.
+    This is exactly how engines push build-side Bloom filters into
+    scan-side runtime filters to prune a big probe table before the
+    real join."""
+    from query_processing_over_streaming_data_using_flink_spark.functions.scalar import md5_hash64
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    salts = spark.range(BLOOM_K).select(F.col("id").alias("i"))
+
+    def pos(key_col) -> F.Column:
+        return F.pmod(
+            md5_hash64(
+                F.concat(
+                    F.lit("bf"),
+                    F.col("i").cast("string"),
+                    F.lit(":"),
+                    key_col.cast("string"),
+                )
+            ),
+            F.lit(BLOOM_BITS),
+        )
+
+    members = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    mask = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD} AS INT))"
+    )
+    bits = members.crossJoin(F.broadcast(salts)).select(pos(F.col("k")).alias("pos"))
+    bloom = bits.groupBy((F.col("pos") / BLOOM_WORD).cast("long").alias("word")).agg(
+        F.bit_or(mask).alias("bm")
+    )
+
+    probes = cust.crossJoin(F.broadcast(salts)).select(
+        "c_custkey", "c_mktsegment", pos(F.col("c_custkey")).alias("pos")
+    )
+    hit = (
+        probes.join(
+            F.broadcast(bloom),
+            (F.col("pos") / BLOOM_WORD).cast("long") == F.col("word"),
+            "left",
+        )
+        .withColumn(
+            "bit_set",
+            F.when(
+                F.col("bm").isNotNull() & (F.col("bm").bitwiseAND(mask) != 0),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.min("bit_set").alias("all_set"))
+    )
+    audited = hit.join(
+        members.withColumnRenamed("k", "c_custkey").withColumn("is_member", F.lit(1)),
+        "c_custkey",
+        "left",
+    )
+    return (
+        audited.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_probes"),
+            F.sum(F.coalesce(F.col("is_member"), F.lit(0))).alias("n_members"),
+            F.sum("all_set").alias("n_maybe"),
+            F.sum(
+                F.when((F.col("all_set") == 1) & F.col("is_member").isNull(), 1).otherwise(0)
+            ).alias("false_positives"),
+            F.sum(
+                F.when((F.col("all_set") == 0) & F.col("is_member").isNotNull(), 1).otherwise(0)
+            ).alias("false_negatives"),
+        )
+    )
+
+
+def _bloom_sql() -> str:
+    from query_processing_over_streaming_data_using_flink_spark.functions.scalar import md5_hash64_sql
+
+    def pos(key: str) -> str:
+        h = md5_hash64_sql(f"'bf' || CAST(s.i AS VARCHAR) || ':' || CAST({key} AS VARCHAR)")
+        return f"({h}) % {BLOOM_BITS}"
+
+    return f"""
+WITH members AS (
+  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+bits AS (
+  SELECT {pos("k")} AS pos
+  FROM members, (SELECT unnest(range(0, {BLOOM_K})) AS i) s
+),
+bloom AS (
+  SELECT CAST(pos // {BLOOM_WORD} AS BIGINT) AS word,
+         bit_or(1::BIGINT << CAST(pos % {BLOOM_WORD} AS INTEGER)) AS bm
+  FROM bits GROUP BY 1
+),
+probes AS (
+  SELECT c_custkey, c_mktsegment, {pos("c_custkey")} AS pos
+  FROM customer, (SELECT unnest(range(0, {BLOOM_K})) AS i) s
+),
+hit AS (
+  SELECT p.c_custkey, p.c_mktsegment,
+         min(CASE WHEN b.bm IS NOT NULL
+                   AND (b.bm & (1::BIGINT << CAST(p.pos % {BLOOM_WORD} AS INTEGER))) != 0
+              THEN 1 ELSE 0 END) AS all_set
+  FROM probes p LEFT JOIN bloom b ON b.word = p.pos // {BLOOM_WORD}
+  GROUP BY 1, 2
+)
+SELECT h.c_mktsegment,
+       count(*) AS n_probes,
+       CAST(sum(CASE WHEN m.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       CAST(sum(h.all_set) AS BIGINT) AS n_maybe,
+       CAST(sum(CASE WHEN h.all_set = 1 AND m.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
+       CAST(sum(CASE WHEN h.all_set = 0 AND m.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS false_negatives
+FROM hit h LEFT JOIN members m ON h.c_custkey = m.k
+GROUP BY 1
+"""
+
+
+register("bloom_membership_audit", bloom_membership_audit, _bloom_sql())

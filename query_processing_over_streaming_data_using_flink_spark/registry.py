@@ -108,6 +108,7 @@ _PRIORITY_FIRST = [
     "merge_upsert_customer",
     "snapshot_diff_customer",
     "er_fuzzy_part_names",
+    "bloom_membership_audit",
 ]
 _PUSH_LAST = [
     # Driver-green in round 6 (the full r6 prefix came back 50/50):
