@@ -663,3 +663,124 @@ def training_sample(
     return embeddings.filter(
         sample_hash(F.col("vec_id"), salt, modulus=1_000_000) < rate_ppm
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the third quantizer next to IVF and PQ
+# ---------------------------------------------------------------------------
+
+SQ_LEVELS = 255  # byte codes 0..255
+
+
+def sq8_bounds(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension (lo, hi) training statistics — the whole SQ8
+    'model' is 2 doubles per dimension, one tiny aggregate over the
+    corpus (map-side min/max partials; the shuffle carries d rows)."""
+    comp = embeddings.select(
+        F.posexplode(_as_double(F.col("embedding"))).alias("dim", "x")
+    )
+    return comp.groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+
+
+def sq8_encode(embeddings: DataFrame, bounds: DataFrame) -> DataFrame:
+    """(vec_id, codes): each coordinate affinely mapped to a byte —
+    4× compression at float32 ingest (8× at float64), and the scan
+    side of the search never touches raw vectors again. Codes are
+    reassembled in dimension order via an array_sort on (dim, code)
+    structs, so the array layout is deterministic."""
+    comp = embeddings.select(
+        "vec_id", F.posexplode(_as_double(F.col("embedding"))).alias("dim", "x")
+    )
+    code = (
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("x") - F.col("lo"))
+                    * F.lit(float(SQ_LEVELS))
+                    / (F.col("hi") - F.col("lo"))
+                ),
+                F.lit(float(SQ_LEVELS)),
+            )
+        )
+        .cast("int")
+    )
+    return (
+        comp.join(F.broadcast(bounds), "dim")
+        .select("vec_id", "dim", code.alias("code"))
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "code"))),
+                lambda t: t["code"],
+            ).alias("codes")
+        )
+    )
+
+
+def knn_sq8(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Approximate top-k inner product over SQ8 codes. The dot against
+    a reconstructed vector is affine in the codes:
+
+        dot(q, x̂) = Σ_d q_d·lo_d  +  Σ_d [q_d·(hi_d-lo_d)/255]·code_d
+
+    so each query precomputes a per-dim weight array w and a scalar
+    bias (both tiny, broadcast), and the scan folds integer codes
+    against w in fixed index order — the SQ analogue of PQ's ADC LUT.
+    Raw vectors are touched only at train/encode time; the searched
+    relation is (id, 64 bytes). Returns (q_id, n_id, rank, score)."""
+    bounds = sq8_bounds(embeddings)
+    codes = sq8_encode(embeddings, bounds)
+    qcomp = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.posexplode(_as_double(F.col("embedding"))).alias("dim", "x"),
+    ).join(F.broadcast(bounds), "dim")
+    qside = qcomp.groupBy("q_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "dim",
+                        (
+                            F.col("x")
+                            * (F.col("hi") - F.col("lo"))
+                            / F.lit(float(SQ_LEVELS))
+                        ).alias("w"),
+                    )
+                )
+            ),
+            lambda t: t["w"],
+        ).alias("w"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", (F.col("x") * F.col("lo")).alias("b")))
+                ),
+                lambda t: t["b"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("bias"),
+    )
+    scored = codes.join(
+        F.broadcast(qside), F.col("q_id") != F.col("vec_id")
+    ).withColumn(
+        "score",
+        F.col("bias")
+        + F.aggregate(
+            F.zip_with(F.col("codes"), F.col("w"), lambda c, w: c * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            "rank",
+            F.round("score", 6).alias("score"),
+        )
+    )

@@ -3366,3 +3366,131 @@ def _trained_count_sql(rounds: int = _BPE_TRAIN_ROUNDS) -> str:
 
 
 register("text_token_count_trained", text_token_count_trained, _trained_count_sql())
+
+
+# ---------------------------------------------------------------------------
+# Round 8: SQ8 scalar-quantized ANN — the third quantizer family
+# ---------------------------------------------------------------------------
+
+
+def ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN (`operators/similarity.py:knn_sq8`):
+    per-dimension affine byte codes (FAISS SQ8). The approximate dot
+    product is affine in the codes, so each query broadcasts a per-dim
+    weight array + scalar bias and the scan reads only the byte-code
+    table — the simplest of the three quantizer families (SQ / PQ /
+    IVF-PQ), with much higher fidelity than PQ at 4× (vs 32×)
+    compression. Training (per-dim min/max), encoding, and search are
+    all deterministic, so the oracle replays the full chain."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.knn_sq8(e, _queries_df(spark, sf_dir), k=5)
+
+
+def _sq8_sql() -> str:
+    lv = sim.SQ_LEVELS
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+comp AS (
+  SELECT vec_id, t.i - 1 AS dim, vec[t.i] AS x
+  FROM e, unnest(range(1, len(vec) + 1)) AS t(i)
+),
+bounds AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM comp GROUP BY 1),
+codes AS (
+  SELECT vec_id, list(code ORDER BY dim) AS codes FROM (
+    SELECT c.vec_id, c.dim,
+           CASE WHEN b.hi = b.lo THEN 0
+                ELSE CAST(least(floor((c.x - b.lo) * {lv}.0 / (b.hi - b.lo)), {lv}.0) AS INTEGER)
+           END AS code
+    FROM comp c JOIN bounds b USING (dim))
+  GROUP BY vec_id
+),
+qside AS (
+  SELECT vec_id AS q_id,
+         list(w ORDER BY dim) AS w,
+         list_reduce(list(bias_part ORDER BY dim), (p, q) -> p + q) AS bias
+  FROM (
+    SELECT c.vec_id, c.dim,
+           c.x * (b.hi - b.lo) / {lv}.0 AS w,
+           c.x * b.lo AS bias_part
+    FROM comp c JOIN bounds b USING (dim)
+    WHERE c.vec_id < {_N_QUERIES})
+  GROUP BY vec_id
+),
+scored AS (
+  SELECT q.q_id, c.vec_id AS n_id,
+         q.bias + list_reduce([c.codes[i] * q.w[i] for i in range(1, len(q.w) + 1)],
+                              (p, q) -> p + q) AS score
+  FROM codes c JOIN qside q ON q.q_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, rank, round(score, 6) AS score FROM ranked WHERE rank <= 5
+"""
+
+
+register("ann_sq8", ann_sq8, _sq8_sql())
+
+
+def ann_recall_sq8_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 quality as an oracle-checked number: per-query recall@5 vs
+    exact inner-product brute force, plus the mean — the same
+    certification shape as the PQ/IVF/LSH ones. Expectation pinned by
+    tests: SQ8's 4× compression must land far above PQ's 32× recall
+    floor (≈1.0 on these fixtures)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qdf = _queries_df(spark, sf_dir)
+    exact = sim.knn_bruteforce_dot(e, qdf, k=5).select("q_id", "n_id")
+    approx = sim.knn_sq8(e, qdf, k=5).select("q_id", "n_id")
+    per_q = (
+        exact.join(approx, ["q_id", "n_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    per_query = (
+        exact.select("q_id").distinct()
+        .join(per_q, "q_id", "left")
+        .select(
+            "q_id",
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / 5.0, 6).alias("recall_at_5"),
+        )
+    )
+    summary = per_query.agg(
+        F.lit(-1).cast("long").alias("q_id"),
+        F.round(F.avg("recall_at_5"), 6).alias("recall_at_5"),
+    )
+    return per_query.unionByName(summary)
+
+
+def _sq8_recall_sql() -> str:
+    exact_dot = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id, {_dot_sql('q.vec', 'c.vec')} AS score
+  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+  FROM pairs
+)
+SELECT q_id, n_id FROM ranked WHERE rank <= 5
+"""
+    return f"""
+WITH exact AS ({exact_dot}),
+approx AS ({_sq8_sql()}),
+per_q AS (
+  SELECT e.q_id,
+         round(count(a.n_id) / 5.0, 6) AS recall_at_5
+  FROM exact e
+  LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+  GROUP BY e.q_id
+)
+SELECT q_id, recall_at_5 FROM per_q
+UNION ALL
+SELECT CAST(-1 AS BIGINT), round(avg(recall_at_5), 6) FROM per_q
+"""
+
+
+register("ann_recall_sq8_vs_exact", ann_recall_sq8_vs_exact, _sq8_recall_sql())

@@ -109,6 +109,8 @@ _PRIORITY_FIRST = [
     "snapshot_diff_customer",
     "er_fuzzy_part_names",
     "bloom_membership_audit",
+    "ann_sq8",
+    "ann_recall_sq8_vs_exact",
 ]
 _PUSH_LAST = [
     # Driver-green in round 6 (the full r6 prefix came back 50/50):

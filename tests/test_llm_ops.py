@@ -1225,3 +1225,49 @@ def test_bpe_train_planted(spark):
         for r in bp.bpe_token_counts(docs, ()).collect()
     }
     assert all(counts[d] < baseline[d] for d in counts)
+
+
+def test_sq8_recall_beats_pq_floor(spark):
+    """SQ8 at 4× compression must hold mean recall@5 ≥ 0.85 vs exact
+    inner product on the random smoke embeddings — far above PQ's 32×
+    floor (the registered certification records 0.97 at sf0.01)."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        ann_recall_sq8_vs_exact,
+    )
+
+    rows = ann_recall_sq8_vs_exact(spark, SF_SMOKE).collect()
+    mean = [r["recall_at_5"] for r in rows if r["q_id"] == -1][0]
+    assert mean >= 0.85, mean
+
+
+def test_sq8_encode_reconstruction_error_bounded(spark):
+    """Every reconstructed coordinate lo + code·(hi-lo)/255 must sit
+    within one quantization step of the original (the SQ8 error
+    envelope), and codes must stay in [0, 255]."""
+    from pyspark.sql import functions as F
+
+    from query_processing_over_streaming_data_using_flink_spark.operators import similarity as sim
+    from query_processing_over_streaming_data_using_flink_spark.sources.catalog import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    bounds = sim.sq8_bounds(e)
+    codes = sim.sq8_encode(e, bounds)
+    comp = e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    recon = (
+        codes.select("vec_id", F.posexplode("codes").alias("dim", "code"))
+        .join(bounds, "dim")
+        .join(comp, ["vec_id", "dim"])
+        .withColumn(
+            "xhat",
+            F.col("lo") + F.col("code") * (F.col("hi") - F.col("lo")) / 255.0,
+        )
+        .withColumn("step", (F.col("hi") - F.col("lo")) / 255.0)
+    )
+    bad = recon.filter(
+        (F.col("code") < 0)
+        | (F.col("code") > 255)
+        | (F.abs(F.col("x") - F.col("xhat")) > F.col("step") * 1.0000001)
+    )
+    assert bad.count() == 0
