@@ -1,0 +1,139 @@
+"""Streaming faces of the statistical-LM quality components
+(`operators/lm.py`) — the train-online / apply-online shapes a live
+curation pipeline runs:
+
+* `IncrementalBigramLM` — the bigram-LM count tables maintained
+  continuously over a documents stream on the shared crash-atomic
+  versioned state store (`IncrementalGroupedAgg`): Δcounts(corpus) =
+  counts(Δcorpus), so model training IS an incrementally-maintainable
+  aggregate. Supports signed weights (an `op` column) so document
+  deletions retract their n-grams — the model forgets removed data,
+  which is exactly what a right-to-be-forgotten pipeline needs.
+* `run_streaming_ppl_gate` — the apply-online face: each arriving
+  micro-batch is scored against a FROZEN trained model (stream-static
+  broadcast joins, zero streaming state) and gated on the perplexity
+  threshold; outputs are written per-epoch (overwrite) so redelivery
+  is idempotent.
+
+The streamed model is bit-equal to batch training (integer counts,
+associative folds), pinned by stream==batch tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from query_processing_over_streaming_data_using_flink_spark.operators import lm
+from query_processing_over_streaming_data_using_flink_spark.streaming.incragg import IncrementalGroupedAgg
+
+
+class IncrementalBigramLM:
+    """Continuously-trained add-one bigram LM: per micro-batch the
+    document delta explodes to its bigram stream and folds signed
+    counts into the (prev, w) state table. `model()` reads the current
+    counts and derives the context totals and vocabulary — the same
+    three frames `operators.lm.perplexity` scores against."""
+
+    def __init__(self, spark: SparkSession, state_dir: str, run_id: str | None = None):
+        def delta(batch: DataFrame) -> DataFrame:
+            weighted = batch
+            if "op" not in batch.columns:
+                weighted = batch.withColumn("op", F.lit(1))
+            pairs = lm.doc_bigrams(weighted)
+            return pairs.groupBy("prev", "w").agg(
+                F.sum("op").cast("long").alias("c_pw")
+            )
+
+        self.agg = IncrementalGroupedAgg(
+            spark,
+            state_dir,
+            group_cols=["prev", "w"],
+            measure_cols=["c_pw"],
+            schema="bucket int, prev string, w string, c_pw long",
+            delta_fn=delta,
+            run_id=run_id,
+        )
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        self.agg.process_batch(batch, epoch_id)
+
+    def compact(self) -> None:
+        self.agg.compact()
+
+    def model(self) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """(bigram_counts, context_counts, vocab) — live view of the
+        maintained model, bit-equal to `lm.bigram_lm_train` over the
+        ingested corpus (stream==batch pinned in tests)."""
+        big = self.agg.result().filter(F.col("c_pw") != 0)
+        ctx = big.groupBy("prev").agg(F.sum("c_pw").alias("c_p"))
+        vocab = big.agg(F.countDistinct("w").alias("v"))
+        return big, ctx, vocab
+
+
+def run_streaming_lm_train(
+    spark: SparkSession,
+    docs_dir: str,
+    state_dir: str,
+    files_per_trigger: int = 2,
+    checkpoint_dir: str | None = None,
+) -> IncrementalBigramLM:
+    """Drain a documents directory as micro-batches into the
+    incrementally-trained LM; returns the pipeline for `model()`."""
+    static = spark.read.parquet(docs_dir)
+    pipe = IncrementalBigramLM(spark, state_dir)
+
+    writer = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(docs_dir)
+        .writeStream.foreachBatch(lambda b, e: pipe.process_batch(b, e))
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    writer.start().awaitTermination()
+    return pipe
+
+
+def run_streaming_ppl_gate(
+    spark: SparkSession,
+    docs_dir: str,
+    model: tuple[DataFrame, DataFrame, DataFrame],
+    out_dir: str,
+    keep_max: float,
+    files_per_trigger: int = 2,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Score a documents stream against a frozen (big, ctx, vocab)
+    model and gate on perplexity — stateless stream-static scoring:
+    the model sides broadcast into each micro-batch, no streaming
+    state accrues. Each epoch writes `epoch=N/` with overwrite, so a
+    redelivered epoch rewrites the same rows (idempotent). Returns the
+    union of all gated outputs."""
+    big, ctx, vocab = model
+    static = spark.read.parquet(docs_dir)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        scored = lm.perplexity(batch, big, ctx, vocab).withColumn(
+            "keep", F.col("ppl") <= F.lit(keep_max)
+        )
+        scored.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+
+    writer = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(docs_dir)
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    writer.start().awaitTermination()
+    return spark.read.option("basePath", out_dir).parquet(out_dir + "/epoch=*").drop(
+        "epoch"
+    )

@@ -1,0 +1,99 @@
+"""Stream==batch equivalence for the streaming LM components: the
+incrementally-trained bigram model must equal batch training over the
+same corpus (including retraction of deleted documents), and the
+streaming perplexity gate must emit exactly the batch scores."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from query_processing_over_streaming_data_using_flink_spark.operators import lm
+from query_processing_over_streaming_data_using_flink_spark.streaming.lm_gate import (
+    IncrementalBigramLM,
+    run_streaming_lm_train,
+    run_streaming_ppl_gate,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def docs_dir(spark, tmp_path):
+    d = str(tmp_path / "docs")
+    spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet")).repartition(
+        4
+    ).write.parquet(d)
+    return d
+
+
+def _model_rows(model):
+    big, ctx, vocab = model
+    return (
+        {(r["prev"], r["w"]): r["c_pw"] for r in big.collect()},
+        {r["prev"]: r["c_p"] for r in ctx.collect()},
+        vocab.collect()[0]["v"],
+    )
+
+
+def test_streamed_lm_equals_batch_training(spark, docs_dir, tmp_path):
+    pipe = run_streaming_lm_train(
+        spark, docs_dir, str(tmp_path / "state"), files_per_trigger=1
+    )
+    docs = spark.read.parquet(docs_dir)
+    batch = lm.bigram_lm_train(docs)
+    assert _model_rows(pipe.model()) == _model_rows(batch)
+    # and the scores built on the streamed model match batch scores
+    streamed = {
+        r["doc_id"]: r["ppl"] for r in lm.perplexity(docs, *pipe.model()).collect()
+    }
+    expect = {r["doc_id"]: r["ppl"] for r in lm.perplexity(docs, *batch).collect()}
+    assert streamed == expect
+
+
+def test_streamed_lm_retracts_deleted_documents(spark):
+    """Signed weights: ingesting a doc then its deletion leaves the
+    model equal to never having seen it."""
+    base = spark.createDataFrame(
+        [(0, "the cat sat", "en"), (1, "a dog ran", "en")],
+        "doc_id long, text string, lang string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        pipe = IncrementalBigramLM(spark, os.path.join(d, "state"))
+        pipe.process_batch(base.withColumn("op", F.lit(1)), 1)
+        extra = spark.createDataFrame(
+            [(2, "zz yy xx", "en")], "doc_id long, text string, lang string"
+        )
+        pipe.process_batch(extra.withColumn("op", F.lit(1)), 2)
+        pipe.process_batch(extra.withColumn("op", F.lit(-1)), 3)
+        got = _model_rows(pipe.model())
+        expect = _model_rows(lm.bigram_lm_train(base))
+        assert got == expect
+        # replayed epoch is a no-op
+        pipe.process_batch(extra.withColumn("op", F.lit(1)), 3)
+        assert _model_rows(pipe.model()) == expect
+
+
+def test_streaming_gate_equals_batch_scoring(spark, docs_dir, tmp_path):
+    docs = spark.read.parquet(docs_dir)
+    train = docs.filter(F.col("source") == "src0")
+    model = lm.bigram_lm_train(train)
+    out = run_streaming_ppl_gate(
+        spark,
+        docs_dir,
+        model,
+        str(tmp_path / "gated"),
+        keep_max=35.0,
+        files_per_trigger=1,
+    )
+    got = {r["doc_id"]: (r["ppl"], r["keep"]) for r in out.collect()}
+    scored = lm.perplexity(docs, *model).withColumn(
+        "keep", F.col("ppl") <= F.lit(35.0)
+    )
+    expect = {r["doc_id"]: (r["ppl"], r["keep"]) for r in scored.collect()}
+    assert got == expect
+    assert any(v[1] for v in got.values()) and not all(v[1] for v in got.values())
