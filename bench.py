@@ -192,6 +192,31 @@ def main() -> None:
         r7[vname] = round(time.time() - t0, 3)
     extra["llm_extras"] = r7
 
+    # Round-8 additions (single runs): the model-based quality gates
+    # (bigram-LM perplexity incl. training, Naive Bayes train+apply,
+    # Gopher rules), table maintenance (MERGE + diff), the Bloom
+    # membership sketch, and SQ8 ANN.
+    from query_processing_over_streaming_data_using_flink_spark.plans import suite_quality as qual
+    from query_processing_over_streaming_data_using_flink_spark.plans import suite_relational as rel
+    from query_processing_over_streaming_data_using_flink_spark.plans import suite_sketch as sk
+
+    r8: dict[str, float] = {}
+    for vname, vfn in (
+        ("text_perplexity_filter", qual.text_perplexity_filter),
+        ("classify_naive_bayes_lang", qual.classify_naive_bayes_lang),
+        ("text_gopher_rules", qual.text_gopher_rules),
+        ("merge_upsert_customer", rel.merge_upsert_customer),
+        ("snapshot_diff_customer", rel.snapshot_diff_customer),
+        ("er_fuzzy_part_names", rel.er_fuzzy_part_names),
+        ("bloom_membership_audit", sk.bloom_membership_audit),
+        ("ann_sq8", llm.ann_sq8),
+    ):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        _run(vfn(spark, sf_dir))
+        r8[vname] = round(time.time() - t0, 3)
+    extra["quality_extras"] = r8
+
     # SF-1 parity datapoint: BASELINE.md measures the reference at SF-1
     # (15.3M events, ~71s best). No sf1 testdata directory exists, so
     # replicate the sf0.1 changelog tables 10× with disjoint key ranges
