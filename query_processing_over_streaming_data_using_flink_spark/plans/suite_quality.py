@@ -286,3 +286,186 @@ FROM feat
 """
 
 register("text_gopher_rules", text_gopher_rules, _GOPHER_SQL)
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining (contrastive training pairs) and active-learning
+# margin sampling — the two selection loops a training pipeline runs on
+# top of the representation / classifier operators.
+# --------------------------------------------------------------------------
+
+
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (the query subset), the most-similar corpus vector with a DIFFERENT
+    label — the pair a contrastive loss learns most from. Same
+    broadcast-scored plan as exact kNN (the labeled filter rides the
+    join condition, pruning pairs before scoring), one per-anchor
+    top-1 window. At 10⁹ vectors the scored side swaps to the IVF/SQ8
+    index; the mining logic (cross-label top-1) is unchanged."""
+    from query_processing_over_streaming_data_using_flink_spark.operators import similarity as sim
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").cast("array<double>").alias("n_vec"),
+        F.col("label").alias("n_label"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("q_id") != F.col("n_id")) & (F.col("q_label") != F.col("n_label")),
+    ).withColumn("sim", sim.cosine(F.col("q_vec"), F.col("n_vec")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select(
+            "q_id",
+            "q_label",
+            "n_id",
+            F.col("n_label").alias("neg_label"),
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
+def _hardneg_sql() -> str:
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import _cosine_sql
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec, label FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id AS n_id,
+         c.label AS neg_label, {_cosine_sql('q.vec', 'c.vec')} AS sim
+  FROM (SELECT * FROM e WHERE vec_id < 20) q
+  JOIN e c ON q.vec_id <> c.vec_id AND q.label <> c.label
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+  FROM scored
+)
+SELECT q_id, q_label, n_id, neg_label, round(sim, 6) AS sim
+FROM ranked WHERE rank = 1
+"""
+
+
+register("mine_hard_negatives", mine_hard_negatives, _hardneg_sql())
+
+
+AL_POOL_K = 25  # labeling budget: the k lowest-margin documents
+
+
+def sample_uncertain_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-learning margin sampling on top of the Naive Bayes
+    classifier: per document the margin between its best and
+    second-best class scores (integer micro-nats); the k smallest
+    margins are the documents the model is least sure about — the ones
+    worth human labels next. One extra window over the per-(doc,label)
+    scores the classifier already computes, then a global bounded
+    top-k (TakeOrderedAndProject — no full sort)."""
+    from query_processing_over_streaming_data_using_flink_spark.operators import lm as _lm
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    term_counts, class_totals, stats = _lm.nb_train(train, label_col="lang")
+
+    # Recompute the per-(doc, label) scores (the classifier's argmax
+    # input) and keep the top-2 per doc.
+    tf = docs.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("term")
+    ).groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    expanded = (
+        tf.crossJoin(F.broadcast(class_totals))
+        .join(term_counts, ["term", "label"], "left")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "lp_micro",
+            F.col("tf")
+            * _lm._lp_micro(
+                F.coalesce(F.col("c"), F.lit(0)) + F.lit(1),
+                F.col("tot") + F.col("v"),
+            ),
+        )
+    )
+    per_class = expanded.groupBy("doc_id", "label").agg(
+        (
+            F.sum("lp_micro")
+            + F.first(_lm._lp_micro(F.col("n_docs"), F.col("n_train")))
+        ).alias("score_micro")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), F.asc("label"))
+    top2 = per_class.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 2)
+    margins = (
+        top2.groupBy("doc_id")
+        .agg(
+            (F.max("score_micro") - F.min("score_micro")).alias("margin_micro"),
+            F.min(F.when(F.col("rk") == 1, F.col("label"))).alias("pred_label"),
+        )
+    )
+    return (
+        margins.orderBy(F.asc("margin_micro"), F.asc("doc_id"))
+        .limit(AL_POOL_K)
+        .select("doc_id", "pred_label", F.col("margin_micro").cast("long").alias("margin_micro"))
+    )
+
+
+def _margin_sql() -> str:
+    # Reuse the NB scoring chain, then top-2 margin per doc and the
+    # global k smallest margins.
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_TOKENS}) AS term FROM documents
+),
+train_tok AS (SELECT lang AS label, term FROM tok WHERE doc_id % 2 = 0),
+tc AS (SELECT label, term, count(*) AS c FROM train_tok GROUP BY 1, 2),
+tot AS (SELECT label, CAST(sum(c) AS BIGINT) AS tot FROM tc GROUP BY 1),
+dc AS (
+  SELECT lang AS label, count(*) AS n_docs
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+),
+st AS (
+  SELECT (SELECT count(DISTINCT term) FROM train_tok) AS v,
+         (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS n_train
+),
+classes AS (SELECT tot.label, tot.tot, dc.n_docs FROM tot JOIN dc USING (label)),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+expanded AS (
+  SELECT tf.doc_id, cl.label, cl.n_docs,
+         tf.tf * CAST(floor(ln((coalesce(tc.c, 0) + 1.0) / (cl.tot + st.v))
+                            * {lm.MICRO}) AS BIGINT) AS lp
+  FROM tf
+  CROSS JOIN classes cl
+  LEFT JOIN tc ON tc.term = tf.term AND tc.label = cl.label
+  CROSS JOIN st
+),
+per_class AS (
+  SELECT e.doc_id, e.label,
+         CAST(sum(e.lp) AS BIGINT)
+           + CAST(floor(ln(any_value(e.n_docs) * 1.0 / (SELECT n_train FROM st))
+                        * {lm.MICRO}) AS BIGINT) AS score_micro
+  FROM expanded e GROUP BY e.doc_id, e.label
+),
+top2 AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_micro DESC, label) AS rk
+  FROM per_class
+),
+margins AS (
+  SELECT doc_id,
+         max(score_micro) - min(score_micro) AS margin_micro,
+         min(CASE WHEN rk = 1 THEN label END) AS pred_label
+  FROM top2 WHERE rk <= 2 GROUP BY doc_id
+)
+SELECT doc_id, pred_label, margin_micro
+FROM margins ORDER BY margin_micro ASC, doc_id ASC LIMIT {AL_POOL_K}
+"""
+
+
+register("sample_uncertain_margin", sample_uncertain_margin, _margin_sql())

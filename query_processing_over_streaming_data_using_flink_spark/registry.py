@@ -111,6 +111,8 @@ _PRIORITY_FIRST = [
     "bloom_membership_audit",
     "ann_sq8",
     "ann_recall_sq8_vs_exact",
+    "mine_hard_negatives",
+    "sample_uncertain_margin",
 ]
 _PUSH_LAST = [
     # Driver-green in round 6 (the full r6 prefix came back 50/50):

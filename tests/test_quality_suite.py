@@ -153,3 +153,54 @@ def test_perplexity_lp_is_integer_sum_of_position_quanta(spark):
         expect += math.floor(math.log((c_pw + 1.0) / (c_p + v)) * lm.MICRO)
     row = lm.perplexity(score, big, ctx, vocab).collect()[0]
     assert row["lp_sum_micro"] == expect
+
+
+def test_hard_negative_is_best_cross_label_neighbor(spark, tmp_path):
+    """The mined negative must be the most-similar vector with a
+    DIFFERENT label — same-label near-duplicates are skipped."""
+    import os
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),   # anchor
+        (1, [0.99, 0.14, 0.0], 0),  # same label, nearly identical: skip
+        (2, [0.9, 0.43, 0.0], 1),   # best cross-label
+        (3, [0.0, 1.0, 0.0], 1),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    d = str(tmp_path / "sf")
+    e.write.parquet(os.path.join(d, "embeddings.parquet"))
+
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_quality import mine_hard_negatives
+
+    out = {r["q_id"]: r for r in mine_hard_negatives(spark, d).collect()}
+    assert out[0]["n_id"] == 2 and out[0]["neg_label"] == 1
+    # anchor 2 (label 1): nearest cross-label is 1 (label 0)
+    assert out[2]["neg_label"] == 0
+
+
+def test_margin_sampling_prefers_ambiguous_docs(spark, tmp_path):
+    """A document mixing both classes' vocabularies must rank ahead of
+    (lower margin than) a document squarely inside one class."""
+    import os
+
+    train = [
+        (0, "alpha beta gamma delta", "en"),
+        (2, "alpha beta beta gamma", "en"),
+        (4, "uno dos tres cuatro", "es"),
+        (6, "uno uno dos tres", "es"),
+    ]
+    probes = [
+        (101, "alpha uno beta dos", "??"),     # ambiguous
+        (103, "alpha beta gamma alpha", "??"),  # clearly en
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, l, "s", len(t)) for i, t, l in train + probes],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "sf")
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_quality import sample_uncertain_margin
+
+    out = {r["doc_id"]: r["margin_micro"] for r in sample_uncertain_margin(spark, d).collect()}
+    assert out[101] < out[103]
