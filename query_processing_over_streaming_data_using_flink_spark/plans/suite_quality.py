@@ -469,3 +469,72 @@ FROM margins ORDER BY margin_micro ASC, doc_id ASC LIMIT {AL_POOL_K}
 
 
 register("sample_uncertain_margin", sample_uncertain_margin, _margin_sql())
+
+
+# --------------------------------------------------------------------------
+# Composed pipeline: rules -> perplexity -> dedup -> classifier routing
+# --------------------------------------------------------------------------
+
+
+def curation_pipeline_model_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-8 composite: Gopher rule battery first (zero-shuffle,
+    kills the cheap garbage), the bigram-LM perplexity gate second,
+    exact-dedup canonical selection third, and the Naive Bayes
+    classifier last (routing surviving docs to per-domain buckets) —
+    the production ordering: each stage shrinks the next stage's
+    input, the expensive model stages never see what the rules killed.
+    All four stages are the REGISTERED operators composed by doc_id
+    equi-joins, and the oracle replays the entire composition."""
+    from query_processing_over_streaming_data_using_flink_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = text_gopher_rules(spark, sf_dir).select(
+        "doc_id", "n_words", F.col("keep").alias("rules_keep")
+    )
+    ppl = text_perplexity_filter(spark, sf_dir).select(
+        "doc_id", "ppl", F.col("keep").alias("ppl_keep")
+    )
+    nb = classify_naive_bayes_lang(spark, sf_dir).select("doc_id", "pred_label")
+    canon = dd.exact_dedup(docs).select("doc_id", "group_size", "is_canonical")
+    return (
+        docs.select("doc_id", "lang")
+        .join(rules, "doc_id")
+        .join(ppl, "doc_id")
+        .join(canon, "doc_id")
+        .join(nb, "doc_id")
+        .filter(F.col("rules_keep") & F.col("ppl_keep") & F.col("is_canonical"))
+        .select("doc_id", "lang", "pred_label", "ppl", "n_words", "group_size")
+    )
+
+
+def _pipeline_sql() -> str:
+    # Each stage's registered oracle SQL is embedded verbatim as a
+    # subquery — the composition is certified from the same text that
+    # certifies the stages.
+    return f"""
+WITH rules AS (SELECT doc_id, n_words, keep AS rules_keep FROM ({_GOPHER_SQL})),
+ppl AS (SELECT doc_id, ppl, keep AS ppl_keep FROM ({_PPL_SQL})),
+nb AS (SELECT doc_id, pred_label FROM ({_NB_SQL})),
+fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+canon AS (
+  SELECT fp, min(doc_id) AS canonical_id, count(*) AS group_size
+  FROM fp GROUP BY fp
+),
+dedup AS (
+  SELECT f.doc_id, c.group_size, f.doc_id = c.canonical_id AS is_canonical
+  FROM fp f JOIN canon c USING (fp)
+)
+SELECT d.doc_id, d.lang, nb.pred_label, ppl.ppl, rules.n_words, dedup.group_size
+FROM documents d
+JOIN rules USING (doc_id)
+JOIN ppl USING (doc_id)
+JOIN dedup USING (doc_id)
+JOIN nb USING (doc_id)
+WHERE rules.rules_keep AND ppl.ppl_keep AND dedup.is_canonical
+"""
+
+
+register("curation_pipeline_model_gated", curation_pipeline_model_gated, _pipeline_sql())

@@ -113,6 +113,7 @@ _PRIORITY_FIRST = [
     "ann_recall_sq8_vs_exact",
     "mine_hard_negatives",
     "sample_uncertain_margin",
+    "curation_pipeline_model_gated",
 ]
 _PUSH_LAST = [
     # Driver-green in round 6 (the full r6 prefix came back 50/50):
