@@ -538,3 +538,93 @@ WHERE rules.rules_keep AND ppl.ppl_keep AND dedup.is_canonical
 
 
 register("curation_pipeline_model_gated", curation_pipeline_model_gated, _pipeline_sql())
+
+
+# --------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity buckets + deterministic 3-way split
+# --------------------------------------------------------------------------
+
+
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's corpus partitioning: per language, documents split into
+    head / middle / tail by perplexity TERTILES under the trained LM
+    (the absolute `text_perplexity_filter` gate's corpus-relative
+    sibling — CCNet trains downstream models on head+middle and
+    discards or re-filters tail). ntile(3) per lang with doc_id
+    tie-break makes the assignment total and engine-independent; one
+    shuffle on lang, each stratum ranks in parallel."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") == PPL_TRAIN_SOURCE)
+    big, ctx, vocab = lm.bigram_lm_train(train)
+    scored = lm.perplexity(docs, big, ctx, vocab).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("ppl"), F.asc("doc_id"))
+    bucket = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+        F.ntile(3).over(w),
+    )
+    return scored.select("doc_id", "lang", "ppl").withColumn("bucket", bucket)
+
+
+_PPL_BUCKETS_SQL = f"""
+WITH scored AS (
+  SELECT p.doc_id, d.lang, p.ppl
+  FROM ({_PPL_SQL}) p JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, ppl,
+       (['head', 'middle', 'tail'])[
+         ntile(3) OVER (PARTITION BY lang ORDER BY ppl ASC, doc_id ASC)
+       ] AS bucket
+FROM scored
+"""
+
+register("text_perplexity_buckets", text_perplexity_buckets, _PPL_BUCKETS_SQL)
+
+
+SPLIT_VAL_PERMILLE = 100  # 10% validation
+SPLIT_TEST_PERMILLE = 100  # 10% test
+
+
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-way corpus split (train/val/test) from the
+    salted md5 draw (`operators/text.py:sample_hash`): reproducible
+    across runs, engines, cluster sizes, and partitionings — unlike
+    `randomSplit`, whose assignment depends on partition layout. The
+    same doc always lands in the same split, so eval sets stay stable
+    as the corpus grows (only NEW docs join each split). Zero-shuffle
+    scan + the summary aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    draw = tx.sample_hash(F.col("doc_id"), salt="split", modulus=1000)
+    split = (
+        F.when(draw < SPLIT_VAL_PERMILLE, F.lit("val"))
+        .when(draw < SPLIT_VAL_PERMILLE + SPLIT_TEST_PERMILLE, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        docs.select("doc_id", "lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+def _split_sql() -> str:
+    from query_processing_over_streaming_data_using_flink_spark.functions.scalar import md5_hash64_sql
+
+    h = md5_hash64_sql("'split:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH assigned AS (
+  SELECT doc_id, lang,
+         CASE WHEN ({h}) % 1000 < {SPLIT_VAL_PERMILLE} THEN 'val'
+              WHEN ({h}) % 1000 < {SPLIT_VAL_PERMILLE + SPLIT_TEST_PERMILLE} THEN 'test'
+              ELSE 'train' END AS split
+  FROM documents
+)
+SELECT lang, split, count(*) AS n_docs, min(doc_id) AS first_doc
+FROM assigned GROUP BY lang, split
+"""
+
+
+register("split_train_val_test", split_train_val_test, _split_sql())

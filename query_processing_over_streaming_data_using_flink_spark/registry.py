@@ -114,6 +114,8 @@ _PRIORITY_FIRST = [
     "mine_hard_negatives",
     "sample_uncertain_margin",
     "curation_pipeline_model_gated",
+    "text_perplexity_buckets",
+    "split_train_val_test",
 ]
 _PUSH_LAST = [
     # Driver-green in round 6 (the full r6 prefix came back 50/50):

@@ -204,3 +204,39 @@ def test_margin_sampling_prefers_ambiguous_docs(spark, tmp_path):
 
     out = {r["doc_id"]: r["margin_micro"] for r in sample_uncertain_margin(spark, d).collect()}
     assert out[101] < out[103]
+
+
+def test_perplexity_buckets_are_balanced_tertiles(spark):
+    """Per language the head/middle/tail buckets differ in size by at
+    most 1 (ntile), and every head ppl <= every tail ppl."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_quality import text_perplexity_buckets
+
+    rows = text_perplexity_buckets(spark, "/root/testdata/sf0.001").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        sizes = {b: sum(1 for r in rs if r["bucket"] == b) for b in ("head", "middle", "tail")}
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        heads = [r["ppl"] for r in rs if r["bucket"] == "head"]
+        tails = [r["ppl"] for r in rs if r["bucket"] == "tail"]
+        if heads and tails:
+            assert max(heads) <= min(tails), lang
+
+
+def test_split_assignment_is_stable_under_corpus_growth(spark, tmp_path):
+    """A document's split must not change when new docs arrive — the
+    property randomSplit lacks. Verified by re-deriving the per-doc
+    assignment on a corpus prefix and the full corpus."""
+    import os
+
+    from query_processing_over_streaming_data_using_flink_spark.operators import text as tx
+
+    full = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    draw = tx.sample_hash(F.col("doc_id"), salt="split", modulus=1000)
+    assign = lambda df: {
+        r["doc_id"]: r["d"] for r in df.select("doc_id", draw.alias("d")).collect()
+    }
+    prefix = assign(full.filter(F.col("doc_id") < 20))
+    whole = assign(full)
+    assert all(whole[k] == v for k, v in prefix.items())
