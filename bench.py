@@ -210,6 +210,9 @@ def main() -> None:
         ("er_fuzzy_part_names", rel.er_fuzzy_part_names),
         ("bloom_membership_audit", sk.bloom_membership_audit),
         ("ann_sq8", llm.ann_sq8),
+        ("mine_hard_negatives", qual.mine_hard_negatives),
+        ("sample_uncertain_margin", qual.sample_uncertain_margin),
+        ("curation_pipeline_model_gated", qual.curation_pipeline_model_gated),
     ):
         spark.catalog.clearCache()
         t0 = time.time()
