@@ -628,3 +628,66 @@ FROM assigned GROUP BY lang, split
 
 
 register("split_train_val_test", split_train_val_test, _split_sql())
+
+
+# --------------------------------------------------------------------------
+# Entity resolution: fuzzy pairs -> connected components -> canonicals
+# --------------------------------------------------------------------------
+
+
+def er_resolve_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full entity resolution composed from registered pieces: blocked
+    fuzzy candidate pairs (`blocked_fuzzy_pairs`) feed the hardened
+    connected-components labeler (`dedup_clusters` — pointer-jumped
+    min-label propagation), producing one canonical name per fuzzy
+    cluster; each name also reports how many part records it resolves.
+    The labeler's ids here are the NAMES themselves (labels only need
+    a total order, which strings have) — the min-string name is the
+    cluster canonical. Vocabulary-bounded end to end: clustering work
+    scales with distinct names, never with part rows."""
+    from query_processing_over_streaming_data_using_flink_spark.operators import dedup as dd
+    from query_processing_over_streaming_data_using_flink_spark.operators.relational import blocked_fuzzy_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("doc_id")).distinct()
+    pairs = blocked_fuzzy_pairs(
+        part, "p_name", F.split(F.col("p_name"), " ").getItem(1), max_distance=3
+    ).select(F.col("name_a").alias("doc_a"), F.col("name_b").alias("doc_b"))
+    clusters = dd.dedup_clusters(names, pairs)
+    n_records = part.groupBy(F.col("p_name").alias("doc_id")).agg(
+        F.count("*").alias("n_records")
+    )
+    return clusters.join(n_records, "doc_id").select(
+        F.col("doc_id").alias("name"),
+        F.col("cluster_id").alias("canonical_name"),
+        "cluster_size",
+        "n_records",
+    )
+
+
+_ER_RESOLVE_SQL = """
+WITH RECURSIVE
+names AS (SELECT DISTINCT p_name AS name, split_part(p_name, ' ', 2) AS block FROM part),
+pairs AS (
+  SELECT a.name AS doc_a, b.name AS doc_b
+  FROM names a JOIN names b USING (block)
+  WHERE a.name < b.name AND levenshtein(a.name, b.name) <= 3
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT name AS doc_id, name AS label FROM names
+  UNION
+  SELECT e.src AS doc_id, r.label FROM edges e JOIN reach r ON e.dst = r.doc_id
+),
+labels AS (SELECT doc_id, min(label) AS canonical_name FROM reach GROUP BY doc_id),
+sizes AS (SELECT canonical_name, count(*) AS cluster_size FROM labels GROUP BY canonical_name),
+recs AS (SELECT p_name AS doc_id, count(*) AS n_records FROM part GROUP BY 1)
+SELECT l.doc_id AS name, l.canonical_name, s.cluster_size, r.n_records
+FROM labels l JOIN sizes s USING (canonical_name) JOIN recs r USING (doc_id)
+"""
+
+register("er_resolve_part_names", er_resolve_part_names, _ER_RESOLVE_SQL)

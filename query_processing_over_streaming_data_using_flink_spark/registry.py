@@ -116,6 +116,7 @@ _PRIORITY_FIRST = [
     "curation_pipeline_model_gated",
     "text_perplexity_buckets",
     "split_train_val_test",
+    "er_resolve_part_names",
 ]
 _PUSH_LAST = [
     # Driver-green in round 6 (the full r6 prefix came back 50/50):
