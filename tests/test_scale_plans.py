@@ -218,6 +218,16 @@ _BNLJ_ALLOWED = {
     "ann_recall_ivf_nprobe_curve",  # brute-force baseline x the allowed IVF at 5 widths
     "hilbert_events_clusters",  # 1-row broadcast min/max-bounds scalar (like zorder)
     "dedup_cross_snapshot_substring",  # same 1-row cutoff scalar as its siblings
+    # --- round 8:
+    "ann_sq8",  # broadcast query set against the byte-code table (brute-force shape)
+    "ann_recall_sq8_vs_exact",  # exact-baseline side is the allowed brute force
+    "mine_hard_negatives",  # broadcast anchor set, non-equi label filter on the join
+    "bloom_membership_audit",  # 3-row salt grid x members/probes (bounded k)
+    "text_perplexity_filter",  # 1-row broadcast vocabulary scalar
+    "text_perplexity_buckets",  # composes the perplexity scorer above
+    "classify_naive_bayes_lang",  # |classes|-row class-totals + 1-row stats broadcast
+    "sample_uncertain_margin",  # same NB scoring chain (class dim + stats broadcast)
+    "curation_pipeline_model_gated",  # composes the perplexity + NB stages
 }
 
 
