@@ -784,3 +784,35 @@ def knn_sq8(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
             F.round("score", 6).alias("score"),
         )
     )
+
+
+def semantic_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """SemDeDup-style semantic near-dedup (Abbas et al. 2023, public):
+    cluster the corpus with the trained IVF coarse quantizer, then
+    compare pairs ONLY within a cluster — candidate generation by
+    LEARNED partitioning instead of `cosine_dup_pairs`' random
+    sign-bucket LSH. Semantically close vectors land in the same cell
+    by construction, so the within-cell quadratic term is the
+    per-cell occupancy (corpus/cells on balanced data), never the
+    corpus — the same bounded-block discipline as every dedup path
+    here. Returns (cell, id_a, id_b, sim ≥ threshold)."""
+    corpus = embeddings.select(
+        F.col("vec_id").alias("id"), _as_double(F.col("embedding")).alias("vec")
+    )
+    cents = ivf_centroids(embeddings)
+    assigned = _nearest_cells(corpus, cents, 1)
+    a = assigned.select(
+        F.col("cell"), F.col("id").alias("id_a"), F.col("vec").alias("vec_a")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col("id").alias("id_b"), F.col("vec").alias("vec_b")
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("sim") >= threshold)
+        .select("cell", "id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )

@@ -3494,3 +3494,60 @@ SELECT CAST(-1 AS BIGINT), round(avg(recall_at_5), 6) FROM per_q
 
 
 register("ann_recall_sq8_vs_exact", ann_recall_sq8_vs_exact, _sq8_recall_sql())
+
+
+SEMANTIC_DUP_THRESHOLD = 0.4  # random fixtures; real corpora run ~0.95
+
+
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dedup
+    (`operators/similarity.py:semantic_dup_pairs`): candidate pairs
+    come from the TRAINED IVF clustering (semantically close vectors
+    share a cell by construction) instead of `dedup_embedding_cosine`'s
+    random sign-bucket LSH — the learned-partitioning variant of the
+    same bounded-block discipline. Threshold 0.4 on the random
+    fixtures (their max within-cell cosine is ~0.45; production
+    corpora run ~0.95); the full centroid-training chain is replayed
+    by the oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.semantic_dup_pairs(e, threshold=SEMANTIC_DUP_THRESHOLD)
+
+
+def _semantic_dup_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+comp0 AS (
+  SELECT vec_id % {sim.IVF_CELLS} AS cell, t.i AS dim,
+         sum(CAST(floor(vec[t.i] * {sim.IVF_QUANT}) AS BIGINT)) AS s
+  FROM e, unnest(range(1, len(vec)+1)) AS t(i) GROUP BY 1, 2
+),
+cents0 AS (SELECT cell, list(s::DOUBLE ORDER BY dim) AS cvec FROM comp0 GROUP BY cell),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cosine_sql('e.vec', 'c.cvec')} DESC, c.cell) AS r
+    FROM e CROSS JOIN cents0 c) WHERE r = 1
+),
+comp AS (
+  SELECT a.cell, t.i AS dim,
+         sum(CAST(floor(vec[t.i] * {sim.IVF_QUANT}) AS BIGINT)) AS s
+  FROM e JOIN assign a USING (vec_id), unnest(range(1, len(vec)+1)) AS t(i)
+  GROUP BY 1, 2
+),
+cents AS (SELECT cell, list(s::DOUBLE ORDER BY dim) AS cvec FROM comp GROUP BY cell),
+inv AS (
+  SELECT vec_id, vec, cell FROM (
+    SELECT e.vec_id, e.vec, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cosine_sql('e.vec', 'c.cvec')} DESC, c.cell) AS r
+    FROM e CROSS JOIN cents c) WHERE r = 1
+)
+SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_cosine_sql('a.vec', 'b.vec')}, 6) AS sim
+FROM inv a JOIN inv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE {_cosine_sql('a.vec', 'b.vec')} >= {SEMANTIC_DUP_THRESHOLD}
+"""
+
+
+register("dedup_semantic_ivf", dedup_semantic_ivf, _semantic_dup_sql())

@@ -117,6 +117,7 @@ _PRIORITY_FIRST = [
     "text_perplexity_buckets",
     "split_train_val_test",
     "er_resolve_part_names",
+    "dedup_semantic_ivf",
 ]
 _PUSH_LAST = [
     # Driver-green in round 6 (the full r6 prefix came back 50/50):

@@ -1271,3 +1271,26 @@ def test_sq8_encode_reconstruction_error_bounded(spark):
         | (F.abs(F.col("x") - F.col("xhat")) > F.col("step") * 1.0000001)
     )
     assert bad.count() == 0
+
+
+def test_semantic_dup_pairs_flags_planted_scaled_copies(spark):
+    """SemDeDup blocking: a scaled copy (cosine 1.0) must land in the
+    same trained IVF cell as its original and be flagged at the
+    production 0.95 threshold; unrelated vectors must not pair."""
+    import random
+
+    from query_processing_over_streaming_data_using_flink_spark.operators import similarity as sim
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)], 0) for i in range(40)
+    ]
+    # planted: 100 is exactly 2x vector 5 (cosine 1.0)
+    rows.append((100, [2.0 * x for x in rows[5][1]], 0))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in sim.semantic_dup_pairs(e, threshold=0.95).collect()
+    }
+    assert (5, 100) in pairs
+    assert all(a == 5 and b == 100 for a, b in pairs), pairs
