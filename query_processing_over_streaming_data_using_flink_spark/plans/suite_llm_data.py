@@ -3551,3 +3551,86 @@ WHERE {_cosine_sql('a.vec', 'b.vec')} >= {SEMANTIC_DUP_THRESHOLD}
 
 
 register("dedup_semantic_ivf", dedup_semantic_ivf, _semantic_dup_sql())
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupted-embedding detection: each vector's cosine to its own
+    label's centroid DIRECTION (the quantized integer component sums —
+    cosine is scale-invariant, so no division ever happens), then a
+    per-label z-score of that cosine from integer power sums (the
+    `events_daily_anomalies` discipline: no float-merge anywhere), and
+    an outlier flag at z < -2. Mis-labeled, zeroed, or corrupted
+    vectors sit far from their class prototype; this is the vector-side
+    analogue of the text quality gates. Two narrow shuffles: the
+    (label, dim) centroid aggregate (broadcast back), then the
+    per-label moment aggregate (broadcast back)."""
+    q = 1 << 20
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    sums = comp.groupBy("label", "dim").agg(
+        F.sum(F.floor(F.col("x") * q).cast("long")).alias("s")
+    )
+    cents = sums.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "s"))),
+            lambda t: t["s"].cast("double"),
+        ).alias("cvec")
+    )
+    vecs = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cos_micro = F.floor(
+        sim.cosine(F.col("vec"), F.col("cvec")) * F.lit(1_000_000)
+    ).cast("long")
+    scored = vecs.join(F.broadcast(cents), "label").select(
+        "vec_id", "label", cos_micro.alias("cos_micro")
+    )
+    moments = scored.groupBy("label").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("cos_micro").cast("double").alias("sx"),
+        F.sum(F.col("cos_micro") * F.col("cos_micro")).cast("double").alias("sxx"),
+    )
+    z = (
+        (F.col("cos_micro") * F.col("n") - F.col("sx"))
+        / F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    return (
+        scored.join(F.broadcast(moments), "label")
+        .select(
+            "vec_id",
+            "label",
+            "cos_micro",
+            F.round(z, 6).alias("z"),
+            (z < -2.0).alias("is_outlier"),
+        )
+    )
+
+
+_OUTLIERS_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+comp AS (
+  SELECT label, t.i - 1 AS dim, sum(CAST(floor(vec[t.i] * {1 << 20}) AS BIGINT)) AS s
+  FROM e, unnest(range(1, len(vec) + 1)) AS t(i) GROUP BY 1, 2
+),
+cents AS (SELECT label, list(s::DOUBLE ORDER BY dim) AS cvec FROM comp GROUP BY label),
+scored AS (
+  SELECT e.vec_id, e.label,
+         CAST(floor({_cosine_sql('e.vec', 'c.cvec')} * 1000000) AS BIGINT) AS cos_micro
+  FROM e JOIN cents c USING (label)
+),
+moments AS (
+  SELECT label, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(cos_micro) AS DOUBLE) AS sx,
+         CAST(sum(cos_micro * cos_micro) AS DOUBLE) AS sxx
+  FROM scored GROUP BY label
+)
+SELECT s.vec_id, s.label, s.cos_micro,
+       round((s.cos_micro * m.n - m.sx) / sqrt(m.n * m.sxx - m.sx * m.sx), 6) AS z,
+       ((s.cos_micro * m.n - m.sx) / sqrt(m.n * m.sxx - m.sx * m.sx)) < -2.0 AS is_outlier
+FROM scored s JOIN moments m USING (label)
+"""
+
+register("embedding_outliers", embedding_outliers, _OUTLIERS_SQL)

@@ -118,6 +118,7 @@ _PRIORITY_FIRST = [
     "split_train_val_test",
     "er_resolve_part_names",
     "dedup_semantic_ivf",
+    "embedding_outliers",
 ]
 _PUSH_LAST = [
     # Driver-green in round 6 (the full r6 prefix came back 50/50):

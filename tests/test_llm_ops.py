@@ -1294,3 +1294,26 @@ def test_semantic_dup_pairs_flags_planted_scaled_copies(spark):
     }
     assert (5, 100) in pairs
     assert all(a == 5 and b == 100 for a, b in pairs), pairs
+
+
+def test_embedding_outliers_flags_planted_corruption(spark, tmp_path):
+    """A vector pointing AWAY from its label's cluster must flag as an
+    outlier; the in-cluster vectors must not."""
+    import os
+    import random
+
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import embedding_outliers
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(30):
+        # label-0 cluster: basis direction +e0 with small noise
+        rows.append((i, [1.0] + [rng.uniform(-0.1, 0.1) for _ in range(7)], 0))
+    rows.append((100, [-1.0] + [0.0] * 7, 0))  # corrupted: flipped
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    d = str(tmp_path / "sf")
+    e.write.parquet(os.path.join(d, "embeddings.parquet"))
+    out = {r["vec_id"]: r for r in embedding_outliers(spark, d).collect()}
+    assert out[100]["is_outlier"]
+    flagged = [k for k, r in out.items() if r["is_outlier"]]
+    assert flagged == [100], flagged
