@@ -3634,3 +3634,68 @@ FROM scored s JOIN moments m USING (label)
 """
 
 register("embedding_outliers", embedding_outliers, _OUTLIERS_SQL)
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination diagnostics: for every source pair,
+    how many distinct 3-gram shingle hashes they share — the
+    corpus-level view that tells you WHICH feeds syndicate from each
+    other before you spend the doc-level dedup passes. Plan: distinct
+    (source, h) rows (one narrow shuffle), self-equi-join on the hash
+    (the same banded-candidate discipline as every dedup path — never
+    an all-pairs product over sources), then a count per pair. Output
+    also carries each side's distinct-shingle total so the overlap is
+    readable as a containment fraction."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        tx.shingle_hash_rows(docs.select("doc_id", "text"), k=3)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "h")
+        .distinct()
+    )
+    totals = sh.groupBy("source").agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col("source").alias("source_a"), "h")
+    b = sh.select(F.col("source").alias("source_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        pairs.join(
+            totals.withColumnRenamed("source", "source_a").withColumnRenamed(
+                "n_shingles", "n_a"
+            ),
+            "source_a",
+        )
+        .join(
+            totals.withColumnRenamed("source", "source_b").withColumnRenamed(
+                "n_shingles", "n_b"
+            ),
+            "source_b",
+        )
+        .select("source_a", "source_b", "shared", "n_a", "n_b")
+    )
+
+
+_SOURCE_OVERLAP_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT d.source, u.h
+  FROM (SELECT doc_id, source, {_shingle_hashes_sql().replace('toks', _TOKENS)} AS hs
+        FROM documents) d,
+       UNNEST(d.hs) AS u(h)
+),
+totals AS (SELECT source, count(*) AS n_shingles FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, p.shared, ta.n_shingles AS n_a, tb.n_shingles AS n_b
+FROM pairs p
+JOIN totals ta ON ta.source = p.source_a
+JOIN totals tb ON tb.source = p.source_b
+"""
+
+register("source_overlap_matrix", source_overlap_matrix, _SOURCE_OVERLAP_SQL)

@@ -119,6 +119,7 @@ _PRIORITY_FIRST = [
     "er_resolve_part_names",
     "dedup_semantic_ivf",
     "embedding_outliers",
+    "source_overlap_matrix",
 ]
 _PUSH_LAST = [
     # Driver-green in round 6 (the full r6 prefix came back 50/50):
