@@ -816,3 +816,75 @@ def semantic_dup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("cell", "id_a", "id_b", F.round("sim", 6).alias("sim"))
     )
+
+
+def mmr_select(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k_pool: int = 20,
+    k_select: int = 5,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998, public)
+    re-ranking: from each query's top-`k_pool` exact candidates, greedily
+    select `k_select` items maximizing
+        λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s)
+    — relevance minus redundancy, the standard retrieval
+    diversification. The loop iterates SELECTION ROUNDS (k_select of
+    them), not rows: each round is one anti-join (drop already-selected
+    candidates), one candidate×selected cosine aggregate (≤ k_select
+    rows per query on the selected side), and one per-query argmax
+    window — all distributed, nothing driver-side except the round
+    counter. Ties break on n_id; the empty-set penalty is 0, so round
+    1's score is λ·sim. Returns (q_id, n_id, sel_round, score)."""
+    pool = (
+        knn_bruteforce(embeddings, queries, k=k_pool)
+        .select("q_id", "n_id", "sim")
+        .join(
+            embeddings.select(
+                F.col("vec_id").alias("n_id"),
+                _as_double(F.col("embedding")).alias("d_vec"),
+            ),
+            "n_id",
+        )
+        .persist()
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("mmr"), F.asc("n_id"))
+    selected = (
+        pool.withColumn("mmr", F.lit(lam) * F.col("sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "q_id", "n_id", F.lit(1).alias("sel_round"), F.col("mmr").alias("score"),
+            F.col("d_vec").alias("s_vec"),
+        )
+        .persist()
+    )
+    for rnd in range(2, k_select + 1):
+        rem = pool.join(
+            selected.select("q_id", "n_id"), ["q_id", "n_id"], "left_anti"
+        )
+        redund = (
+            rem.join(
+                selected.select("q_id", "s_vec"), "q_id"
+            )
+            .withColumn("ssim", cosine(F.col("d_vec"), F.col("s_vec")))
+            .groupBy("q_id", "n_id")
+            .agg(F.max("ssim").alias("max_ssim"))
+        )
+        scored = rem.join(redund, ["q_id", "n_id"]).withColumn(
+            "mmr",
+            F.lit(lam) * F.col("sim") - F.lit(1.0 - lam) * F.col("max_ssim"),
+        )
+        pick = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(
+                "q_id", "n_id", F.lit(rnd).alias("sel_round"),
+                F.col("mmr").alias("score"), F.col("d_vec").alias("s_vec"),
+            )
+        )
+        selected = selected.unionByName(pick).persist()
+    return selected.select(
+        "q_id", "n_id", "sel_round", F.round("score", 6).alias("score")
+    )

@@ -3699,3 +3699,72 @@ JOIN totals tb ON tb.source = p.source_b
 """
 
 register("source_overlap_matrix", source_overlap_matrix, _SOURCE_OVERLAP_SQL)
+
+
+MMR_LAMBDA = 0.5
+MMR_POOL = 20
+MMR_K = 5
+
+
+def ann_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (`operators/similarity.py:mmr_select`):
+    greedy relevance-minus-redundancy re-ranking of each query's exact
+    top-20 pool — the standard answer to near-duplicate-saturated
+    result lists. The k selection rounds are driver-counted but
+    row-distributed; the oracle unrolls all five rounds in SQL, so the
+    hash match certifies every greedy pick and tie-break."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.mmr_select(
+        e, _queries_df(spark, sf_dir), k_pool=MMR_POOL, k_select=MMR_K, lam=MMR_LAMBDA
+    )
+
+
+def _mmr_sql() -> str:
+    lam, one_m = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    parts = [f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+pool AS MATERIALIZED (
+  SELECT q_id, n_id, round(raw_sim, 6) AS sim, d_vec FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           {_cosine_sql('q.vec', 'c.vec')} AS raw_sim, c.vec AS d_vec,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cosine_sql('q.vec', 'c.vec')} DESC, c.vec_id) AS rank
+    FROM (SELECT * FROM e WHERE vec_id < {_N_QUERIES}) q
+    JOIN e c ON q.vec_id <> c.vec_id)
+  WHERE rank <= {MMR_POOL}
+),
+sel1 AS MATERIALIZED (
+  SELECT q_id, n_id, 1 AS sel_round, mmr AS score, d_vec AS s_vec FROM (
+    SELECT *, {lam} * sim AS mmr,
+           row_number() OVER (PARTITION BY q_id ORDER BY {lam} * sim DESC, n_id) AS rk
+    FROM pool) WHERE rk = 1
+),
+selected1 AS MATERIALIZED (SELECT * FROM sel1)"""]
+    for r in range(2, MMR_K + 1):
+        parts.append(f""",
+rem{r} AS MATERIALIZED (
+  SELECT p.* FROM pool p
+  LEFT JOIN selected{r-1} s ON p.q_id = s.q_id AND p.n_id = s.n_id
+  WHERE s.n_id IS NULL
+),
+red{r} AS MATERIALIZED (
+  SELECT p.q_id, p.n_id, max({_cosine_sql('p.d_vec', 's.s_vec')}) AS max_ssim
+  FROM rem{r} p JOIN selected{r-1} s USING (q_id)
+  GROUP BY 1, 2
+),
+sel{r} AS MATERIALIZED (
+  SELECT q_id, n_id, {r} AS sel_round, mmr AS score, d_vec AS s_vec FROM (
+    SELECT p.*, {lam} * p.sim - {one_m} * d.max_ssim AS mmr,
+           row_number() OVER (PARTITION BY p.q_id
+                              ORDER BY {lam} * p.sim - {one_m} * d.max_ssim DESC, p.n_id) AS rk
+    FROM rem{r} p JOIN red{r} d ON p.q_id = d.q_id AND p.n_id = d.n_id)
+  WHERE rk = 1
+),
+selected{r} AS MATERIALIZED (SELECT * FROM selected{r-1} UNION ALL SELECT * FROM sel{r})""")
+    parts.append(f"""
+SELECT q_id, n_id, sel_round, round(score, 6) AS score FROM selected{MMR_K}
+""")
+    return "".join(parts)
+
+
+register("ann_mmr_diversified", ann_mmr_diversified, _mmr_sql())

@@ -120,6 +120,7 @@ _PRIORITY_FIRST = [
     "dedup_semantic_ivf",
     "embedding_outliers",
     "source_overlap_matrix",
+    "ann_mmr_diversified",
 ]
 _PUSH_LAST = [
     # Driver-green in round 6 (the full r6 prefix came back 50/50):

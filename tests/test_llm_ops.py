@@ -1317,3 +1317,47 @@ def test_embedding_outliers_flags_planted_corruption(spark, tmp_path):
     assert out[100]["is_outlier"]
     flagged = [k for k, r in out.items() if r["is_outlier"]]
     assert flagged == [100], flagged
+
+
+def test_mmr_breaks_up_redundant_top_k(spark):
+    """Planted pool: the query's nearest cluster is 4 near-identical
+    vectors plus distinct directions further out. Plain top-5 returns
+    the redundant cluster; MMR must interleave the distinct directions
+    after taking one cluster representative."""
+    from query_processing_over_streaming_data_using_flink_spark.operators import similarity as sim
+
+    def v(*xs):
+        return [float(x) for x in xs] + [0.0] * (8 - len(xs))
+
+    # query at e0; a 4-copy redundant cluster at ~(0.85, 0.527, 0)
+    # (relevance 0.85, mutual cosine ~1); two distinct directions at
+    # relevance 0.8 but only ~0.68 cosine to the cluster and ~0.28 to
+    # each other — the MMR penalty must promote them over cluster
+    # copies 2-4.
+    rows = [
+        (0, v(1, 0, 0), 0),
+        (1, v(0.85, 0.527, 0), 0),
+        (2, v(0.85, 0.527, 0.001), 0),
+        (3, v(0.85, 0.527, 0.002), 0),
+        (4, v(0.85, 0.527, 0.003), 0),
+        (5, v(0.8, 0, 0.6), 0),
+        (6, v(0.8, 0, -0.6), 0),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = e.filter(F.col("vec_id") == 0)
+    plain = {
+        r["n_id"]
+        for r in sim.knn_bruteforce(e, q, k=5).collect()
+    }
+    mmr = {
+        r["sel_round"]: r["n_id"]
+        for r in sim.mmr_select(e, q, k_pool=6, k_select=4, lam=0.5).collect()
+    }
+    # plain top-5 is saturated by the cluster (all four copies rank
+    # above the second distinct direction)
+    assert {1, 2, 3, 4} <= plain
+    # MMR: first pick is the best cluster member, then the two
+    # distinct directions enter before the cluster's 3rd copy
+    picks = [mmr[r] for r in sorted(mmr)]
+    assert picks[0] in {1, 2, 3, 4}
+    assert {5, 6} <= set(picks[:3]), picks
