@@ -213,6 +213,9 @@ def main() -> None:
         ("mine_hard_negatives", qual.mine_hard_negatives),
         ("sample_uncertain_margin", qual.sample_uncertain_margin),
         ("curation_pipeline_model_gated", qual.curation_pipeline_model_gated),
+        ("dedup_semantic_ivf", llm.dedup_semantic_ivf),
+        ("embedding_outliers", llm.embedding_outliers),
+        ("source_overlap_matrix", llm.source_overlap_matrix),
     ):
         spark.catalog.clearCache()
         t0 = time.time()
