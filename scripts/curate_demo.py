@@ -2,8 +2,10 @@
 LLM-data operators exist for, wired start to finish:
 
     documents
+      → Gopher rule battery (zero-shuffle)     plans/suite_quality.py
       → exact dedup (canonicals only)          operators/dedup.py
       → PII scrub                              operators/text.py
+      → bigram-LM perplexity gate (CCNet)      operators/lm.py
       → corpus-relative quality gate (ntile)   operators/text.py
       → benchmark decontamination              operators/dedup.py
       → sequence packing (2048-token budget)   operators/text.py
@@ -42,11 +44,31 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
 
+    from query_processing_over_streaming_data_using_flink_spark.operators import lm
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_quality import (
+        PPL_KEEP_MAX,
+        PPL_TRAIN_SOURCE,
+        text_gopher_rules,
+    )
+
+    ruled = text_gopher_rules(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    docs = docs.join(ruled, "doc_id")
+    n_rules = docs.count()
+
     canon = dd.exact_dedup(docs).filter(F.col("is_canonical")).select("doc_id")
     docs = docs.join(canon, "doc_id")
     n1 = docs.count()
 
     docs = docs.withColumn("text", tx.redact_pii(F.col("text")))
+
+    model = lm.bigram_lm_train(docs.filter(F.col("source") == PPL_TRAIN_SOURCE))
+    gated = (
+        lm.perplexity(docs, *model)
+        .filter(F.col("ppl") <= PPL_KEEP_MAX)
+        .select("doc_id")
+    )
+    docs = docs.join(gated, "doc_id")
+    n_ppl = docs.count()
 
     quart = tx.quality_quartiles(docs).filter(F.col("quartile") <= 3).select("doc_id")
     docs = docs.join(quart, "doc_id")
@@ -67,7 +89,8 @@ def main() -> None:
     )
 
     print(
-        f"docs {n0} -> dedup {n1} -> quality {n2} -> decontam {n3}; "
+        f"docs {n0} -> rules {n_rules} -> dedup {n1} -> perplexity {n_ppl} "
+        f"-> quality {n2} -> decontam {n3}; "
         f"{n_seqs} packed sequences; layout: {n_files} write tasks -> {out_dir}"
     )
 
