@@ -158,23 +158,21 @@ def nb_train(train_docs: DataFrame, label_col: str, text_col: str = "text"):
     return term_counts, class_totals, stats
 
 
-def nb_classify(
+def nb_scores(
     docs: DataFrame,
     term_counts: DataFrame,
     class_totals: DataFrame,
     stats: DataFrame,
     text_col: str = "text",
 ) -> DataFrame:
-    """Apply the NB model: argmax over classes of
-    ln prior + Σ_t tf(t) · ln((c(label,t) + 1) / (tot_label + v)).
-
-    Every log term is floor-quantized to micro-nats from its integer
-    inputs, the per-(doc, label) score is an integer sum (weighted by
-    integer tf), and the argmax breaks ties on label asc — fully
-    order-independent. Plan: doc term frequencies cross the small
-    class-totals frame (broadcast; |classes| rows), left-join the
-    term_counts model on (term, label), aggregate on (doc_id, label),
-    then one row_number window picks the winner."""
+    """Per-(doc_id, label) NB posterior scores:
+    ln prior + Σ_t tf(t) · ln((c(label,t) + 1) / (tot_label + v)),
+    floor-quantized to integer micro-nats per term BEFORE the per-doc
+    sum — the shared scoring chain under `nb_classify` (argmax) and
+    the active-learning margin sampler (top-2 gap). Plan: doc term
+    frequencies cross the small class-totals frame (broadcast;
+    |classes| rows), left-join the term_counts model on (term, label),
+    aggregate on (doc_id, label)."""
     tf = docs.select(
         "doc_id", F.explode(tx.tokens(F.col(text_col))).alias("term")
     ).groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
@@ -197,9 +195,21 @@ def nb_classify(
         F.first("n_docs").alias("n_docs"),
         F.first("n_train").alias("n_train"),
     )
-    scored = per_class.withColumn(
+    return per_class.withColumn(
         "score_micro", F.col("like_micro") + _lp_micro(F.col("n_docs"), F.col("n_train"))
-    )
+    ).select("doc_id", "label", "score_micro")
+
+
+def nb_classify(
+    docs: DataFrame,
+    term_counts: DataFrame,
+    class_totals: DataFrame,
+    stats: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply the NB model: per-doc argmax of `nb_scores`, ties broken
+    on label asc — fully order-independent."""
+    scored = nb_scores(docs, term_counts, class_totals, stats, text_col)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("doc_id").orderBy(

@@ -369,37 +369,14 @@ def sample_uncertain_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     worth human labels next. One extra window over the per-(doc,label)
     scores the classifier already computes, then a global bounded
     top-k (TakeOrderedAndProject — no full sort)."""
-    from query_processing_over_streaming_data_using_flink_spark.operators import lm as _lm
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 2 == 0)
-    term_counts, class_totals, stats = _lm.nb_train(train, label_col="lang")
+    term_counts, class_totals, stats = lm.nb_train(train, label_col="lang")
 
-    # Recompute the per-(doc, label) scores (the classifier's argmax
-    # input) and keep the top-2 per doc.
-    tf = docs.select(
-        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("term")
-    ).groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    expanded = (
-        tf.crossJoin(F.broadcast(class_totals))
-        .join(term_counts, ["term", "label"], "left")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "lp_micro",
-            F.col("tf")
-            * _lm._lp_micro(
-                F.coalesce(F.col("c"), F.lit(0)) + F.lit(1),
-                F.col("tot") + F.col("v"),
-            ),
-        )
-    )
-    per_class = expanded.groupBy("doc_id", "label").agg(
-        (
-            F.sum("lp_micro")
-            + F.first(_lm._lp_micro(F.col("n_docs"), F.col("n_train")))
-        ).alias("score_micro")
-    )
+    # The classifier's own per-(doc, label) scores, top-2 per doc.
+    per_class = lm.nb_scores(docs, term_counts, class_totals, stats)
     w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), F.asc("label"))
     top2 = per_class.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 2)
     margins = (

@@ -137,3 +137,43 @@ def run_streaming_ppl_gate(
     return spark.read.option("basePath", out_dir).parquet(out_dir + "/epoch=*").drop(
         "epoch"
     )
+
+
+def run_streaming_nb_router(
+    spark: SparkSession,
+    docs_dir: str,
+    model: tuple[DataFrame, DataFrame, DataFrame],
+    out_dir: str,
+    files_per_trigger: int = 2,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Route a documents stream by a frozen Naive Bayes model — the
+    classifier counterpart of `run_streaming_ppl_gate` (the second
+    apply-online face): per micro-batch the (term_counts,
+    class_totals, stats) model broadcasts into `lm.nb_classify`, the
+    arriving docs get a predicted label, and each epoch's routed
+    output is written `epoch=N/` with overwrite (idempotent under
+    redelivery). Zero streaming state; the model never moves. Returns
+    the union of all routed outputs."""
+    term_counts, class_totals, stats = model
+    static = spark.read.parquet(docs_dir)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        routed = lm.nb_classify(batch, term_counts, class_totals, stats)
+        routed.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+
+    writer = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(docs_dir)
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    writer.start().awaitTermination()
+    return spark.read.option("basePath", out_dir).parquet(out_dir + "/epoch=*").drop(
+        "epoch"
+    )

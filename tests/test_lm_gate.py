@@ -97,3 +97,20 @@ def test_streaming_gate_equals_batch_scoring(spark, docs_dir, tmp_path):
     expect = {r["doc_id"]: (r["ppl"], r["keep"]) for r in scored.collect()}
     assert got == expect
     assert any(v[1] for v in got.values()) and not all(v[1] for v in got.values())
+
+
+def test_streaming_nb_router_equals_batch_classification(spark, docs_dir, tmp_path):
+    from query_processing_over_streaming_data_using_flink_spark.streaming.lm_gate import run_streaming_nb_router
+
+    docs = spark.read.parquet(docs_dir)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    model = lm.nb_train(train, label_col="lang")
+    out = run_streaming_nb_router(
+        spark, docs_dir, model, str(tmp_path / "routed"), files_per_trigger=1
+    )
+    got = {r["doc_id"]: r["pred_label"] for r in out.collect()}
+    expect = {
+        r["doc_id"]: r["pred_label"]
+        for r in lm.nb_classify(docs, *model).collect()
+    }
+    assert got == expect and len(got) == docs.count()
