@@ -228,6 +228,8 @@ _BNLJ_ALLOWED = {
     "classify_naive_bayes_lang",  # |classes|-row class-totals + 1-row stats broadcast
     "sample_uncertain_margin",  # same NB scoring chain (class dim + stats broadcast)
     "curation_pipeline_model_gated",  # composes the perplexity + NB stages
+    "dedup_semantic_ivf",  # the allowed IVF cell assignment (bounded centroid side)
+    "ann_mmr_diversified",  # pool = the allowed brute force; rounds join tiny selected sets
 }
 
 
