@@ -79,3 +79,72 @@ def test_blocked_fuzzy_pairs_respects_block_and_threshold(spark):
     assert got == {("red gear", "tan gear")}
     (row,) = pairs
     assert row["distance"] == 3 and row["block"] == "gear"
+
+
+def test_merge_diff_round_trip_property(spark):
+    """Property (hypothesis): for arbitrary small target/source tables,
+    applying the diff of (old -> merge(old, src)) to a pure-Python
+    model of MERGE reproduces the merged snapshot, and diff classifies
+    every key exactly as the model says. Spark is the system under
+    test; the model is 10 lines of Python."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    keys = st.integers(0, 6)
+    vals = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+
+    @st.composite
+    def tables(draw):
+        tkeys = draw(st.sets(keys, max_size=5))
+        skeys = draw(st.sets(keys, max_size=5))
+        target = [(k, draw(vals), draw(st.integers(0, 3))) for k in sorted(tkeys)]
+        source = [
+            (k, draw(vals), draw(st.integers(0, 3)), draw(st.booleans()))
+            for k in sorted(skeys)
+        ]
+        return target, source
+
+    @settings(max_examples=12, deadline=None)
+    @given(tables())
+    def check(tb):
+        target_rows, source_rows = tb
+        target = spark.createDataFrame(target_rows, "k long, v string, n long") \
+            if target_rows else spark.createDataFrame([], "k long, v string, n long")
+        source = spark.createDataFrame(
+            source_rows, "k long, v string, n long, del boolean"
+        ) if source_rows else spark.createDataFrame(
+            [], "k long, v string, n long, del boolean"
+        )
+        got = {
+            r["k"]: (r["v"], r["n"])
+            for r in merge_upsert(target, source, ["k"], delete_col="del").collect()
+        }
+        # pure-Python MERGE model
+        model = {k: (v, n) for k, v, n in target_rows}
+        for k, v, n, dele in source_rows:
+            if dele:
+                model.pop(k, None)
+            else:
+                model[k] = (v, n)
+        assert got == model, (target_rows, source_rows)
+
+        changes = {
+            r["k"]: r["change"]
+            for r in snapshot_diff(
+                target,
+                merge_upsert(target, source, ["k"], delete_col="del"),
+                ["k"],
+            ).collect()
+        }
+        old = {k: (v, n) for k, v, n in target_rows}
+        expect = {}
+        for k in set(old) | set(model):
+            if k not in old:
+                expect[k] = "insert"
+            elif k not in model:
+                expect[k] = "delete"
+            elif old[k] != model[k]:
+                expect[k] = "update"
+        assert changes == expect, (target_rows, source_rows)
+
+    check()
