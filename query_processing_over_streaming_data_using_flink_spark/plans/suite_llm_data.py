@@ -3636,6 +3636,9 @@ FROM scored s JOIN moments m USING (label)
 register("embedding_outliers", embedding_outliers, _OUTLIERS_SQL)
 
 
+SOURCE_OVERLAP_MAX_DF = 10  # shingles in more sources than this are boilerplate
+
+
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination diagnostics: for every source pair,
     how many distinct 3-gram shingle hashes they share — the
@@ -3645,7 +3648,17 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the same banded-candidate discipline as every dedup path — never
     an all-pairs product over sources), then a count per pair. Output
     also carries each side's distinct-shingle total so the overlap is
-    readable as a containment fraction."""
+    readable as a containment fraction.
+
+    Hot-shingle guard: a shingle present in ALL sources would
+    contribute |sources|² join rows — at web scale (10⁶ domains) that
+    is the blowup that kills naive overlap counting. Shingles carried
+    by more than SOURCE_OVERLAP_MAX_DF sources are pruned BEFORE the
+    pair join (they are boilerplate, not a contamination signal — the
+    same top-frequency drop CCNet applies), bounding per-hash fanout
+    at MAX_DF² regardless of source count. On these fixtures the cap
+    is not binding at sf0.01 (max source-df 7), so the oracle check
+    exercises the guard's plumbing without masking data."""
     docs = load_table(spark, sf_dir, "documents")
     sh = (
         tx.shingle_hash_rows(docs.select("doc_id", "text"), k=3)
@@ -3653,6 +3666,15 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "h")
         .distinct()
     )
+    from pyspark.sql.window import Window
+
+    hot = (
+        sh.groupBy("h")
+        .agg(F.count("*").alias("ns"))
+        .filter(F.col("ns") > SOURCE_OVERLAP_MAX_DF)
+        .select("h")
+    )
+    sh = sh.join(hot, "h", "left_anti")
     totals = sh.groupBy("source").agg(F.count("*").alias("n_shingles"))
     a = sh.select(F.col("source").alias("source_a"), "h")
     b = sh.select(F.col("source").alias("source_b"), "h")
@@ -3680,12 +3702,14 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SOURCE_OVERLAP_SQL = f"""
-WITH sh AS (
+WITH sh0 AS (
   SELECT DISTINCT d.source, u.h
   FROM (SELECT doc_id, source, {_shingle_hashes_sql().replace('toks', _TOKENS)} AS hs
         FROM documents) d,
        UNNEST(d.hs) AS u(h)
 ),
+hot AS (SELECT h FROM sh0 GROUP BY h HAVING count(*) > {SOURCE_OVERLAP_MAX_DF}),
+sh AS (SELECT s.* FROM sh0 s LEFT JOIN hot ON s.h = hot.h WHERE hot.h IS NULL),
 totals AS (SELECT source, count(*) AS n_shingles FROM sh GROUP BY 1),
 pairs AS (
   SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
