@@ -3666,8 +3666,6 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "h")
         .distinct()
     )
-    from pyspark.sql.window import Window
-
     hot = (
         sh.groupBy("h")
         .agg(F.count("*").alias("ns"))
