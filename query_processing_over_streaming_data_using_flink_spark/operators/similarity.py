@@ -836,7 +836,14 @@ def mmr_select(
     rows per query on the selected side), and one per-query argmax
     window — all distributed, nothing driver-side except the round
     counter. Ties break on n_id; the empty-set penalty is 0, so round
-    1's score is λ·sim. Returns (q_id, n_id, sel_round, score)."""
+    1's score is λ·sim. Returns (q_id, n_id, sel_round, score).
+
+    Lineage discipline: each round references the previous selected set
+    TWICE (anti-join + redundancy aggregate), so without truncation the
+    plan tree doubles per round and the DRIVER (not the executors) dies
+    formatting it — `localCheckpoint` on the pool and on every round's
+    selected set keeps plan depth constant (the `dedup_clusters`
+    pattern)."""
     pool = (
         knn_bruteforce(embeddings, queries, k=k_pool)
         .select("q_id", "n_id", "sim")
@@ -847,7 +854,7 @@ def mmr_select(
             ),
             "n_id",
         )
-        .persist()
+        .localCheckpoint()
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("mmr"), F.asc("n_id"))
     selected = (
@@ -858,7 +865,7 @@ def mmr_select(
             "q_id", "n_id", F.lit(1).alias("sel_round"), F.col("mmr").alias("score"),
             F.col("d_vec").alias("s_vec"),
         )
-        .persist()
+        .localCheckpoint()
     )
     for rnd in range(2, k_select + 1):
         rem = pool.join(
@@ -884,7 +891,7 @@ def mmr_select(
                 F.col("mmr").alias("score"), F.col("d_vec").alias("s_vec"),
             )
         )
-        selected = selected.unionByName(pick).persist()
+        selected = selected.unionByName(pick).localCheckpoint()
     return selected.select(
         "q_id", "n_id", "sel_round", F.round("score", 6).alias("score")
     )
