@@ -119,13 +119,15 @@ def perplexity(
         F.count("*").alias("n_scored"),
         F.sum("lp_micro").alias("lp_sum_micro"),
     )
+    # One division, mirroring the oracle's exp(-s / (n * 1e6)) shape
+    # exactly — a divide-twice rendering can differ in the last ulp and
+    # flip the 6th rounded decimal on a boundary value.
     return per_doc.withColumn(
         "ppl",
         F.round(
             F.exp(
                 -F.col("lp_sum_micro").cast("double")
-                / F.col("n_scored").cast("double")
-                / F.lit(float(MICRO))
+                / (F.col("n_scored").cast("double") * F.lit(float(MICRO)))
             ),
             6,
         ),

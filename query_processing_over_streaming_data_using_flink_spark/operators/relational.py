@@ -222,17 +222,22 @@ def merge_upsert(
         *[F.col(k).alias(f"__tk_{k}") for k in keys],
         *[F.col(c).alias(f"__t_{c}") for c in data_cols],
     )
+    # Explicit presence marker (the snapshot_diff pattern): the delete
+    # flag itself is NOT a presence signal — CDC feeds routinely carry
+    # NULL there meaning "not a delete", and conflating the two would
+    # drop such updates and null out such inserts.
     s = src.select(
         *[F.col(k).alias(f"__sk_{k}") for k in keys],
         *[F.col(c).alias(f"__s_{c}") for c in data_cols],
-        "__del",
+        F.coalesce(F.col("__del"), F.lit(False)).alias("__del"),
+        F.lit(True).alias("__src"),
     )
     cond = None
     for k in keys:
         eq = F.col(f"__tk_{k}") == F.col(f"__sk_{k}")
         cond = eq if cond is None else cond & eq
     joined = t.join(s, cond, "full_outer")
-    matched = F.col("__del").isNotNull()  # source row present
+    matched = F.col("__src").isNotNull()  # source row present
     kept = joined.filter(~matched | ~F.col("__del"))
     out_cols = [
         F.coalesce(F.col(f"__sk_{k}"), F.col(f"__tk_{k}")).alias(k) for k in keys

@@ -3564,21 +3564,17 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     analogue of the text quality gates. Two narrow shuffles: the
     (label, dim) centroid aggregate (broadcast back), then the
     per-label moment aggregate (broadcast back)."""
-    q = 1 << 20
     emb = load_table(spark, sf_dir, "embeddings")
-    comp = emb.select(
-        "vec_id", "label",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
-    )
-    sums = comp.groupBy("label", "dim").agg(
-        F.sum(F.floor(F.col("x") * q).cast("long")).alias("s")
-    )
-    cents = sums.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "s"))),
-            lambda t: t["s"].cast("double"),
-        ).alias("cvec")
-    )
+    # The centroid aggregate IS similarity._centroid_sums (the IVF
+    # quantizer's own training step, same IVF_QUANT constant), keyed by
+    # label instead of cell — reusing it keeps the two families'
+    # determinism discipline one piece of code.
+    cents = sim._centroid_sums(
+        emb.select(
+            F.col("label").alias("cell"),
+            F.col("embedding").cast("array<double>").alias("vec"),
+        )
+    ).withColumnRenamed("cell", "label")
     vecs = emb.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
     )
@@ -3612,7 +3608,7 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OUTLIERS_SQL = f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
 comp AS (
-  SELECT label, t.i - 1 AS dim, sum(CAST(floor(vec[t.i] * {1 << 20}) AS BIGINT)) AS s
+  SELECT label, t.i - 1 AS dim, sum(CAST(floor(vec[t.i] * {sim.IVF_QUANT}) AS BIGINT)) AS s
   FROM e, unnest(range(1, len(vec) + 1)) AS t(i) GROUP BY 1, 2
 ),
 cents AS (SELECT label, list(s::DOUBLE ORDER BY dim) AS cvec FROM comp GROUP BY label),

@@ -137,8 +137,7 @@ def classify_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NB_SQL = f"""
-WITH tok AS (
+_NB_CHAIN_SQL = f"""tok AS (
   SELECT doc_id, lang, unnest({_TOKENS}) AS term FROM documents
 ),
 train_tok AS (SELECT lang AS label, term FROM tok WHERE doc_id % 2 = 0),
@@ -173,7 +172,10 @@ scored AS (
            + CAST(floor(ln(cl.n_docs * 1.0 / st.n_train) * {lm.MICRO}) AS BIGINT)
            AS score_micro
   FROM per_class p JOIN classes cl USING (label) CROSS JOIN st
-),
+)"""
+
+_NB_SQL = f"""
+WITH {_NB_CHAIN_SQL},
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY doc_id
                                ORDER BY score_micro DESC, label) AS rk
@@ -304,10 +306,11 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-1 window. At 10⁹ vectors the scored side swaps to the IVF/SQ8
     index; the mining logic (cross-label top-1) is unchanged."""
     from query_processing_over_streaming_data_using_flink_spark.operators import similarity as sim
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import _N_QUERIES
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 20).select(
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").cast("array<double>").alias("q_vec"),
         F.col("label").alias("q_label"),
@@ -336,14 +339,14 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hardneg_sql() -> str:
-    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import _cosine_sql
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import _N_QUERIES, _cosine_sql
 
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec, label FROM embeddings),
 scored AS (
   SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id AS n_id,
          c.label AS neg_label, {_cosine_sql('q.vec', 'c.vec')} AS sim
-  FROM (SELECT * FROM e WHERE vec_id < 20) q
+  FROM (SELECT * FROM e WHERE vec_id < {_N_QUERIES}) q
   JOIN e c ON q.vec_id <> c.vec_id AND q.label <> c.label
 ),
 ranked AS (
@@ -394,45 +397,15 @@ def sample_uncertain_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _margin_sql() -> str:
-    # Reuse the NB scoring chain, then top-2 margin per doc and the
-    # global k smallest margins.
+    # Built on the SAME scoring chain as the classifier oracle
+    # (_NB_CHAIN_SQL) — one text, no drift between the two queries'
+    # view of the model.
     return f"""
-WITH tok AS (
-  SELECT doc_id, lang, unnest({_TOKENS}) AS term FROM documents
-),
-train_tok AS (SELECT lang AS label, term FROM tok WHERE doc_id % 2 = 0),
-tc AS (SELECT label, term, count(*) AS c FROM train_tok GROUP BY 1, 2),
-tot AS (SELECT label, CAST(sum(c) AS BIGINT) AS tot FROM tc GROUP BY 1),
-dc AS (
-  SELECT lang AS label, count(*) AS n_docs
-  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
-),
-st AS (
-  SELECT (SELECT count(DISTINCT term) FROM train_tok) AS v,
-         (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS n_train
-),
-classes AS (SELECT tot.label, tot.tot, dc.n_docs FROM tot JOIN dc USING (label)),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-expanded AS (
-  SELECT tf.doc_id, cl.label, cl.n_docs,
-         tf.tf * CAST(floor(ln((coalesce(tc.c, 0) + 1.0) / (cl.tot + st.v))
-                            * {lm.MICRO}) AS BIGINT) AS lp
-  FROM tf
-  CROSS JOIN classes cl
-  LEFT JOIN tc ON tc.term = tf.term AND tc.label = cl.label
-  CROSS JOIN st
-),
-per_class AS (
-  SELECT e.doc_id, e.label,
-         CAST(sum(e.lp) AS BIGINT)
-           + CAST(floor(ln(any_value(e.n_docs) * 1.0 / (SELECT n_train FROM st))
-                        * {lm.MICRO}) AS BIGINT) AS score_micro
-  FROM expanded e GROUP BY e.doc_id, e.label
-),
+WITH {_NB_CHAIN_SQL},
 top2 AS (
   SELECT *, row_number() OVER (PARTITION BY doc_id
                                ORDER BY score_micro DESC, label) AS rk
-  FROM per_class
+  FROM scored
 ),
 margins AS (
   SELECT doc_id,
@@ -458,10 +431,13 @@ def curation_pipeline_model_gated(spark: SparkSession, sf_dir: str) -> DataFrame
     kills the cheap garbage), the bigram-LM perplexity gate second,
     exact-dedup canonical selection third, and the Naive Bayes
     classifier last (routing surviving docs to per-domain buckets) —
-    the production ordering: each stage shrinks the next stage's
-    input, the expensive model stages never see what the rules killed.
-    All four stages are the REGISTERED operators composed by doc_id
-    equi-joins, and the oracle replays the entire composition."""
+    the production ORDER. For oracle replayability this rendering
+    conjoins the four REGISTERED operators by doc_id equi-joins, so
+    every stage scans the full corpus here (staged short-circuiting
+    would also change what the NB/LM models train on and break the
+    per-stage oracles); the staged input-shrinking composition — each
+    gate filtering before the next, the form you deploy for cost — is
+    `scripts/curate_demo.py`, built from the same operators."""
     from query_processing_over_streaming_data_using_flink_spark.operators import dedup as dd
 
     docs = load_table(spark, sf_dir, "documents")
@@ -628,7 +604,11 @@ def er_resolve_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     names = part.select(F.col("p_name").alias("doc_id")).distinct()
     pairs = blocked_fuzzy_pairs(
-        part, "p_name", F.split(F.col("p_name"), " ").getItem(1), max_distance=3
+        part,
+        "p_name",
+        # '' (not NULL) for one-word names — mirrors DuckDB's split_part
+        F.coalesce(F.get(F.split(F.col("p_name"), " "), 1), F.lit("")),
+        max_distance=3,
     ).select(F.col("name_a").alias("doc_a"), F.col("name_b").alias("doc_b"))
     clusters = dd.dedup_clusters(names, pairs)
     n_records = part.groupBy(F.col("p_name").alias("doc_id")).agg(

@@ -1513,10 +1513,14 @@ def er_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     The quadratic comparison runs only inside a block; the name table
     is vocabulary-bounded regardless of corpus row count."""
     part = load_table(spark, sf_dir, "part")
+    # coalesce to '' for one-word names: DuckDB's split_part returns ''
+    # out of range while Spark's getItem(1) returns NULL, and NULL
+    # blocks would silently never join — '' keeps both engines (and
+    # one-word names) comparable.
     return blocked_fuzzy_pairs(
         part,
         "p_name",
-        F.split(F.col("p_name"), " ").getItem(1),
+        F.coalesce(F.get(F.split(F.col("p_name"), " "), 1), F.lit("")),
         max_distance=ER_MAX_DISTANCE,
     )
 

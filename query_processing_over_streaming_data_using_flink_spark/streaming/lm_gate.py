@@ -98,6 +98,23 @@ def run_streaming_lm_train(
     return pipe
 
 
+def _check_fresh_out_dir(out_dir: str, checkpoint_dir: str | None) -> None:
+    """Refuse a pre-populated output directory on a fresh run: each
+    epoch overwrites only its own `epoch=N/`, so re-running into an old
+    out_dir with different batching (or a different frozen model) would
+    leave STALE higher-numbered epochs in the returned union. With a
+    checkpoint the stream resumes its own epoch sequence and existing
+    dirs are its own prior output — allowed."""
+    import glob as _glob
+
+    if checkpoint_dir is None and _glob.glob(os.path.join(out_dir, "epoch=*")):
+        raise ValueError(
+            f"out_dir {out_dir!r} already holds epoch=* outputs from a "
+            "previous run; pass a fresh directory (or the original "
+            "checkpoint_dir to resume that run)"
+        )
+
+
 def run_streaming_ppl_gate(
     spark: SparkSession,
     docs_dir: str,
@@ -113,6 +130,7 @@ def run_streaming_ppl_gate(
     state accrues. Each epoch writes `epoch=N/` with overwrite, so a
     redelivered epoch rewrites the same rows (idempotent). Returns the
     union of all gated outputs."""
+    _check_fresh_out_dir(out_dir, checkpoint_dir)
     big, ctx, vocab = model
     static = spark.read.parquet(docs_dir)
 
@@ -155,6 +173,7 @@ def run_streaming_nb_router(
     output is written `epoch=N/` with overwrite (idempotent under
     redelivery). Zero streaming state; the model never moves. Returns
     the union of all routed outputs."""
+    _check_fresh_out_dir(out_dir, checkpoint_dir)
     term_counts, class_totals, stats = model
     static = spark.read.parquet(docs_dir)
 

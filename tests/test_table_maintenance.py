@@ -99,7 +99,9 @@ def test_merge_diff_round_trip_property(spark):
         skeys = draw(st.sets(keys, max_size=5))
         target = [(k, draw(vals), draw(st.integers(0, 3))) for k in sorted(tkeys)]
         source = [
-            (k, draw(vals), draw(st.integers(0, 3)), draw(st.booleans()))
+            # delete flag may be NULL — CDC semantics: NULL == not-delete
+            (k, draw(vals), draw(st.integers(0, 3)),
+             draw(st.one_of(st.none(), st.booleans())))
             for k in sorted(skeys)
         ]
         return target, source
@@ -122,7 +124,7 @@ def test_merge_diff_round_trip_property(spark):
         # pure-Python MERGE model
         model = {k: (v, n) for k, v, n in target_rows}
         for k, v, n, dele in source_rows:
-            if dele:
+            if dele:  # None and False both mean upsert
                 model.pop(k, None)
             else:
                 model[k] = (v, n)
@@ -148,3 +150,30 @@ def test_merge_diff_round_trip_property(spark):
         assert changes == expect, (target_rows, source_rows)
 
     check()
+
+
+def test_merge_upsert_null_delete_flag_means_not_delete(spark):
+    """CDC feeds carry NULL delete flags meaning 'not a delete': a NULL
+    flag must behave exactly like false (update applies, insert lands
+    with its values), never like row-absence."""
+    target = _snap(spark, [(1, "a", 10)])
+    source = spark.createDataFrame(
+        [(1, "A", 11, None), (2, "b", 20, None)],
+        "k long, v string, n long, del boolean",
+    )
+    out = {
+        r["k"]: (r["v"], r["n"])
+        for r in merge_upsert(target, source, ["k"], delete_col="del").collect()
+    }
+    assert out == {1: ("A", 11), 2: ("b", 20)}
+
+
+def test_blocked_fuzzy_pairs_handles_one_word_names(spark):
+    """One-word names share the '' block (mirroring DuckDB's
+    split_part) instead of a NULL block that can never join."""
+    df = spark.createDataFrame([("bolt",), ("bolts",), ("red gear",)], "name string")
+    pairs = blocked_fuzzy_pairs(
+        df, "name", F.coalesce(F.get(F.split(F.col("name"), " "), 1), F.lit("")),
+        max_distance=2,
+    ).collect()
+    assert {(r["name_a"], r["name_b"]) for r in pairs} == {("bolt", "bolts")}
