@@ -72,6 +72,21 @@ def main() -> int:
         if ONLY is not None and name not in ONLY:
             continue
         t0 = time.time()
+        # One query crashing (driver OOM, analysis error) must produce a
+        # red row, not kill the remaining sweep — found the hard way when
+        # an exponential plan tree OOMed the driver mid-sweep (round 8).
+        try:
+            _check_one(spark, con, oracles, name, fn, failures, t0)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            msg = str(exc).splitlines()[0][:200] if str(exc) else type(exc).__name__
+            print(f"  {name}: ERROR — {msg}")
+    print(f"{'FAIL: ' + ','.join(failures) if failures else 'ALL MATCH'} "
+          f"({len(qs)} queries, {len(oracles)} with oracles)")
+    return 1 if failures else 0
+
+
+def _check_one(spark, con, oracles, name, fn, failures, t0) -> None:
         sdf = fn(spark, SF_DIR)
         # Schema lint (round-4 lesson): the round driver canonicalizes
         # results with pandas sort/factorize, which throws on list-valued
@@ -84,12 +99,12 @@ def main() -> int:
             failures.append(name)
             print(f"  {name}: SCHEMA LINT FAIL — top-level complex column(s) "
                   f"{complex_cols}; emit long format or to_json()")
-            continue
+            return
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
         if name not in oracles:
             print(f"  {name}: rows-only, {len(srows)} rows ({time.time()-t0:.1f}s)")
-            continue
+            return
         rel = con.sql(oracles[name])
         dcols, drows = list(rel.columns), rel.fetchall()
         # Type lint (round-1 lesson): DuckDB un-cast integer sum() yields
@@ -105,7 +120,7 @@ def main() -> int:
         if bad_types:
             failures.append(name)
             print(f"  {name}: ORACLE TYPE LINT FAIL — un-cast HUGEINT column(s) {bad_types}; wrap in CAST(... AS BIGINT)")
-            continue
+            return
         so = sorted(range(len(scols)), key=lambda i: scols[i])
         do = sorted(range(len(dcols)), key=lambda i: dcols[i])
         sn = sorted([tuple(norm(r[i]) for i in so) for r in srows], key=repr)
@@ -119,9 +134,6 @@ def main() -> int:
             for a, b in list(zip(sn, dn))[:3]:
                 if a != b:
                     print(f"    spark={a}\n    duck ={b}")
-    print(f"{'FAIL: ' + ','.join(failures) if failures else 'ALL MATCH'} "
-          f"({len(qs)} queries, {len(oracles)} with oracles)")
-    return 1 if failures else 0
 
 
 if __name__ == "__main__":
