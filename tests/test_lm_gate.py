@@ -114,3 +114,31 @@ def test_streaming_nb_router_equals_batch_classification(spark, docs_dir, tmp_pa
         for r in lm.nb_classify(docs, *model).collect()
     }
     assert got == expect and len(got) == docs.count()
+
+
+def test_incremental_lm_restarts_from_state(spark, tmp_path):
+    """Recreating the pipeline over an existing state dir must resume
+    exactly: earlier epochs' counts are recovered from disk, the next
+    epoch folds on top, and the final model equals batch training over
+    everything ingested."""
+    import os
+
+    d1 = spark.createDataFrame(
+        [(0, "the cat sat", "en")], "doc_id long, text string, lang string"
+    )
+    d2 = spark.createDataFrame(
+        [(1, "a dog ran", "en")], "doc_id long, text string, lang string"
+    )
+    state = str(tmp_path / "state")
+    pipe = IncrementalBigramLM(spark, state)
+    pipe.process_batch(d1, 1)
+    del pipe
+
+    resumed = IncrementalBigramLM(spark, state)  # fresh object, same dir
+    resumed.process_batch(d2, 2)
+    got = _model_rows(resumed.model())
+    expect = _model_rows(lm.bigram_lm_train(d1.unionByName(d2)))
+    assert got == expect
+    # replaying epoch 1 against the resumed pipeline is still a no-op
+    resumed.process_batch(d1, 1)
+    assert _model_rows(resumed.model()) == expect
