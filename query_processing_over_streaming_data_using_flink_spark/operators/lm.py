@@ -134,7 +134,26 @@ def perplexity(
     )
 
 
-def nb_train(train_docs: DataFrame, label_col: str, text_col: str = "text"):
+def char_trigrams(c: Column) -> Column:
+    """Character 3-gram features (the fastText-style feature set): far
+    stronger than word features for language ID because scripts and
+    orthography live at the character level. Guarded for len < 3 —
+    Spark's sequence(1, 0) would DESCEND, not return empty."""
+    return F.when(
+        F.length(c) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - F.lit(2)),
+            lambda i: c.substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def nb_train(
+    train_docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    feature_fn=None,
+):
     """Fit a multinomial Naive Bayes model — three count tables:
 
     * term_counts (label, term, c): per-class term frequencies
@@ -144,9 +163,10 @@ def nb_train(train_docs: DataFrame, label_col: str, text_col: str = "text"):
     Training is two aggregations over the exploded token stream; the
     model is (classes × vocab)-bounded, broadcastable for small label
     sets and join-keyed on `term` otherwise."""
+    feats = feature_fn if feature_fn is not None else tx.tokens
     tok = train_docs.select(
         F.col(label_col).alias("label"),
-        F.explode(tx.tokens(F.col(text_col))).alias("term"),
+        F.explode(feats(F.col(text_col))).alias("term"),
     )
     term_counts = tok.groupBy("label", "term").agg(F.count("*").alias("c"))
     class_totals = term_counts.groupBy("label").agg(F.sum("c").alias("tot"))
@@ -166,6 +186,7 @@ def nb_scores(
     class_totals: DataFrame,
     stats: DataFrame,
     text_col: str = "text",
+    feature_fn=None,
 ) -> DataFrame:
     """Per-(doc_id, label) NB posterior scores:
     ln prior + Σ_t tf(t) · ln((c(label,t) + 1) / (tot_label + v)),
@@ -174,9 +195,13 @@ def nb_scores(
     the active-learning margin sampler (top-2 gap). Plan: doc term
     frequencies cross the small class-totals frame (broadcast;
     |classes| rows), left-join the term_counts model on (term, label),
-    aggregate on (doc_id, label)."""
+    aggregate on (doc_id, label). A document yielding ZERO features
+    (possible with custom feature_fn, e.g. char trigrams on len < 3)
+    has nothing to score and is absent from the output — route such
+    docs to a default bucket upstream."""
+    feats = feature_fn if feature_fn is not None else tx.tokens
     tf = docs.select(
-        "doc_id", F.explode(tx.tokens(F.col(text_col))).alias("term")
+        "doc_id", F.explode(feats(F.col(text_col))).alias("term")
     ).groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
 
     expanded = (
@@ -208,10 +233,11 @@ def nb_classify(
     class_totals: DataFrame,
     stats: DataFrame,
     text_col: str = "text",
+    feature_fn=None,
 ) -> DataFrame:
     """Apply the NB model: per-doc argmax of `nb_scores`, ties broken
     on label asc — fully order-independent."""
-    scored = nb_scores(docs, term_counts, class_totals, stats, text_col)
+    scored = nb_scores(docs, term_counts, class_totals, stats, text_col, feature_fn)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("doc_id").orderBy(

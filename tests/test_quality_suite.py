@@ -240,3 +240,25 @@ def test_split_assignment_is_stable_under_corpus_growth(spark, tmp_path):
     prefix = assign(full.filter(F.col("doc_id") < 20))
     whole = assign(full)
     assert all(whole[k] == v for k, v in prefix.items())
+
+
+def test_nb_custom_feature_fn_char_trigrams(spark):
+    """The NB train/apply chain accepts a custom feature extractor:
+    char trigrams separate scripts trivially, and the short-text guard
+    returns an empty feature array instead of a descending sequence."""
+    train = _docs(
+        spark,
+        [(0, "hello world wide", "en"), (1, "die der und das", "de")],
+    )
+    tc, ct, st = lm.nb_train(train, label_col="lang", feature_fn=lm.char_trigrams)
+    probe = _docs(spark, [(10, "worldly", "?"), (11, "und die", "?"), (12, "ab", "?")])
+    pred = {
+        r["doc_id"]: r["pred_label"]
+        for r in lm.nb_classify(probe, tc, ct, st, feature_fn=lm.char_trigrams).collect()
+    }
+    assert pred[10] == "en"
+    assert pred[11] == "de"
+    # len < 3: zero features -> the doc has nothing to score and is
+    # absent from the output (callers route feature-less docs to a
+    # default bucket), and nothing crashes
+    assert 12 not in pred
