@@ -32,76 +32,20 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # fully verified by scripts/verify_contract.py every round). Names not
 # listed keep registration order after the priority block.
 _PRIORITY_FIRST = [
-    # Round-7 prefix. Forced set (38 queries): the 2 r6 overflow-queue
-    # entries (never driver-checked), then the 36 queries whose last
-    # driver-green row is round 4 — exactly the 3-round staleness
-    # bound. New round-7 queries are inserted at the TOP as they land
-    # (never-checked ⇒ forced), each one displacing a filler from the
-    # tail block below.
-    # --- new in round 7 (never driver-checked):
-    "ann_ivfpq_rerank",
-    "dedup_exact_substring",
-    "dedup_substring_rewrite",
-    "dedup_cross_snapshot_substring",
-    "text_bpe_token_count",
-    "pack_sequences_bpe",
-    "mixture_bpe_token_budget",
-    "hilbert_events_clusters",
-    "ann_recall_ivfpq_rerank_vs_exact",
-    "ann_recall_ivf_nprobe_curve",
-    "agg_corr_regression",
-    "bpe_train_merges",
-    # --- r6 overflow queue, first in line as promised:
-    "ann_ivf_filtered",
-    "image_cross_format_near_dup",
-    # --- r4-last-green block (stale at the bound):
-    "q3_sql_stream",
-    "events_tumbling_hourly",
-    "events_sliding_30m_15m",
-    "events_session_window",
-    "attr_interval_join_pairs",
-    "attr_last_touch",
-    "enrich_segment_activity",
-    "join_salted_user_nation",
-    "rollup_hourly_daily",
-    "events_retention_cohorts",
-    "text_token_count",
-    "dedup_keep_best",
-    "sample_weighted_sources",
-    "chunk_documents_overlap",
-    "ann_recall_ivf_vs_exact",
-    "agg_events_by_type",
-    "agg_events_daily",
-    "sessionize_events",
-    "agg_grouping_sets_events",
-    "events_json_extract",
-    "events_to_json",
-    "pivot_event_counts",
-    "join_asof_purchase",
-    "resample_gap_fill",
-    "funnel_click_to_purchase",
-    "cdc_latest_per_key",
-    "dq_referential_integrity",
-    "dq_profile_orders",
-    "clean_winsorize_values",
-    "unpivot_lineitem_amounts",
-    "agg_filtered_counts",
-    "basket_part_pairs",
-    "orders_backlog_curve",
-    "approx_distinct_users",
-    "hll_union_daily_users",
-    "approx_quantiles_event_value",
-    # --- position 51: the explicit OVERFLOW QUEUE (r7 forced demand =
-    # 51 never-checked/stale queries for 50 slots; the rotation test
-    # requires overflow to be contiguous at 51+ and never-checked —
-    # this trained-tokenizer composition landed last and waits here,
-    # first in line for r8, fully verified by the local dual-scale
-    # sweep meanwhile).
+    # Round-9 prefix (positions 1–50). Policy (amended this round, see
+    # tests/test_entry_contract.py::test_registry_rotation_covers_stalest_queries):
+    # staleness is counted in LANDED CORRECTNESS files and the bound is
+    # dynamic ceil(N/50)+1 landed rounds. Forced set for r9 = the 20
+    # never-driver-checked queries (r7/r8 registrations certified so far
+    # only by the local dual-scale sweep + the round-8 judge's own
+    # oracle runs); the remaining 30 slots go to the stalest cohort
+    # (last driver-green in round 5). New round-9 queries are inserted
+    # at the TOP as they land, each displacing the last r5 filler into
+    # the front of the overflow queue below.
+    # --- new in round 9 (never driver-checked), uncommented as each
+    # lands with its oracle + dual-scale sweep MATCH:
+    # --- never driver-checked (registered r7/r8):
     "text_token_count_trained",
-    # --- new in round 8 (never driver-checked): the r7 CORRECTNESS
-    # file never landed, so the whole r7 forced set still occupies the
-    # 50-slot prefix and new queries queue contiguously behind it (the
-    # rotation test's overflow rule: contiguous at 51+, never-checked).
     "text_perplexity_filter",
     "classify_naive_bayes_lang",
     "text_gopher_rules",
@@ -121,9 +65,66 @@ _PRIORITY_FIRST = [
     "embedding_outliers",
     "source_overlap_matrix",
     "ann_mmr_diversified",
+    # --- r5-last-green block (stalest certified cohort):
+    "q3_shipping_priority",
+    "ann_bruteforce",
+    "ann_lsh",
+    "ann_ivf",
+    "filter_project_customer",
+    "filter_dates_orders",
+    "join_orders_lineitem_revenue",
+    "agg_lineitem_pricing_summary",
+    "window_running_totals",
+    "scalar_expressions",
+    "changelog_build",
+    "changelog_state_counts",
+    "embedding_label_centroids",
+    "ann_recall_lsh_vs_exact",
+    "tfidf_top_terms",
+    "bm25_search",
+    "doc_ngram_novelty",
+    "hybrid_search_rrf",
+    "embedding_quantize_int8",
+    "events_twa_daily",
+    "events_daily_anomalies",
+    "cm_sketch_heavy_hitters",
+    "graph_pagerank_parts",
+    "minhash_estimate_quality",
+    "multimodal_real_roundtrip",
+    "events_moving_7d_avg",
+    "mixture_token_budget",
+    # --- position 51+: the OVERFLOW QUEUE — the rest of the r5-green
+    # cohort (incl. fillers displaced by new r9 registrations above),
+    # contiguous and first in line for the round-10 prefix; all remain
+    # verified by the local dual-scale sweep every round meanwhile.
+    "embedding_covariance",
+    "embedding_pca_power_iter",
+    "changelog_monthly_revenue_state",
+    "mixture_temperature_sampling",
+    "embedding_top_pc_projection",
+    "corpus_quality_report",
+    "dedup_cross_snapshot",
+    "q17_small_quantity_revenue",
+    "join_range_price_tiers",
+    "topk_orders_per_segment",
+    "agg_median_order_price",
+    "agg_rollup_orders",
+    "agg_cube_lineitem",
+    "join_semi_anti",
+    "join_outer_order_counts",
+    "join_snowflake_dims",
+    "multimodal_meta",
+    "curation_pipeline",
+    "token_frequencies",
+    "text_repetition",
+    "dedup_clusters_ngram",
+    "decontaminate_eval_overlap",
+    "sample_stratified_lang",
 ]
 _PUSH_LAST = [
-    # Driver-green in round 6 (the full r6 prefix came back 50/50):
+    # Driver-green in round 6 (staleness 2 landed rounds — the queue
+    # rule requires non-increasing staleness, so this cohort precedes
+    # the round-8-green block below):
     "dedup_cross_snapshot_minhash",
     "image_phash_near_dup",
     "image_dedup_keep_best",
@@ -174,47 +175,58 @@ _PUSH_LAST = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    # Driver-green in round 5 (CORRECTNESS_r05, fresh certification;
-    # scripts/verify_contract.py still checks them every round) — safe
-    # past the 50-entry cap.
-    "embedding_label_centroids",
-    "ann_recall_lsh_vs_exact",
-    "tfidf_top_terms",
-    "bm25_search",
-    "doc_ngram_novelty",
-    "hybrid_search_rrf",
-    "embedding_quantize_int8",
-    "events_twa_daily",
-    "events_daily_anomalies",
-    "cm_sketch_heavy_hitters",
-    "graph_pagerank_parts",
-    "minhash_estimate_quality",
-    "multimodal_real_roundtrip",
-    "events_moving_7d_avg",
-    "mixture_token_budget",
-    "embedding_covariance",
-    "embedding_pca_power_iter",
-    "changelog_monthly_revenue_state",
-    "mixture_temperature_sampling",
-    "embedding_top_pc_projection",
-    "corpus_quality_report",
-    "dedup_cross_snapshot",
-    "q17_small_quantity_revenue",
-    "join_range_price_tiers",
-    "topk_orders_per_segment",
-    "agg_median_order_price",
-    "agg_rollup_orders",
-    "agg_cube_lineitem",
-    "join_semi_anti",
-    "join_outer_order_counts",
-    "join_snowflake_dims",
-    "multimodal_meta",
-    "curation_pipeline",
-    "token_frequencies",
-    "text_repetition",
-    "dedup_clusters_ngram",
-    "decontaminate_eval_overlap",
-    "sample_stratified_lang",
+    # Driver-green in round 8 (the full r8 prefix came back 50/50 —
+    # freshest cohort, staleness 1, so it sits at the very tail):
+    "ann_ivfpq_rerank",
+    "dedup_exact_substring",
+    "dedup_substring_rewrite",
+    "dedup_cross_snapshot_substring",
+    "text_bpe_token_count",
+    "pack_sequences_bpe",
+    "mixture_bpe_token_budget",
+    "hilbert_events_clusters",
+    "ann_recall_ivfpq_rerank_vs_exact",
+    "ann_recall_ivf_nprobe_curve",
+    "agg_corr_regression",
+    "bpe_train_merges",
+    "ann_ivf_filtered",
+    "image_cross_format_near_dup",
+    "q3_sql_stream",
+    "events_tumbling_hourly",
+    "events_sliding_30m_15m",
+    "events_session_window",
+    "attr_interval_join_pairs",
+    "attr_last_touch",
+    "enrich_segment_activity",
+    "join_salted_user_nation",
+    "rollup_hourly_daily",
+    "events_retention_cohorts",
+    "text_token_count",
+    "dedup_keep_best",
+    "sample_weighted_sources",
+    "chunk_documents_overlap",
+    "ann_recall_ivf_vs_exact",
+    "agg_events_by_type",
+    "agg_events_daily",
+    "sessionize_events",
+    "agg_grouping_sets_events",
+    "events_json_extract",
+    "events_to_json",
+    "pivot_event_counts",
+    "join_asof_purchase",
+    "resample_gap_fill",
+    "funnel_click_to_purchase",
+    "cdc_latest_per_key",
+    "dq_referential_integrity",
+    "dq_profile_orders",
+    "clean_winsorize_values",
+    "unpivot_lineitem_amounts",
+    "agg_filtered_counts",
+    "basket_part_pairs",
+    "orders_backlog_curve",
+    "approx_distinct_users",
+    "hll_union_daily_users",
+    "approx_quantiles_event_value",
 ]
 
 
