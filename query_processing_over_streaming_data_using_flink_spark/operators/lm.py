@@ -134,6 +134,161 @@ def perplexity(
     )
 
 
+def doc_trigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Explode each document into its (u, v, w) trigram stream with two
+    BOS sentinels prepended — one map-side pass, no shuffle. Like
+    `doc_bigrams`, a document with n tokens yields exactly n scored
+    positions, so bigram and trigram gates stay count-comparable."""
+    arr = F.concat(F.array(F.lit(BOS), F.lit(BOS)), tx.tokens(F.col(text_col)))
+    tris = F.expr(
+        "transform(sequence(2, size(arr) - 1), "
+        "i -> struct(arr[i - 2] AS u, arr[i - 1] AS v, arr[i] AS w))"
+    )
+    return (
+        docs.withColumn("arr", arr)
+        .withColumn("tri", F.explode(tris))
+        .select(
+            *docs.columns,
+            F.col("tri.u").alias("u"),
+            F.col("tri.v").alias("v"),
+            F.col("tri.w").alias("w"),
+        )
+    )
+
+
+# Absolute discount for the Kneser-Ney LM, held as an exact rational
+# (D = KN_D_NUM / KN_D_DEN = 3/4) so every interpolated probability is
+# itself a ratio of two 64-bit integers — the engine/oracle hash match
+# then certifies the full KN arithmetic, not a float approximation.
+KN_D_NUM = 3
+KN_D_DEN = 4
+
+
+def kn_trigram_train(train_docs: DataFrame, text_col: str = "text"):
+    """Fit an interpolated Kneser-Ney trigram LM (the CCNet/RedPajama
+    perplexity-gate methodology, vs the add-one bigram in
+    `bigram_lm_train`). Returns six count DataFrames — the model is
+    data, mergeable, and joins on its natural n-gram keys:
+
+    * t3   (u, v, w) → c3            raw trigram counts
+    * t2   (u, v)    → c2, n1p2      trigram-context total + distinct
+                                      continuation types N1+(u v ·)
+    * b2   (v, w)    → cont2         continuation bigram count
+                                      N1+(· v w): in how many distinct
+                                      left contexts u does (v w) occur —
+                                      THE Kneser-Ney idea ("Francisco"
+                                      is frequent but only ever follows
+                                      "San", so its continuation count
+                                      is tiny and it scores poorly in
+                                      novel contexts)
+    * b2c  (v)       → ctx2, n1p1    continuation context total
+                                      Σ_w cont2(v, w) + distinct types
+    * u1   (w)       → cont1         unigram continuation count
+                                      N1+(· w) over bigram types
+    * stats 1-row    → bt, vs        total distinct bigram types and
+                                      vocabulary size (broadcast side)
+
+    Everything is two shuffles deep (trigram keys, then rollups); no
+    text survives past tokenization."""
+    tri = doc_trigrams(train_docs, text_col).select("u", "v", "w")
+    t3 = tri.groupBy("u", "v", "w").agg(F.count("*").alias("c3"))
+    t2 = t3.groupBy("u", "v").agg(
+        F.sum("c3").alias("c2"), F.count("*").alias("n1p2")
+    )
+    b2 = t3.groupBy("v", "w").agg(F.count("*").alias("cont2"))
+    b2c = b2.groupBy("v").agg(
+        F.sum("cont2").alias("ctx2"), F.count("*").alias("n1p1")
+    )
+    u1 = b2.groupBy("w").agg(F.count("*").alias("cont1"))
+    stats = u1.agg(
+        F.sum("cont1").alias("bt"), F.count("*").alias("vs")
+    )
+    return t3, t2, b2, b2c, u1, stats
+
+
+def kn_perplexity(
+    docs: DataFrame,
+    t3: DataFrame,
+    t2: DataFrame,
+    b2: DataFrame,
+    b2c: DataFrame,
+    u1: DataFrame,
+    stats: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document under the interpolated KN trigram LM.
+
+    Per position, with discount D = 3/4 kept rational, each order's
+    probability is a ratio of 64-bit integers (a_k / b_k):
+
+        a1 / b1 = (cont1(w) + 1) / (bt + vs + 1)        add-one over
+                  continuation counts; the +1 in the denominator is
+                  the implicit OOV type's mass
+        a2 / b2 = [max(4·cont2 − 3, 0)·b1 + 3·n1p1·a1] / (4·ctx2·b1)
+                  if v was ever a context, else a1 / b1
+        a3 / b3 = [max(4·c3 − 3, 0)·b2 + 3·n1p2·a2] / (4·c2·b2)
+                  if (u, v) was ever a context, else a2 / b2
+
+    i.e. P₃ = (c3 − D)₊/c2 + D·N1+(u v ·)/c2 · P₂ with the fractions
+    multiplied out, so lp_micro = floor(ln(a3/b3)·1e6) is a pure
+    function of an integer tuple — bit-equal in DuckDB (same int64 →
+    double rounding, same IEEE division) exactly like `_lp_micro`.
+
+    Plan: the corpus explodes to its trigram stream and equi-joins the
+    six model tables on their natural keys ((u,v,w), (u,v), (v,w),
+    (v), (w)) — model sides are vocabulary-bounded, the corpus streams
+    through once; the 1-row stats frame broadcasts. Integer range: all
+    products stay under ~4·c2·ctx2·(bt+vs) ≈ 10¹⁶ at these SFs; at
+    true corpus scale swap the rational chain for float interpolation
+    (the gate doesn't need cross-engine bit equality in production)."""
+    tri = doc_trigrams(docs, text_col).select("doc_id", "u", "v", "w")
+    j = (
+        tri.join(t3, ["u", "v", "w"], "left")
+        .join(t2, ["u", "v"], "left")
+        .join(b2, ["v", "w"], "left")
+        .join(b2c, ["v"], "left")
+        .join(u1, ["w"], "left")
+        .crossJoin(F.broadcast(stats))
+    )
+    zero = F.lit(0).cast("long")
+    a1 = F.coalesce(F.col("cont1"), zero) + F.lit(1)
+    b1 = F.col("bt") + F.col("vs") + F.lit(1)
+    disc2 = F.greatest(
+        F.lit(KN_D_DEN) * F.coalesce(F.col("cont2"), zero) - F.lit(KN_D_NUM), zero
+    )
+    a2 = F.when(
+        F.col("ctx2").isNull(), a1
+    ).otherwise(disc2 * b1 + F.lit(KN_D_NUM) * F.col("n1p1") * a1)
+    b2_ = F.when(
+        F.col("ctx2").isNull(), b1
+    ).otherwise(F.lit(KN_D_DEN) * F.col("ctx2") * b1)
+    disc3 = F.greatest(
+        F.lit(KN_D_DEN) * F.coalesce(F.col("c3"), zero) - F.lit(KN_D_NUM), zero
+    )
+    a3 = F.when(
+        F.col("c2").isNull(), a2
+    ).otherwise(disc3 * b2_ + F.lit(KN_D_NUM) * F.col("n1p2") * a2)
+    b3 = F.when(
+        F.col("c2").isNull(), b2_
+    ).otherwise(F.lit(KN_D_DEN) * F.col("c2") * b2_)
+    scored = j.withColumn("lp_micro", _lp_micro(a3, b3))
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_scored"),
+        F.sum("lp_micro").alias("lp_sum_micro"),
+    )
+    # One division, mirroring the oracle's exp(-s / (n * 1e6)) shape.
+    return per_doc.withColumn(
+        "ppl",
+        F.round(
+            F.exp(
+                -F.col("lp_sum_micro").cast("double")
+                / (F.col("n_scored").cast("double") * F.lit(float(MICRO)))
+            ),
+            6,
+        ),
+    )
+
+
 def char_trigrams(c: Column) -> Column:
     """Character 3-gram features (the fastText-style feature set): far
     stronger than word features for language ID because scripts and

@@ -105,6 +105,122 @@ register("text_perplexity_filter", text_perplexity_filter, _PPL_SQL)
 
 
 # --------------------------------------------------------------------------
+# Interpolated Kneser-Ney trigram perplexity gate (CCNet methodology)
+# --------------------------------------------------------------------------
+
+PPL_KN_KEEP_MAX = 48.0  # keeps ~83% at sf0.01 — a gate with teeth
+
+
+def text_perplexity_filter_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `text_perplexity_filter` gate upgraded to the CCNet-standard
+    model class: an interpolated Kneser-Ney trigram LM (absolute
+    discount D = 3/4, continuation counts at the lower orders) trained
+    on the src0 subset scores every document. KN's continuation counts
+    change ranks vs the add-one bigram exactly where it matters for
+    curation: tokens frequent only inside one collocation ("Francisco"
+    after "San") stop looking probable in novel contexts, so templated/
+    repetitive text scores worse (see tests/test_lm_kn.py for the
+    planted rank flip).
+
+    The oracle replays training AND scoring in SQL — a hash match
+    certifies the six learned count tables, the rational discount
+    arithmetic, and the gate end to end. Scale: training is two
+    shuffle rounds of vocabulary-bounded hash aggregates; scoring is
+    five n-gram-keyed equi-joins the corpus streams through once."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") == PPL_TRAIN_SOURCE)
+    model = lm.kn_trigram_train(train)
+    scored = lm.kn_perplexity(docs, *model)
+    return scored.select(
+        "doc_id",
+        "n_scored",
+        F.col("lp_sum_micro").cast("long").alias("lp_sum_micro"),
+        "ppl",
+        (F.col("ppl") <= F.lit(PPL_KN_KEEP_MAX)).alias("keep"),
+    )
+
+
+# Shared KN scoring chain (training + per-position rational-arithmetic
+# scoring), reused by the filter and buckets oracles. MATERIALIZED on
+# every CTE referenced more than once — DuckDB otherwise re-inlines the
+# whole upstream chain per reference.
+_KN_SCORED_CTES = f"""
+tokd AS MATERIALIZED (
+  SELECT doc_id, source,
+         ['{lm.BOS}', '{lm.BOS}'] || {_TOKENS} AS arr
+  FROM documents
+),
+tris AS MATERIALIZED (
+  SELECT doc_id, source, arr[i - 1] AS u, arr[i] AS v, arr[i + 1] AS w
+  FROM tokd, UNNEST(range(2, len(arr))) AS t(i)
+),
+t3 AS MATERIALIZED (
+  SELECT u, v, w, count(*) AS c3 FROM tris
+  WHERE source = '{PPL_TRAIN_SOURCE}' GROUP BY 1, 2, 3
+),
+t2 AS (
+  SELECT u, v, CAST(sum(c3) AS BIGINT) AS c2, count(*) AS n1p2
+  FROM t3 GROUP BY 1, 2
+),
+b2 AS MATERIALIZED (SELECT v, w, count(*) AS cont2 FROM t3 GROUP BY 1, 2),
+b2c AS (
+  SELECT v, CAST(sum(cont2) AS BIGINT) AS ctx2, count(*) AS n1p1
+  FROM b2 GROUP BY 1
+),
+u1 AS MATERIALIZED (SELECT w, count(*) AS cont1 FROM b2 GROUP BY 1),
+kn_stats AS (SELECT CAST(sum(cont1) AS BIGINT) AS bt, count(*) AS vs FROM u1),
+kn_lvl1 AS (
+  SELECT p.doc_id, t3.c3, t2.c2, t2.n1p2, b2.cont2, b2c.ctx2, b2c.n1p1,
+         coalesce(u1.cont1, 0) + 1 AS a1, s.bt + s.vs + 1 AS b1
+  FROM tris p
+  LEFT JOIN t3 ON p.u = t3.u AND p.v = t3.v AND p.w = t3.w
+  LEFT JOIN t2 ON p.u = t2.u AND p.v = t2.v
+  LEFT JOIN b2 ON p.v = b2.v AND p.w = b2.w
+  LEFT JOIN b2c ON p.v = b2c.v
+  LEFT JOIN u1 ON p.w = u1.w
+  CROSS JOIN kn_stats s
+),
+kn_lvl2 AS (
+  SELECT doc_id, c3, c2, n1p2,
+         CASE WHEN ctx2 IS NULL THEN a1
+              ELSE greatest({lm.KN_D_DEN} * coalesce(cont2, 0) - {lm.KN_D_NUM}, 0) * b1
+                   + {lm.KN_D_NUM} * n1p1 * a1 END AS a2,
+         CASE WHEN ctx2 IS NULL THEN b1
+              ELSE {lm.KN_D_DEN} * ctx2 * b1 END AS b2x
+  FROM kn_lvl1
+),
+kn_scored AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(floor(ln(a3 / b3) * {lm.MICRO}) AS BIGINT) AS lp_micro
+  FROM (
+    SELECT doc_id,
+           CASE WHEN c2 IS NULL THEN a2
+                ELSE greatest({lm.KN_D_DEN} * coalesce(c3, 0) - {lm.KN_D_NUM}, 0) * b2x
+                     + {lm.KN_D_NUM} * n1p2 * a2 END AS a3,
+           CASE WHEN c2 IS NULL THEN b2x
+                ELSE {lm.KN_D_DEN} * c2 * b2x END AS b3
+    FROM kn_lvl2
+  )
+),
+kn_per_doc AS MATERIALIZED (
+  SELECT doc_id, count(*) AS n_scored,
+         CAST(sum(lp_micro) AS BIGINT) AS lp_sum_micro
+  FROM kn_scored GROUP BY 1
+)
+"""
+
+_PPL_KN_SQL = f"""
+WITH {_KN_SCORED_CTES}
+SELECT doc_id, n_scored, lp_sum_micro,
+       round(exp(-lp_sum_micro / (n_scored * {lm.MICRO}.0)), 6) AS ppl,
+       round(exp(-lp_sum_micro / (n_scored * {lm.MICRO}.0)), 6) <= {PPL_KN_KEEP_MAX} AS keep
+FROM kn_per_doc
+"""
+
+register("text_perplexity_filter_kn", text_perplexity_filter_kn, _PPL_KN_SQL)
+
+
+# --------------------------------------------------------------------------
 # Multinomial Naive Bayes language classifier (train + apply)
 # --------------------------------------------------------------------------
 
@@ -535,6 +651,46 @@ FROM scored
 """
 
 register("text_perplexity_buckets", text_perplexity_buckets, _PPL_BUCKETS_SQL)
+
+
+def text_perplexity_buckets_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partitioning under the Kneser-Ney trigram
+    LM — the model class CCNet actually buckets with. Same tertile
+    machinery as `text_perplexity_buckets`; because KN reranks
+    repetitive/templated documents (continuation counts), bucket
+    membership genuinely differs from the bigram version on the same
+    corpus (asserted in tests/test_lm_kn.py)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") == PPL_TRAIN_SOURCE)
+    model = lm.kn_trigram_train(train)
+    scored = lm.kn_perplexity(docs, *model).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("ppl"), F.asc("doc_id"))
+    bucket = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+        F.ntile(3).over(w),
+    )
+    return scored.select("doc_id", "lang", "ppl").withColumn("bucket", bucket)
+
+
+_PPL_BUCKETS_KN_SQL = f"""
+WITH {_KN_SCORED_CTES},
+kn_doc_ppl AS (
+  SELECT p.doc_id, d.lang,
+         round(exp(-p.lp_sum_micro / (p.n_scored * {lm.MICRO}.0)), 6) AS ppl
+  FROM kn_per_doc p JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, ppl,
+       (['head', 'middle', 'tail'])[
+         ntile(3) OVER (PARTITION BY lang ORDER BY ppl ASC, doc_id ASC)
+       ] AS bucket
+FROM kn_doc_ppl
+"""
+
+register("text_perplexity_buckets_kn", text_perplexity_buckets_kn, _PPL_BUCKETS_KN_SQL)
 
 
 SPLIT_VAL_PERMILLE = 100  # 10% validation

@@ -44,6 +44,8 @@ _PRIORITY_FIRST = [
     # the front of the overflow queue below.
     # --- new in round 9 (never driver-checked), uncommented as each
     # lands with its oracle + dual-scale sweep MATCH:
+    "text_perplexity_filter_kn",
+    "text_perplexity_buckets_kn",
     # --- never driver-checked (registered r7/r8):
     "text_token_count_trained",
     "text_perplexity_filter",
