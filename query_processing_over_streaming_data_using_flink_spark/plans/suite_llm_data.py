@@ -3553,6 +3553,104 @@ WHERE {_cosine_sql('a.vec', 'b.vec')} >= {SEMANTIC_DUP_THRESHOLD}
 register("dedup_semantic_ivf", dedup_semantic_ivf, _semantic_dup_sql())
 
 
+CBAL_PER_CELL = 20  # per-cluster keep cap — the "target proportion"
+
+
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-cluster-balanced sampling — the operation SemDeDup-
+    family pipelines run right after `dedup_semantic_ivf` spends the
+    clustering: rebalance the corpus BY semantic cluster so oversized
+    clusters (boilerplate modes, template families) stop dominating
+    the mixture. Every vector gets a deterministic salted-md5 draw;
+    within each trained IVF cell the `CBAL_PER_CELL` smallest draws
+    survive. A rank cap IS inverse-cluster-size weighting: clusters at
+    or under the cap keep everything (keep-rate 1), a 10×-cap cluster
+    keeps 10% — and unlike probabilistic thinning the per-cluster
+    output size is exact.
+
+    Determinism: the draw is partition-layout-independent (same
+    salted-md5 discipline as `split_train_val_test`), assignment comes
+    from the deterministic quantized-integer IVF training chain, and
+    the (draw, vec_id) order is total — same sample on any cluster,
+    any engine. Scale: training is the IVF aggregate chain (broadcast
+    centroids, no corpus shuffle), ranking is one window over the
+    cell-partitioned assignment — no global sort, no collect."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        F.col("vec_id").alias("id"), sim._as_double(F.col("embedding")).alias("vec")
+    )
+    cents = sim.ivf_centroids(e)
+    assigned = sim._nearest_cells(corpus, cents, 1).select("id", "cell")
+    sizes = assigned.groupBy("cell").agg(F.count("*").alias("cell_size"))
+    w = Window.partitionBy("cell").orderBy(F.asc("draw"), F.asc("id"))
+    return (
+        assigned.withColumn(
+            "draw", tx.sample_hash(F.col("id"), salt="cbal", modulus=1_000_000)
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= CBAL_PER_CELL)
+        .join(sizes, "cell")
+        .select(
+            F.col("id").alias("vec_id"),
+            "cell",
+            "cell_size",
+            F.col("rk").alias("sample_rank"),
+        )
+    )
+
+
+def _cluster_balanced_sql() -> str:
+    from query_processing_over_streaming_data_using_flink_spark.functions.scalar import md5_hash64_sql
+
+    key = "'cbal:' || CAST(vec_id AS VARCHAR)"
+    draw = f"({md5_hash64_sql(key)}) % 1000000"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+comp0 AS (
+  SELECT vec_id % {sim.IVF_CELLS} AS cell, t.i AS dim,
+         sum(CAST(floor(vec[t.i] * {sim.IVF_QUANT}) AS BIGINT)) AS s
+  FROM e, unnest(range(1, len(vec)+1)) AS t(i) GROUP BY 1, 2
+),
+cents0 AS (SELECT cell, list(s::DOUBLE ORDER BY dim) AS cvec FROM comp0 GROUP BY cell),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cosine_sql('e.vec', 'c.cvec')} DESC, c.cell) AS r
+    FROM e CROSS JOIN cents0 c) WHERE r = 1
+),
+comp AS (
+  SELECT a.cell, t.i AS dim,
+         sum(CAST(floor(vec[t.i] * {sim.IVF_QUANT}) AS BIGINT)) AS s
+  FROM e JOIN assign a USING (vec_id), unnest(range(1, len(vec)+1)) AS t(i)
+  GROUP BY 1, 2
+),
+cents AS (SELECT cell, list(s::DOUBLE ORDER BY dim) AS cvec FROM comp GROUP BY cell),
+inv AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cosine_sql('e.vec', 'c.cvec')} DESC, c.cell) AS r
+    FROM e CROSS JOIN cents c) WHERE r = 1
+),
+sizes AS (SELECT cell, count(*) AS cell_size FROM inv GROUP BY cell),
+ranked AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY cell
+                            ORDER BY {draw} ASC, vec_id ASC) AS sample_rank
+  FROM inv
+)
+SELECT r.vec_id, r.cell, s.cell_size, r.sample_rank
+FROM ranked r JOIN sizes s USING (cell)
+WHERE r.sample_rank <= {CBAL_PER_CELL}
+"""
+
+
+register("sample_cluster_balanced", sample_cluster_balanced, _cluster_balanced_sql())
+
+
 def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corrupted-embedding detection: each vector's cosine to its own
     label's centroid DIRECTION (the quantized integer component sums —

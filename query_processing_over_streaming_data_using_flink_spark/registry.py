@@ -46,6 +46,7 @@ _PRIORITY_FIRST = [
     # lands with its oracle + dual-scale sweep MATCH:
     "text_perplexity_filter_kn",
     "text_perplexity_buckets_kn",
+    "sample_cluster_balanced",
     # --- never driver-checked (registered r7/r8):
     "text_token_count_trained",
     "text_perplexity_filter",

@@ -1296,6 +1296,45 @@ def test_semantic_dup_pairs_flags_planted_scaled_copies(spark):
     assert all(a == 5 and b == 100 for a, b in pairs), pairs
 
 
+def test_sample_cluster_balanced_caps_big_clusters_keeps_small(spark, tmp_path):
+    """Cluster-balanced sampling semantics on the real smoke fixture:
+    every cell keeps min(cell_size, CBAL_PER_CELL) vectors (exact
+    counts — a rank cap, not probabilistic thinning), sample_rank is
+    dense 1..kept within each cell, and the selection is identical
+    under a different partitioning (the draw is layout-independent)."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        CBAL_PER_CELL,
+        sample_cluster_balanced,
+    )
+
+    out = sample_cluster_balanced(spark, SF_SMOKE)
+    rows = out.collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    assert by_cell, "no cells sampled"
+    for cell, cell_rows in by_cell.items():
+        size = cell_rows[0]["cell_size"]
+        kept = len(cell_rows)
+        assert kept == min(size, CBAL_PER_CELL), (cell, size, kept)
+        assert sorted(r["sample_rank"] for r in cell_rows) == list(
+            range(1, kept + 1)
+        )
+    # layout independence: rewrite the embeddings at a different
+    # partitioning and re-run — the sample must be identical.
+    alt_dir = str(tmp_path / "alt_sf")
+    os.makedirs(alt_dir)
+    for t in ("embeddings",):
+        spark.read.parquet(os.path.join(SF_SMOKE, f"{t}.parquet")).repartition(
+            7
+        ).write.parquet(os.path.join(alt_dir, f"{t}.parquet"))
+    alt = {
+        (r["vec_id"], r["cell"], r["sample_rank"])
+        for r in sample_cluster_balanced(spark, alt_dir).collect()
+    }
+    assert alt == {(r["vec_id"], r["cell"], r["sample_rank"]) for r in rows}
+
+
 def test_embedding_outliers_flags_planted_corruption(spark, tmp_path):
     """A vector pointing AWAY from its label's cluster must flag as an
     outlier; the in-cluster vectors must not."""
