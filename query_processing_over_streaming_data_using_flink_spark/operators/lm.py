@@ -58,9 +58,16 @@ def doc_bigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
     BOS context prepended — one map-side pass, no shuffle. A document
     with n tokens yields exactly n scored positions."""
     arr = F.concat(F.array(F.lit(BOS)), tx.tokens(F.col(text_col)))
+    # Size guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) rather than
+    # returning empty, which would fabricate positions with null w on a
+    # 0-token array while the DuckDB oracle's range() is empty. Currently
+    # unreachable (tokens() never returns an empty array) but latent if
+    # tokenization changes.
     pairs = F.expr(
+        "CASE WHEN size(arr) >= 2 THEN "
         "transform(sequence(1, size(arr) - 1), "
-        "i -> struct(arr[i - 1] AS prev, arr[i] AS w))"
+        "i -> struct(arr[i - 1] AS prev, arr[i] AS w)) "
+        "ELSE array() END"
     )
     return (
         docs.withColumn("arr", arr)
@@ -140,9 +147,14 @@ def doc_trigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
     `doc_bigrams`, a document with n tokens yields exactly n scored
     positions, so bigram and trigram gates stay count-comparable."""
     arr = F.concat(F.array(F.lit(BOS), F.lit(BOS)), tx.tokens(F.col(text_col)))
+    # Same size guard as `doc_bigrams`: sequence(2, 1) would DESCEND and
+    # fabricate two null-w positions on a 0-token array where the DuckDB
+    # oracle's range(2, len) is empty.
     tris = F.expr(
+        "CASE WHEN size(arr) >= 3 THEN "
         "transform(sequence(2, size(arr) - 1), "
-        "i -> struct(arr[i - 2] AS u, arr[i - 1] AS v, arr[i] AS w))"
+        "i -> struct(arr[i - 2] AS u, arr[i - 1] AS v, arr[i] AS w)) "
+        "ELSE array() END"
     )
     return (
         docs.withColumn("arr", arr)
@@ -154,6 +166,31 @@ def doc_trigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.col("tri.w").alias("w"),
         )
     )
+
+
+def kn_int64_headroom(t2: DataFrame, b2c: DataFrame, stats: DataFrame) -> dict:
+    """Train-time guard for the KN rational chain's int64 range.
+
+    The deepest denominator is b3 = 4·c2 · (4·ctx2 · (bt + vs + 1)), so
+    the worst-case magnitude is bounded by
+    16 · max(c2) · max(ctx2) · (bt + vs + 1). Spark (ANSI off) WRAPS
+    silently on int64 overflow while DuckDB errors, so past ~2⁶³ the
+    engine would emit wrong perplexities rather than fail loudly —
+    this helper makes the ceiling checkable instead of implicit.
+    Returns {"worst_case", "ok", "headroom_bits"}; callers training at
+    corpus scale should assert ok (or switch the scoring chain to float
+    interpolation, which the gate tolerates in production where
+    cross-engine bit equality is not needed)."""
+    max_c2 = t2.agg(F.max("c2").alias("m")).collect()[0]["m"] or 0
+    max_ctx2 = b2c.agg(F.max("ctx2").alias("m")).collect()[0]["m"] or 0
+    row = stats.collect()[0]
+    b1_max = (row["bt"] or 0) + (row["vs"] or 0) + 1
+    worst = KN_D_DEN * KN_D_DEN * max_c2 * max_ctx2 * b1_max
+    return {
+        "worst_case": worst,
+        "ok": worst < 2**63,
+        "headroom_bits": 63 - (worst.bit_length() if worst else 0),
+    }
 
 
 # Absolute discount for the Kneser-Ney LM, held as an exact rational

@@ -32,74 +32,21 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # fully verified by scripts/verify_contract.py every round). Names not
 # listed keep registration order after the priority block.
 _PRIORITY_FIRST = [
-    # Round-9 prefix (positions 1–50). Policy (amended this round, see
-    # tests/test_entry_contract.py::test_registry_rotation_covers_stalest_queries):
-    # staleness is counted in LANDED CORRECTNESS files and the bound is
-    # dynamic ceil(N/50)+1 landed rounds. Forced set for r9 = the 20
-    # never-driver-checked queries (r7/r8 registrations certified so far
-    # only by the local dual-scale sweep + the round-8 judge's own
-    # oracle runs); the remaining 30 slots go to the stalest cohort
-    # (last driver-green in round 5). New round-9 queries are inserted
-    # at the TOP as they land, each displacing the last r5 filler into
-    # the front of the overflow queue below.
-    # --- new in round 9 (never driver-checked), uncommented as each
+    # Round-10 prefix (positions 1-50). Policy: staleness counted in
+    # LANDED CORRECTNESS files (on disk: r1-r6, r8, r9), dynamic bound
+    # ceil(N/50)+1 = 5; see
+    # tests/test_entry_contract.py::test_registry_rotation_covers_stalest_queries.
+    # With CORRECTNESS_r09 landed the histogram is {stale-4: 23,
+    # stale-3: 50, stale-2: 50, stale-1: 50} and nothing is forced
+    # (bound 5), so the fill rule alone decides: the 23-query stale-4
+    # cohort (last green r5 -- round 9's overflow queue) plus the first
+    # 27 of the stale-3 cohort (last green r6), stalest-first.
+    # New round-10 queries are inserted at the TOP as they land (never-
+    # checked = infinitely stale = forced), each displacing the last
+    # stale-3 filler into the front of the overflow queue below.
+    # --- new in round 10 (never driver-checked), uncommented as each
     # lands with its oracle + dual-scale sweep MATCH:
-    "text_perplexity_filter_kn",
-    "text_perplexity_buckets_kn",
-    "sample_cluster_balanced",
-    # --- never driver-checked (registered r7/r8):
-    "text_token_count_trained",
-    "text_perplexity_filter",
-    "classify_naive_bayes_lang",
-    "text_gopher_rules",
-    "merge_upsert_customer",
-    "snapshot_diff_customer",
-    "er_fuzzy_part_names",
-    "bloom_membership_audit",
-    "ann_sq8",
-    "ann_recall_sq8_vs_exact",
-    "mine_hard_negatives",
-    "sample_uncertain_margin",
-    "curation_pipeline_model_gated",
-    "text_perplexity_buckets",
-    "split_train_val_test",
-    "er_resolve_part_names",
-    "dedup_semantic_ivf",
-    "embedding_outliers",
-    "source_overlap_matrix",
-    "ann_mmr_diversified",
-    # --- r5-last-green block (stalest certified cohort):
-    "q3_shipping_priority",
-    "ann_bruteforce",
-    "ann_lsh",
-    "ann_ivf",
-    "filter_project_customer",
-    "filter_dates_orders",
-    "join_orders_lineitem_revenue",
-    "agg_lineitem_pricing_summary",
-    "window_running_totals",
-    "scalar_expressions",
-    "changelog_build",
-    "changelog_state_counts",
-    "embedding_label_centroids",
-    "ann_recall_lsh_vs_exact",
-    "tfidf_top_terms",
-    "bm25_search",
-    "doc_ngram_novelty",
-    "hybrid_search_rrf",
-    "embedding_quantize_int8",
-    "events_twa_daily",
-    "events_daily_anomalies",
-    "cm_sketch_heavy_hitters",
-    "graph_pagerank_parts",
-    "minhash_estimate_quality",
-    "multimodal_real_roundtrip",
-    "events_moving_7d_avg",
-    "mixture_token_budget",
-    # --- position 51+: the OVERFLOW QUEUE — the rest of the r5-green
-    # cohort (incl. fillers displaced by new r9 registrations above),
-    # contiguous and first in line for the round-10 prefix; all remain
-    # verified by the local dual-scale sweep every round meanwhile.
+    # --- stale-4 cohort (last driver-green round 5):
     "embedding_covariance",
     "embedding_pca_power_iter",
     "changelog_monthly_revenue_state",
@@ -123,11 +70,7 @@ _PRIORITY_FIRST = [
     "dedup_clusters_ngram",
     "decontaminate_eval_overlap",
     "sample_stratified_lang",
-]
-_PUSH_LAST = [
-    # Driver-green in round 6 (staleness 2 landed rounds — the queue
-    # rule requires non-increasing staleness, so this cohort precedes
-    # the round-8-green block below):
+    # --- stale-3 fill (last driver-green round 6, first 27 of 50):
     "dedup_cross_snapshot_minhash",
     "image_phash_near_dup",
     "image_dedup_keep_best",
@@ -155,6 +98,10 @@ _PUSH_LAST = [
     "q16_part_supplier_relationship",
     "q20_potential_promotion",
     "q21_suppliers_kept_waiting",
+    # --- position 51+: the OVERFLOW QUEUE -- the rest of the stale-3
+    # (r6-green) cohort, contiguous and first in line for the round-11
+    # prefix; all remain verified by the local dual-scale sweep every
+    # round meanwhile.
     "changelog_scd2_customer",
     "pit_orders_customer_segment",
     "changelog_q3_current_state",
@@ -178,8 +125,11 @@ _PUSH_LAST = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    # Driver-green in round 8 (the full r8 prefix came back 50/50 —
-    # freshest cohort, staleness 1, so it sits at the very tail):
+]
+_PUSH_LAST = [
+    # Driver-green in round 8 (staleness 2 -- the queue rule requires
+    # non-increasing staleness, so this cohort precedes the r9-green
+    # block below):
     "ann_ivfpq_rerank",
     "dedup_exact_substring",
     "dedup_substring_rewrite",
@@ -230,6 +180,58 @@ _PUSH_LAST = [
     "approx_distinct_users",
     "hll_union_daily_users",
     "approx_quantiles_event_value",
+    # Driver-green in round 9 (the full r9 prefix came back 50/50 --
+    # freshest cohort, staleness 1, so it sits at the very tail):
+    "text_perplexity_filter_kn",
+    "text_perplexity_buckets_kn",
+    "sample_cluster_balanced",
+    "text_token_count_trained",
+    "text_perplexity_filter",
+    "classify_naive_bayes_lang",
+    "text_gopher_rules",
+    "merge_upsert_customer",
+    "snapshot_diff_customer",
+    "er_fuzzy_part_names",
+    "bloom_membership_audit",
+    "ann_sq8",
+    "ann_recall_sq8_vs_exact",
+    "mine_hard_negatives",
+    "sample_uncertain_margin",
+    "curation_pipeline_model_gated",
+    "text_perplexity_buckets",
+    "split_train_val_test",
+    "er_resolve_part_names",
+    "dedup_semantic_ivf",
+    "embedding_outliers",
+    "source_overlap_matrix",
+    "ann_mmr_diversified",
+    "q3_shipping_priority",
+    "ann_bruteforce",
+    "ann_lsh",
+    "ann_ivf",
+    "filter_project_customer",
+    "filter_dates_orders",
+    "join_orders_lineitem_revenue",
+    "agg_lineitem_pricing_summary",
+    "window_running_totals",
+    "scalar_expressions",
+    "changelog_build",
+    "changelog_state_counts",
+    "embedding_label_centroids",
+    "ann_recall_lsh_vs_exact",
+    "tfidf_top_terms",
+    "bm25_search",
+    "doc_ngram_novelty",
+    "hybrid_search_rrf",
+    "embedding_quantize_int8",
+    "events_twa_daily",
+    "events_daily_anomalies",
+    "cm_sketch_heavy_hitters",
+    "graph_pagerank_parts",
+    "minhash_estimate_quality",
+    "multimodal_real_roundtrip",
+    "events_moving_7d_avg",
+    "mixture_token_budget",
 ]
 
 

@@ -184,8 +184,15 @@ def test_registry_rotation_covers_stalest_queries():
         assert set(names[50 : 50 + len(stranded)]) == set(stranded), (
             f"overflow must queue contiguously at position 51+: {stranded}"
         )
+        kept = [n for n in forced if n in set(prefix)]
+        # With >50 forced queries the prefix must be forced-only: exactly
+        # len(forced) - 50 of them are stranded, no more, no fewer.
+        assert len(kept) == 50 and len(stranded) == len(forced) - 50, (
+            f"overflow prefix must hold exactly 50 forced queries "
+            f"(kept {len(kept)}, stranded {len(stranded)} of {len(forced)})"
+        )
         bumped_max = max(staleness(n) for n in stranded)
-        kept_min = min(staleness(n) for n in forced if n in set(prefix))
+        kept_min = min(staleness(n) for n in kept)
         assert bumped_max <= kept_min, "bumped queries must be the least stale"
     # Queue rule: tail staleness is non-increasing, so position 51+ is
     # always the next-stalest cohort and new queries can't hide at the end.

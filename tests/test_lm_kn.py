@@ -137,3 +137,59 @@ def test_kn_repetitive_text_scores_worse_than_fluent(spark):
     ]
     kn = _ppl(spark, train, probe)
     assert kn[0] < kn[1], kn
+
+
+def test_ngram_exploders_guard_empty_token_arrays(spark):
+    """sequence(lo, hi) with hi < lo DESCENDS in Spark rather than
+    returning empty — on a 0-token array the unguarded exploders would
+    fabricate positions with null w while the DuckDB oracle's range()
+    is empty. The guard must yield zero pairs/trigrams for an array
+    holding only the BOS sentinels (unreachable through tokens() today,
+    latent if tokenization changes)."""
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    pairs = lm.doc_bigrams(docs).drop("arr")
+    # Re-point the exploders at a hand-built BOS-only array to hit the
+    # guard: same expressions, arr forced to the degenerate shapes.
+    bos1 = spark.createDataFrame([(1,)], "doc_id long").withColumn(
+        "arr", F.array(F.lit(lm.BOS))
+    )
+    fabricated = bos1.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(arr) >= 2 THEN transform(sequence(1, size(arr) - 1),"
+                " i -> struct(arr[i - 1] AS prev, arr[i] AS w)) ELSE array() END"
+            )
+        )
+    )
+    assert fabricated.count() == 0
+    unguarded = bos1.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(arr) - 1),"
+                " i -> struct(arr[i - 1] AS prev, arr[i] AS w))"
+            )
+        )
+    )
+    # Prove the hazard is real: sequence(1, 0) descends to [1, 0], so
+    # without the guard Spark probes arr[1] on a 1-element array —
+    # an ANSI out-of-bounds error (fabricated null rows with ANSI off).
+    with pytest.raises(Exception, match="INVALID_ARRAY_INDEX|ArrayIndex"):
+        unguarded.count()
+    # And the production exploders still emit exactly n positions per doc.
+    assert pairs.count() == 1
+    assert lm.doc_trigrams(docs).drop("arr").count() == 1
+
+
+def test_kn_int64_headroom_guard(spark):
+    """kn_int64_headroom bounds the deepest rational denominator
+    (16 * max(c2) * max(ctx2) * (bt + vs + 1)) — sane on a toy corpus,
+    and the arithmetic matches a hand computation."""
+    train = _docs(spark, ["a b a b", "a b c"])
+    t3, t2, b2, b2c, u1, stats = lm.kn_trigram_train(train)
+    got = lm.kn_int64_headroom(t2, b2c, stats)
+    max_c2 = max(r["c2"] for r in t2.collect())
+    max_ctx2 = max(r["ctx2"] for r in b2c.collect())
+    row = stats.collect()[0]
+    want = 16 * max_c2 * max_ctx2 * (row["bt"] + row["vs"] + 1)
+    assert got["worst_case"] == want
+    assert got["ok"] and got["headroom_bits"] > 0

@@ -230,6 +230,10 @@ _BNLJ_ALLOWED = {
     "curation_pipeline_model_gated",  # composes the perplexity + NB stages
     "dedup_semantic_ivf",  # the allowed IVF cell assignment (bounded centroid side)
     "ann_mmr_diversified",  # pool = the allowed brute force; rounds join tiny selected sets
+    # --- round 9:
+    "text_perplexity_filter_kn",  # 1-row broadcast KN stats scalar (same shape as text_perplexity_filter)
+    "text_perplexity_buckets_kn",  # composes the KN perplexity scorer above
+    "sample_cluster_balanced",  # the allowed IVF cell assignment (bounded centroid side)
 }
 
 
