@@ -317,21 +317,41 @@ def bpe_train(
     engine, partitioning, or retry learns the identical table — the
     registered oracle replays all rounds in SQL.
 
+    Scale note (the Sennrich trick): BPE statistics depend only on the
+    MULTISET of pre-tokenized pieces, never on which document a piece
+    came from, and merging never changes word boundaries. So the corpus
+    is aggregated ONCE to the distinct-piece frequency table
+    (piece → weight) and every round runs over that table with pair
+    counts as Σ weight — bit-identical counts (a weighted sum over
+    distinct pieces IS the count over instances) at vocabulary-bounded
+    per-round cost instead of a full corpus pass per round. At 100 TB
+    the distinct-piece table is still millions-of-rows distributed
+    state, but ~10³–10⁴× smaller than the corpus; the one corpus scan
+    happens up front. Merges can make two distinct framed pieces
+    collide (e.g. "a·b" and "ab"); the periodic checkpoint re-aggregates
+    to fold such duplicates — harmless either way since all counts are
+    weighted sums.
+
     Returns the learned merge list (causally ordered by construction).
     """
-    state = docs.select(
-        "doc_id", framed_text(F.col(text_col)).alias("s")
-    ).persist()
+    state = (
+        docs.select(
+            F.explode(F.split(framed_text(F.col(text_col)), BPE_BOUND)).alias("p")
+        )
+        .filter(F.col("p") != "")
+        .groupBy("p")
+        .agg(F.count("*").alias("w"))
+        .localCheckpoint(eager=True)
+    )
     merges: list[tuple[str, str]] = []
     formed: set[str] = set()
     for rnd in range(1, num_merges + 1):
         pairs = (
-            state.select(F.explode(F.split("s", BPE_BOUND)).alias("p"))
-            .select(F.expr(_SYMS_EXPR).alias("sy"))
-            .select(F.explode(F.expr(_PAIRS_EXPR)).alias("pr"))
-            .select("pr.x", "pr.y")
+            state.select("w", F.expr(_SYMS_EXPR).alias("sy"))
+            .select("w", F.explode(F.expr(_PAIRS_EXPR)).alias("pr"))
+            .select("pr.x", "pr.y", "w")
         )
-        counts = pairs.groupBy("x", "y").agg(F.count("*").alias("cnt"))
+        counts = pairs.groupBy("x", "y").agg(F.sum("w").alias("cnt"))
         if formed:
             counts = counts.filter(
                 ~F.concat(F.col("x"), F.col("y")).isin(*sorted(formed))
@@ -343,14 +363,17 @@ def bpe_train(
         merges.append((x, y))
         formed.add(x + y)
         new_state = state.withColumn(
-            "s",
+            "p",
             F.replace(
-                F.col("s"),
+                F.col("p"),
                 F.lit(BPE_MARK + x + BPE_SEP + BPE_MARK + y + BPE_SEP),
                 F.lit(BPE_MARK + x + y + BPE_SEP),
             ),
         )
         if rnd % checkpoint_every == 0:
+            # Fold pieces that merged into the same framed string, then
+            # cut the replace-chain lineage.
+            new_state = new_state.groupBy("p").agg(F.sum("w").alias("w"))
             new_state = new_state.localCheckpoint(eager=True)
         else:
             new_state = new_state.persist()

@@ -544,7 +544,9 @@ register("sample_uncertain_margin", sample_uncertain_margin, _margin_sql())
 
 def curation_pipeline_model_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-8 composite: Gopher rule battery first (zero-shuffle,
-    kills the cheap garbage), the bigram-LM perplexity gate second,
+    kills the cheap garbage), the perplexity gate second — since round
+    10 the CCNet-standard interpolated Kneser-Ney TRIGRAM model
+    (`text_perplexity_filter_kn`), upgraded from the add-one bigram —
     exact-dedup canonical selection third, and the Naive Bayes
     classifier last (routing surviving docs to per-domain buckets) —
     the production ORDER. For oracle replayability this rendering
@@ -553,14 +555,15 @@ def curation_pipeline_model_gated(spark: SparkSession, sf_dir: str) -> DataFrame
     would also change what the NB/LM models train on and break the
     per-stage oracles); the staged input-shrinking composition — each
     gate filtering before the next, the form you deploy for cost — is
-    `scripts/curate_demo.py`, built from the same operators."""
+    `scripts/curate_demo.py`, built from the same operators (the
+    bigram gate remains available as `text_perplexity_filter`)."""
     from query_processing_over_streaming_data_using_flink_spark.operators import dedup as dd
 
     docs = load_table(spark, sf_dir, "documents")
     rules = text_gopher_rules(spark, sf_dir).select(
         "doc_id", "n_words", F.col("keep").alias("rules_keep")
     )
-    ppl = text_perplexity_filter(spark, sf_dir).select(
+    ppl = text_perplexity_filter_kn(spark, sf_dir).select(
         "doc_id", "ppl", F.col("keep").alias("ppl_keep")
     )
     nb = classify_naive_bayes_lang(spark, sf_dir).select("doc_id", "pred_label")
@@ -582,7 +585,7 @@ def _pipeline_sql() -> str:
     # certifies the stages.
     return f"""
 WITH rules AS (SELECT doc_id, n_words, keep AS rules_keep FROM ({_GOPHER_SQL})),
-ppl AS (SELECT doc_id, ppl, keep AS ppl_keep FROM ({_PPL_SQL})),
+ppl AS (SELECT doc_id, ppl, keep AS ppl_keep FROM ({_PPL_KN_SQL})),
 nb AS (SELECT doc_id, pred_label FROM ({_NB_SQL})),
 fp AS (
   SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
