@@ -9,6 +9,11 @@ curation pipeline runs:
   aggregate. Supports signed weights (an `op` column) so document
   deletions retract their n-grams — the model forgets removed data,
   which is exactly what a right-to-be-forgotten pipeline needs.
+* `IncrementalKneserNeyLM` — the same pattern lifted to the CCNet-
+  standard interpolated KN trigram model: raw trigram counts are the
+  maintained signed-weight state; the continuation-count rollups
+  (type counts, non-additive under retraction) derive from the live
+  t3 at read time with batch training's own aggregates.
 * `run_streaming_ppl_gate` — the apply-online face: each arriving
   micro-batch is scored against a FROZEN trained model (stream-static
   broadcast joins, zero streaming state) and gated on the perplexity
@@ -73,17 +78,87 @@ class IncrementalBigramLM:
         return big, ctx, vocab
 
 
+class IncrementalKneserNeyLM:
+    """Continuously-trained interpolated Kneser-Ney trigram LM
+    (`operators/lm.py:kn_trigram_train`'s streaming face). Only the
+    RAW trigram count table t3 is maintained as streaming state —
+    Δc3(corpus) = c3(Δcorpus) is a plain signed-weight integer fold,
+    so ingestion stays associative and retraction-capable exactly like
+    the bigram model. The five derived tables (t2, b2, b2c, u1, stats)
+    are TYPE counts over t3 (N1+ continuation counts are counts of
+    distinct nonzero trigram types), which are not additive under
+    retraction — so `model()` derives them from the live t3 with the
+    *identical aggregates batch training uses*, making stream==batch
+    bit-equality structural rather than coincidental. The rollups cost
+    one pass over the vocabulary-bounded t3, not the corpus."""
+
+    def __init__(self, spark: SparkSession, state_dir: str, run_id: str | None = None):
+        def delta(batch: DataFrame) -> DataFrame:
+            weighted = batch
+            if "op" not in batch.columns:
+                weighted = batch.withColumn("op", F.lit(1))
+            tris = lm.doc_trigrams(weighted)
+            return tris.groupBy("u", "v", "w").agg(
+                F.sum("op").cast("long").alias("c3")
+            )
+
+        self.agg = IncrementalGroupedAgg(
+            spark,
+            state_dir,
+            group_cols=["u", "v", "w"],
+            measure_cols=["c3"],
+            schema="bucket int, u string, v string, w string, c3 long",
+            delta_fn=delta,
+            run_id=run_id,
+        )
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        self.agg.process_batch(batch, epoch_id)
+
+    def compact(self) -> None:
+        self.agg.compact()
+
+    def model(
+        self,
+    ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+        """(t3, t2, b2, b2c, u1, stats) — live view of the maintained
+        model, bit-equal to `lm.kn_trigram_train` over the ingested
+        corpus (stream==batch pinned in tests). Same rollup expressions
+        as batch training, applied to the nonzero rows of the
+        incrementally-held t3."""
+        t3 = self.agg.result().filter(F.col("c3") != 0)
+        t2 = t3.groupBy("u", "v").agg(
+            F.sum("c3").alias("c2"), F.count("*").alias("n1p2")
+        )
+        b2 = t3.groupBy("v", "w").agg(F.count("*").alias("cont2"))
+        b2c = b2.groupBy("v").agg(
+            F.sum("cont2").alias("ctx2"), F.count("*").alias("n1p1")
+        )
+        u1 = b2.groupBy("w").agg(F.count("*").alias("cont1"))
+        stats = u1.agg(F.sum("cont1").alias("bt"), F.count("*").alias("vs"))
+        return t3, t2, b2, b2c, u1, stats
+
+
 def run_streaming_lm_train(
     spark: SparkSession,
     docs_dir: str,
     state_dir: str,
     files_per_trigger: int = 2,
     checkpoint_dir: str | None = None,
-) -> IncrementalBigramLM:
+    model_class: str = "bigram",
+) -> IncrementalBigramLM | IncrementalKneserNeyLM:
     """Drain a documents directory as micro-batches into the
-    incrementally-trained LM; returns the pipeline for `model()`."""
+    incrementally-trained LM (`model_class`: "bigram" or "kn");
+    returns the pipeline for `model()`."""
     static = spark.read.parquet(docs_dir)
-    pipe = IncrementalBigramLM(spark, state_dir)
+    if model_class == "kn":
+        pipe: IncrementalBigramLM | IncrementalKneserNeyLM = IncrementalKneserNeyLM(
+            spark, state_dir
+        )
+    elif model_class == "bigram":
+        pipe = IncrementalBigramLM(spark, state_dir)
+    else:
+        raise ValueError(f"unknown model_class {model_class!r}")
 
     writer = (
         spark.readStream.schema(static.schema)
@@ -118,24 +193,34 @@ def _check_fresh_out_dir(out_dir: str, checkpoint_dir: str | None) -> None:
 def run_streaming_ppl_gate(
     spark: SparkSession,
     docs_dir: str,
-    model: tuple[DataFrame, DataFrame, DataFrame],
+    model: tuple[DataFrame, ...],
     out_dir: str,
     keep_max: float,
     files_per_trigger: int = 2,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    """Score a documents stream against a frozen (big, ctx, vocab)
-    model and gate on perplexity — stateless stream-static scoring:
-    the model sides broadcast into each micro-batch, no streaming
-    state accrues. Each epoch writes `epoch=N/` with overwrite, so a
-    redelivered epoch rewrites the same rows (idempotent). Returns the
-    union of all gated outputs."""
+    """Score a documents stream against a frozen model and gate on
+    perplexity — stateless stream-static scoring: the model sides
+    broadcast into each micro-batch, no streaming state accrues. The
+    model tuple's arity selects the scorer: 3 = (big, ctx, vocab)
+    add-one bigram, 6 = (t3, t2, b2, b2c, u1, stats) interpolated
+    Kneser-Ney trigram — either `*_lm_train` batch output or an
+    Incremental*LM's `model()`. Each epoch writes `epoch=N/` with
+    overwrite, so a redelivered epoch rewrites the same rows
+    (idempotent). Returns the union of all gated outputs."""
     _check_fresh_out_dir(out_dir, checkpoint_dir)
-    big, ctx, vocab = model
+    if len(model) == 3:
+        score = lambda batch: lm.perplexity(batch, *model)  # noqa: E731
+    elif len(model) == 6:
+        score = lambda batch: lm.kn_perplexity(batch, *model)  # noqa: E731
+    else:
+        raise ValueError(
+            f"model must have 3 (bigram) or 6 (KN trigram) frames, got {len(model)}"
+        )
     static = spark.read.parquet(docs_dir)
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
-        scored = lm.perplexity(batch, big, ctx, vocab).withColumn(
+        scored = score(batch).withColumn(
             "keep", F.col("ppl") <= F.lit(keep_max)
         )
         scored.write.mode("overwrite").parquet(

@@ -142,3 +142,94 @@ def test_incremental_lm_restarts_from_state(spark, tmp_path):
     # replaying epoch 1 against the resumed pipeline is still a no-op
     resumed.process_batch(d1, 1)
     assert _model_rows(resumed.model()) == expect
+
+
+def _kn_model_rows(model):
+    t3, t2, b2, b2c, u1, stats = model
+    srow = stats.collect()[0]
+    return (
+        {(r["u"], r["v"], r["w"]): r["c3"] for r in t3.collect()},
+        {(r["u"], r["v"]): (r["c2"], r["n1p2"]) for r in t2.collect()},
+        {(r["v"], r["w"]): r["cont2"] for r in b2.collect()},
+        {r["v"]: (r["ctx2"], r["n1p1"]) for r in b2c.collect()},
+        {r["w"]: r["cont1"] for r in u1.collect()},
+        (srow["bt"], srow["vs"]),
+    )
+
+
+def test_streamed_kn_lm_equals_batch_training(spark, docs_dir, tmp_path):
+    """All six KN count tables and the scores built on them must be
+    bit-equal between incremental training (one file per micro-batch)
+    and lm.kn_trigram_train over the same corpus."""
+    pipe = run_streaming_lm_train(
+        spark, docs_dir, str(tmp_path / "state"), files_per_trigger=1,
+        model_class="kn",
+    )
+    docs = spark.read.parquet(docs_dir)
+    batch = lm.kn_trigram_train(docs)
+    assert _kn_model_rows(pipe.model()) == _kn_model_rows(batch)
+    streamed = {
+        r["doc_id"]: r["ppl"] for r in lm.kn_perplexity(docs, *pipe.model()).collect()
+    }
+    expect = {r["doc_id"]: r["ppl"] for r in lm.kn_perplexity(docs, *batch).collect()}
+    assert streamed == expect
+
+
+def test_streamed_kn_lm_retracts_deleted_documents(spark):
+    """Retraction through the TYPE-count rollups: deleting the only
+    document containing a trigram must drop that type from t3 AND from
+    every derived continuation count — equal to never having seen it.
+    (This is the case a naive additive maintenance of the rollups gets
+    wrong: cont2 is a count of distinct nonzero types, so it must be
+    re-derived, not decremented.)"""
+    from query_processing_over_streaming_data_using_flink_spark.streaming.lm_gate import (
+        IncrementalKneserNeyLM,
+    )
+
+    base = spark.createDataFrame(
+        [(0, "the cat sat", "en"), (1, "a dog ran", "en")],
+        "doc_id long, text string, lang string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        pipe = IncrementalKneserNeyLM(spark, os.path.join(d, "state"))
+        pipe.process_batch(base.withColumn("op", F.lit(1)), 1)
+        extra = spark.createDataFrame(
+            [(2, "zz yy xx", "en")], "doc_id long, text string, lang string"
+        )
+        pipe.process_batch(extra.withColumn("op", F.lit(1)), 2)
+        pipe.process_batch(extra.withColumn("op", F.lit(-1)), 3)
+        got = _kn_model_rows(pipe.model())
+        expect = _kn_model_rows(lm.kn_trigram_train(base))
+        assert got == expect
+        # replayed epoch is a no-op
+        pipe.process_batch(extra.withColumn("op", F.lit(1)), 3)
+        assert _kn_model_rows(pipe.model()) == expect
+
+
+def test_streaming_gate_accepts_kn_model(spark, docs_dir, tmp_path):
+    """run_streaming_ppl_gate dispatches on model arity: a 6-frame KN
+    model streams to exactly the batch KN scores; a wrong arity raises."""
+    docs = spark.read.parquet(docs_dir)
+    train = docs.filter(F.col("source") == "src0")
+    model = lm.kn_trigram_train(train)
+    out = run_streaming_ppl_gate(
+        spark,
+        docs_dir,
+        model,
+        str(tmp_path / "gated_kn"),
+        keep_max=48.0,
+        files_per_trigger=1,
+    )
+    got = {r["doc_id"]: (r["ppl"], r["keep"]) for r in out.collect()}
+    scored = lm.kn_perplexity(docs, *model).withColumn(
+        "keep", F.col("ppl") <= F.lit(48.0)
+    )
+    expect = {r["doc_id"]: (r["ppl"], r["keep"]) for r in scored.collect()}
+    assert got == expect
+    assert any(v[1] for v in got.values()) and not all(v[1] for v in got.values())
+    with pytest.raises(ValueError, match="3 .*or 6"):
+        run_streaming_ppl_gate(
+            spark, docs_dir, model[:4], str(tmp_path / "bad"), keep_max=48.0
+        )
