@@ -223,6 +223,21 @@ def main() -> None:
         r8[vname] = round(time.time() - t0, 3)
     extra["quality_extras"] = r8
 
+    # Round-9/10 additions (single runs): the interpolated Kneser-Ney
+    # trigram gate (CCNet model class) + its head/middle/tail bucket
+    # partitioning, and SemDeDup-style cluster-balanced sampling.
+    r9: dict[str, float] = {}
+    for vname, vfn in (
+        ("text_perplexity_filter_kn", qual.text_perplexity_filter_kn),
+        ("text_perplexity_buckets_kn", qual.text_perplexity_buckets_kn),
+        ("sample_cluster_balanced", llm.sample_cluster_balanced),
+    ):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        _run(vfn(spark, sf_dir))
+        r9[vname] = round(time.time() - t0, 3)
+    extra["lm_extras"] = r9
+
     # SF-1 parity datapoint: BASELINE.md measures the reference at SF-1
     # (15.3M events, ~71s best). No sf1 testdata directory exists, so
     # replicate the sf0.1 changelog tables 10× with disjoint key ranges
@@ -408,6 +423,94 @@ def main() -> None:
             }
         except Exception as e:  # the parity point must never sink the bench
             extra["sf1_error"] = f"{type(e).__name__}: {e}"[:300]
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    # SF-1 soak for the LLM-data ops (round-10): replicate documents and
+    # embeddings 10× with disjoint ids; replicas 1-9 get a per-replica
+    # word suffix (" word" → " word_rN") — a bijective vocabulary map, so
+    # every within-replica dedup/ngram/quality/LM statistic is preserved
+    # exactly while replicas stay shingle-disjoint. That keeps dedup
+    # candidate generation scaling linearly (verbatim copies would pile
+    # all 10 replicas into the same LSH buckets and measure a quadratic
+    # blowup the real corpus doesn't have). Each headline LLM op runs
+    # once at that scale; the ratio vs its sf0.1 single run from THIS
+    # bench process is recorded (both sides same-methodology cold runs).
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and abs(sf - 0.1) < 1e-9:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        tmp = tempfile.mkdtemp(prefix="graft_sf1llm_")
+        try:
+            scale, off = 10, 1 << 40
+            rep = F.explode(F.array(*[F.lit(i) for i in range(scale)])).alias("_rep")
+            t0 = time.time()
+            d = load_table(spark, sf_dir, "documents").select("*", rep)
+            d = (
+                d.withColumn(
+                    "doc_id", F.col("doc_id") + F.col("_rep").cast("long") * off
+                )
+                .withColumn(
+                    "text",
+                    F.when(F.col("_rep") == 0, F.col("text")).otherwise(
+                        F.regexp_replace(
+                            F.col("text"),
+                            r"(\S+)",
+                            F.concat(F.lit("$1_r"), F.col("_rep")),
+                        )
+                    ),
+                )
+                .withColumn("n_chars", F.length("text"))
+            )
+            d.drop("_rep").write.parquet(os.path.join(tmp, "documents.parquet"))
+            e_ = load_table(spark, sf_dir, "embeddings").select("*", rep)
+            e_ = e_.withColumn(
+                "vec_id", F.col("vec_id") + F.col("_rep").cast("long") * off
+            )
+            e_.drop("_rep").write.parquet(os.path.join(tmp, "embeddings.parquet"))
+            gen_sec = round(time.time() - t0, 3)
+
+            sf01_ref = {
+                "dedup_minhash_lsh": timings.get("dedup_minhash_lsh"),
+                "dedup_exact_substring": r7.get("dedup_exact_substring"),
+                "ann_ivfpq_rerank": ann_variants.get("ann_ivfpq_rerank"),
+                "text_perplexity_filter_kn": r9.get("text_perplexity_filter_kn"),
+                "curation_pipeline_model_gated": r8.get(
+                    "curation_pipeline_model_gated"
+                ),
+            }
+            soak: dict[str, dict] = {}
+            for vname, vfn in (
+                ("dedup_minhash_lsh", llm.dedup_minhash_lsh),
+                ("dedup_exact_substring", llm.dedup_exact_substring),
+                ("ann_ivfpq_rerank", llm.ann_ivfpq_rerank),
+                ("text_perplexity_filter_kn", qual.text_perplexity_filter_kn),
+                ("curation_pipeline_model_gated", qual.curation_pipeline_model_gated),
+            ):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                _run(vfn(spark, tmp))
+                sec = round(time.time() - t0, 3)
+                ref = sf01_ref.get(vname)
+                soak[vname] = {
+                    "sec": sec,
+                    "sf01_sec": ref,
+                    "scaleup_x10": round(sec / ref, 2) if ref else None,
+                }
+            extra["sf1_llm"] = {
+                "sf": 1,
+                "docs": 10 * load_table(spark, sf_dir, "documents").count(),
+                "vectors": 10 * load_table(spark, sf_dir, "embeddings").count(),
+                "table_gen_sec": gen_sec,
+                "note": "10x replication, replicas word-suffixed (bijective "
+                "vocab map per replica: within-replica statistics exact, "
+                "replicas shingle-disjoint)",
+                "ops": soak,
+            }
+        except Exception as e:  # the soak must never sink the bench
+            extra["sf1_llm_error"] = f"{type(e).__name__}: {e}"[:300]
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
