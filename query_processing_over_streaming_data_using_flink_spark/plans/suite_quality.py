@@ -807,3 +807,200 @@ FROM labels l JOIN sizes s USING (canonical_name) JOIN recs r USING (doc_id)
 """
 
 register("er_resolve_part_names", er_resolve_part_names, _ER_RESOLVE_SQL)
+
+
+# --------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al., 2023)
+# --------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096  # hashed n-gram feature space (paper uses 10k)
+DSIR_TARGET_SOURCE = PPL_TRAIN_SOURCE  # src0 doubles as the target domain
+DSIR_KEEP_K = 200  # resampled corpus size (< the sf0.01 doc count)
+_DSIR_GUMBEL_MOD = 1 << 40  # uniform-draw resolution for the Gumbel key
+
+
+def _dsir_gram_expr() -> str:
+    """Spark SQL expr: word unigrams ++ space-joined bigrams of the
+    token array `tk` — DSIR's hashed n-gram feature stream. Bigram arm
+    guarded like `lm.doc_bigrams` (sequence() descends on short
+    arrays)."""
+    return (
+        "concat(tk, CASE WHEN size(tk) >= 2 THEN "
+        "transform(sequence(1, size(tk) - 1), i -> concat(tk[i-1], ' ', tk[i])) "
+        "ELSE array() END)"
+    )
+
+
+def _dsir_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_grams, lw_micro): the DSIR importance weight of every
+    document — log w(doc) = Σ_features [ln p̂(b) − ln q̂(b)] where p̂/q̂
+    are add-one-smoothed hashed-n-gram bag models of the target
+    (source = src0) and raw (whole corpus) distributions.
+
+    Determinism: each bucket's log-ratio is ONE floor-quantized
+    micro-nat integer (`lm._lp_micro` of two int64 cross-products), so
+    the per-doc weight is an associative integer sum — the oracle hash
+    match certifies the fitted feature models and the weights exactly.
+
+    Plan shape (the 100×-scale story): the feature stream is a
+    map-side explode; both model fits are hash aggregates onto the
+    4096-bucket key space (tiny shuffles, full map-side combine); the
+    ratio table is ≤4096 rows and BROADCASTS into the per-instance
+    scoring join; the only corpus-sized shuffle is the final per-doc
+    sum. Like the KN chain, the int64 cross-products bound the corpus
+    size (~10¹⁸ product ceiling) — past that, swap the rational for
+    float interpolation."""
+    docs = load_table(spark, sf_dir, "documents")
+    from query_processing_over_streaming_data_using_flink_spark.functions.scalar import md5_hash64
+
+    feats = (
+        docs.withColumn("tk", tx.tokens(F.col("text")))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr(_dsir_gram_expr())).alias("gram"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.pmod(md5_hash64(F.col("gram")), F.lit(DSIR_BUCKETS)).alias("b"),
+        )
+    )
+    totals = feats.agg(
+        F.count("*").alias("tot_q"),
+        F.count(F.when(F.col("source") == DSIR_TARGET_SOURCE, 1)).alias("tot_p"),
+    )
+    raw = feats.groupBy("b").agg(F.count("*").alias("c_q"))
+    tgt = (
+        feats.filter(F.col("source") == DSIR_TARGET_SOURCE)
+        .groupBy("b")
+        .agg(F.count("*").alias("c_p"))
+    )
+    ratios = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            lm._lp_micro(
+                (F.coalesce(F.col("c_p"), F.lit(0)) + F.lit(1))
+                * (F.col("tot_q") + F.lit(DSIR_BUCKETS)),
+                (F.col("c_q") + F.lit(1))
+                * (F.col("tot_p") + F.lit(DSIR_BUCKETS)),
+            ).alias("lr_micro"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("lr_micro").alias("lw_micro"),
+        )
+    )
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR stage 1 — the per-document importance weight surface
+    (hashed-n-gram target/raw log-likelihood ratio, integer
+    micro-nats). Positive lw_micro = looks more like the target domain
+    than the average of the raw pool."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _dsir_per_doc(spark, sf_dir).join(
+        docs.select("doc_id", "lang", "source"), "doc_id"
+    ).select("doc_id", "lang", "source", "n_grams", "lw_micro")
+
+
+def sample_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR stage 2 — Gumbel top-k importance resampling: keep the K
+    documents maximizing lw + Gumbel(0,1) noise, which draws WITHOUT
+    replacement from the softmax of the importance weights (the
+    paper's sampling scheme). The Gumbel is the deterministic salted
+    md5 draw pushed through −ln(−ln(u)) and floor-quantized to integer
+    micro-nats, so the selection key is an integer sum and the chosen
+    set is engine/partitioning/retry-independent. Top-k via
+    TakeOrderedAndProject — no global sort at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    draw = tx.sample_hash(F.col("doc_id"), salt="dsir", modulus=_DSIR_GUMBEL_MOD)
+    u = (draw.cast("double") + F.lit(0.5)) / F.lit(float(_DSIR_GUMBEL_MOD))
+    gum = F.floor(-F.log(-F.log(u)) * F.lit(lm.MICRO)).cast("long")
+    return (
+        _dsir_per_doc(spark, sf_dir)
+        .join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .withColumn("key_micro", F.col("lw_micro") + gum)
+        .select("doc_id", "lang", "source", "lw_micro", "key_micro")
+        .orderBy(F.desc("key_micro"), F.asc("doc_id"))
+        .limit(DSIR_KEEP_K)
+    )
+
+
+def _dsir_ctes() -> str:
+    from query_processing_over_streaming_data_using_flink_spark.functions.scalar import md5_hash64_sql
+
+    gh = md5_hash64_sql("gram")
+    return f"""
+tokd_dsir AS MATERIALIZED (
+  SELECT doc_id, source, {_TOKENS} AS tk FROM documents
+),
+grams_dsir AS MATERIALIZED (
+  SELECT doc_id, source, g.gram
+  FROM tokd_dsir, UNNEST(
+    tk || CASE WHEN len(tk) >= 2
+      THEN list_transform(range(2, len(tk) + 1), i -> tk[i-1] || ' ' || tk[i])
+      ELSE []::VARCHAR[] END
+  ) AS g(gram)
+),
+feats_dsir AS MATERIALIZED (
+  SELECT doc_id, source, ({gh}) % {DSIR_BUCKETS} AS b FROM grams_dsir
+),
+totals_dsir AS (
+  SELECT count(*) AS tot_q,
+         count(*) FILTER (WHERE source = '{DSIR_TARGET_SOURCE}') AS tot_p
+  FROM feats_dsir
+),
+raw_dsir AS (SELECT b, count(*) AS c_q FROM feats_dsir GROUP BY b),
+tgt_dsir AS (
+  SELECT b, count(*) AS c_p FROM feats_dsir
+  WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY b
+),
+ratios_dsir AS MATERIALIZED (
+  SELECT r.b,
+         CAST(floor(ln(((coalesce(t.c_p, 0) + 1) * (s.tot_q + {DSIR_BUCKETS})) /
+                       ((r.c_q + 1) * (s.tot_p + {DSIR_BUCKETS}))) * {lm.MICRO}) AS BIGINT)
+           AS lr_micro
+  FROM raw_dsir r LEFT JOIN tgt_dsir t USING (b) CROSS JOIN totals_dsir s
+),
+per_doc_dsir AS MATERIALIZED (
+  SELECT f.doc_id, count(*) AS n_grams, CAST(sum(r.lr_micro) AS BIGINT) AS lw_micro
+  FROM feats_dsir f JOIN ratios_dsir r USING (b) GROUP BY f.doc_id
+)
+"""
+
+
+_DSIR_WEIGHTS_SQL = f"""
+WITH {_dsir_ctes()}
+SELECT p.doc_id, d.lang, d.source, p.n_grams, p.lw_micro
+FROM per_doc_dsir p JOIN documents d USING (doc_id)
+"""
+
+def _dsir_resample_sql() -> str:
+    from query_processing_over_streaming_data_using_flink_spark.functions.scalar import md5_hash64_sql
+
+    # Mirror of tx.sample_hash(doc_id, salt="dsir", modulus=2^40):
+    # the salted md5 draw, pushed through the Gumbel transform with the
+    # same single-division shape as the Spark side.
+    h = md5_hash64_sql("'dsir:' || CAST(doc_id AS VARCHAR)")
+    u = (
+        f"((({h}) % {_DSIR_GUMBEL_MOD})"
+        f" + 0.5) / {float(_DSIR_GUMBEL_MOD)}"
+    )
+    return f"""
+WITH {_dsir_ctes()}
+SELECT p.doc_id, d.lang, d.source, p.lw_micro,
+       p.lw_micro + CAST(floor(-ln(-ln({u})) * {lm.MICRO}) AS BIGINT) AS key_micro
+FROM per_doc_dsir p JOIN documents d USING (doc_id)
+ORDER BY key_micro DESC, doc_id ASC LIMIT {DSIR_KEEP_K}
+"""
+
+
+register("dsir_importance_weights", dsir_importance_weights, _DSIR_WEIGHTS_SQL)
+register("sample_dsir_resample", sample_dsir_resample, _dsir_resample_sql())

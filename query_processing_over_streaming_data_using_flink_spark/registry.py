@@ -46,6 +46,8 @@ _PRIORITY_FIRST = [
     # stale-3 filler into the front of the overflow queue below.
     # --- new in round 10 (never driver-checked), uncommented as each
     # lands with its oracle + dual-scale sweep MATCH:
+    "dsir_importance_weights",
+    "sample_dsir_resample",
     # --- stale-4 cohort (last driver-green round 5):
     "embedding_covariance",
     "embedding_pca_power_iter",
@@ -96,12 +98,13 @@ _PRIORITY_FIRST = [
     "q13_customer_distribution",
     "q15_top_supplier",
     "q16_part_supplier_relationship",
+    # --- position 51+: the OVERFLOW QUEUE -- the rest of the stale-3
+    # (r6-green) cohort (headed by the two fillers the round-10 DSIR
+    # registrations displaced), contiguous and first in line for the
+    # round-11 prefix; all remain verified by the local dual-scale
+    # sweep every round meanwhile.
     "q20_potential_promotion",
     "q21_suppliers_kept_waiting",
-    # --- position 51+: the OVERFLOW QUEUE -- the rest of the stale-3
-    # (r6-green) cohort, contiguous and first in line for the round-11
-    # prefix; all remain verified by the local dual-scale sweep every
-    # round meanwhile.
     "changelog_scd2_customer",
     "pit_orders_customer_segment",
     "changelog_q3_current_state",

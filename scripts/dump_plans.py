@@ -78,6 +78,10 @@ SELECTED = [
      "broadcast-centroid IVF assignment (no corpus shuffle in "
      "training), deterministic salted-md5 draw, one per-cell window — "
      "rank cap = exact per-cluster output size"),
+    ("sample_dsir_resample", "DSIR importance resampling",
+     "map-side hashed-n-gram explode, two 4096-bucket hash aggregates "
+     "(full map-side combine), ratio table broadcast into the scoring "
+     "join, one per-doc sum shuffle, TakeOrderedAndProject tail"),
 ]
 
 

@@ -234,6 +234,9 @@ _BNLJ_ALLOWED = {
     "text_perplexity_filter_kn",  # 1-row broadcast KN stats scalar (same shape as text_perplexity_filter)
     "text_perplexity_buckets_kn",  # composes the KN perplexity scorer above
     "sample_cluster_balanced",  # the allowed IVF cell assignment (bounded centroid side)
+    # --- round 10:
+    "dsir_importance_weights",  # 1-row broadcast feature-totals scalar into the 4096-row ratio table
+    "sample_dsir_resample",  # composes the DSIR weight chain above
 }
 
 
