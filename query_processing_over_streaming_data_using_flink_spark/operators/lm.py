@@ -181,9 +181,10 @@ def kn_int64_headroom(t2: DataFrame, b2c: DataFrame, stats: DataFrame) -> dict:
     corpus scale should assert ok (or switch the scoring chain to float
     interpolation, which the gate tolerates in production where
     cross-engine bit equality is not needed)."""
-    max_c2 = t2.agg(F.max("c2").alias("m")).collect()[0]["m"] or 0
-    max_ctx2 = b2c.agg(F.max("ctx2").alias("m")).collect()[0]["m"] or 0
-    row = stats.collect()[0]
+    # 1-row bounded aggregates (diagnostic guard, not a hot path).
+    max_c2 = t2.agg(F.max("c2").alias("m")).first()["m"] or 0
+    max_ctx2 = b2c.agg(F.max("ctx2").alias("m")).first()["m"] or 0
+    row = stats.first()
     b1_max = (row["bt"] or 0) + (row["vs"] or 0) + 1
     worst = KN_D_DEN * KN_D_DEN * max_c2 * max_ctx2 * b1_max
     return {

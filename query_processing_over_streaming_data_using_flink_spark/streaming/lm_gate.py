@@ -14,6 +14,10 @@ curation pipeline runs:
   maintained signed-weight state; the continuation-count rollups
   (type counts, non-additive under retraction) derive from the live
   t3 at read time with batch training's own aggregates.
+* `IncrementalDsirModel` — the DSIR importance model's streaming
+  face: both hashed-n-gram bucket histograms (target and raw) in one
+  signed-weight state table; the broadcastable log-ratio table derives
+  at read time with the batch fit's own arithmetic.
 * `run_streaming_ppl_gate` — the apply-online face: each arriving
   micro-batch is scored against a FROZEN trained model (stream-static
   broadcast joins, zero streaming state) and gated on the perplexity
@@ -281,3 +285,89 @@ def run_streaming_nb_router(
     return spark.read.option("basePath", out_dir).parquet(out_dir + "/epoch=*").drop(
         "epoch"
     )
+
+
+class IncrementalDsirModel:
+    """Continuously-trained DSIR importance model
+    (`plans/suite_quality.py:dsir_importance_weights`' streaming face).
+    The fitted model is two hashed-n-gram bucket histograms — target
+    (source = src0) and raw — and both are plain signed-weight integer
+    folds: Δcounts(corpus) = counts(Δcorpus). One state table holds
+    (bucket, c_q, c_p); deletions retract their feature mass so the
+    importance weights forget removed data like the LM models do.
+    `ratios()` derives the ≤DSIR_BUCKETS-row broadcast log-ratio table
+    with the batch path's own arithmetic, so stream==batch equality is
+    structural."""
+
+    def __init__(self, spark: SparkSession, state_dir: str, run_id: str | None = None):
+        from query_processing_over_streaming_data_using_flink_spark.functions.scalar import md5_hash64
+        from query_processing_over_streaming_data_using_flink_spark.operators import text as tx
+        from query_processing_over_streaming_data_using_flink_spark.plans import suite_quality as q
+
+        self._q = q
+
+        def delta(batch: DataFrame) -> DataFrame:
+            weighted = batch
+            if "op" not in batch.columns:
+                weighted = batch.withColumn("op", F.lit(1))
+            feats = (
+                weighted.withColumn("tk", tx.tokens(F.col("text")))
+                .select(
+                    "op",
+                    "source",
+                    F.explode(F.expr(q._dsir_gram_expr())).alias("gram"),
+                )
+                .select(
+                    "op",
+                    "source",
+                    F.pmod(md5_hash64(F.col("gram")), F.lit(q.DSIR_BUCKETS)).alias("b"),
+                )
+            )
+            return feats.groupBy("b").agg(
+                F.sum("op").cast("long").alias("c_q"),
+                F.sum(
+                    F.when(F.col("source") == q.DSIR_TARGET_SOURCE, F.col("op")).otherwise(0)
+                ).cast("long").alias("c_p"),
+            )
+
+        self.agg = IncrementalGroupedAgg(
+            spark,
+            state_dir,
+            group_cols=["b"],
+            measure_cols=["c_q", "c_p"],
+            schema="bucket int, b long, c_q long, c_p long",
+            delta_fn=delta,
+            run_id=run_id,
+        )
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        self.agg.process_batch(batch, epoch_id)
+
+    def compact(self) -> None:
+        self.agg.compact()
+
+    def counts(self) -> DataFrame:
+        """(b, c_q, c_p) live bucket histograms (nonzero raw mass)."""
+        return self.agg.result().filter(F.col("c_q") != 0)
+
+    def ratios(self) -> DataFrame:
+        """(b, lr_micro): the broadcastable log-ratio table, bit-equal
+        to the batch fit over the ingested corpus — same add-one
+        cross-product `_lp_micro` arithmetic as `_dsir_per_doc`."""
+        from query_processing_over_streaming_data_using_flink_spark.operators import lm as _lm
+
+        q = self._q
+        c = self.counts()
+        totals = c.agg(
+            F.sum("c_q").alias("tot_q"), F.sum("c_p").alias("tot_p")
+        )
+        return (
+            c.crossJoin(F.broadcast(totals))
+            .select(
+                "b",
+                _lm._lp_micro(
+                    (F.col("c_p") + F.lit(1)) * (F.col("tot_q") + F.lit(q.DSIR_BUCKETS)),
+                    (F.col("c_q") + F.lit(1)) * (F.col("tot_p") + F.lit(q.DSIR_BUCKETS)),
+                ).alias("lr_micro"),
+            )
+        )

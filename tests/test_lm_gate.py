@@ -233,3 +233,62 @@ def test_streaming_gate_accepts_kn_model(spark, docs_dir, tmp_path):
         run_streaming_ppl_gate(
             spark, docs_dir, model[:4], str(tmp_path / "bad"), keep_max=48.0
         )
+
+
+def test_streamed_dsir_model_equals_batch(spark, docs_dir, tmp_path):
+    """The incrementally-maintained DSIR bucket histograms must equal
+    the batch fit, and scoring the corpus against the streamed ratio
+    table must reproduce dsir_importance_weights' lw_micro exactly —
+    including after a retraction (deleting an ingested doc restores
+    the weights to never-having-seen-it)."""
+    from query_processing_over_streaming_data_using_flink_spark.functions.scalar import md5_hash64
+    from query_processing_over_streaming_data_using_flink_spark.operators import text as tx
+    from query_processing_over_streaming_data_using_flink_spark.plans import suite_quality as q
+    from query_processing_over_streaming_data_using_flink_spark.streaming.lm_gate import IncrementalDsirModel
+
+    docs = spark.read.parquet(docs_dir)
+    pipe = IncrementalDsirModel(spark, str(tmp_path / "state"))
+    pipe.process_batch(docs.filter(F.col("doc_id") % 2 == 0), 1)
+    pipe.process_batch(docs.filter(F.col("doc_id") % 2 == 1), 2)
+    # an ingest-then-retract pair must be a no-op on the model
+    extra = spark.createDataFrame(
+        [(10**9, "zz yy xx", "en", "srcX", 8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    pipe.process_batch(extra.withColumn("op", F.lit(1)), 3)
+    pipe.process_batch(extra.withColumn("op", F.lit(-1)), 4)
+
+    feats = (
+        docs.withColumn("tk", tx.tokens(F.col("text")))
+        .select("doc_id", "source", F.explode(F.expr(q._dsir_gram_expr())).alias("gram"))
+        .select(
+            "doc_id",
+            "source",
+            F.pmod(md5_hash64(F.col("gram")), F.lit(q.DSIR_BUCKETS)).alias("b"),
+        )
+    )
+    batch_hist = {
+        r["b"]: (r["c_q"], r["c_p"])
+        for r in feats.groupBy("b")
+        .agg(
+            F.count("*").alias("c_q"),
+            F.count(F.when(F.col("source") == q.DSIR_TARGET_SOURCE, 1)).alias("c_p"),
+        )
+        .collect()
+    }
+    streamed_hist = {r["b"]: (r["c_q"], r["c_p"]) for r in pipe.counts().collect()}
+    assert streamed_hist == batch_hist
+
+    scored = (
+        feats.join(F.broadcast(pipe.ratios()), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("lr_micro").alias("lw_micro"))
+    )
+    got = {r["doc_id"]: r["lw_micro"] for r in scored.collect()}
+    # docs_dir holds exactly the SF_SMOKE documents (repartitioned), so
+    # the batch fit over SF_SMOKE is the ground truth for the stream.
+    expect = {
+        r["doc_id"]: r["lw_micro"]
+        for r in q.dsir_importance_weights(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
