@@ -155,11 +155,29 @@ def main() -> None:
         lambda: _run(llm.embedding_covariance(spark, sf_dir)),
     )
 
-    # Informational (single-run, not regression-gated): the ANN
-    # spectrum at this SF — exact baseline vs the three pruned indexes.
-    # Wall-clock at test scale is training-dominated (tiny corpus); the
-    # scan-volume story these stand for is in SCALING.md and the
-    # recall certifications.
+    # Extras methodology (changed r10): min-of-2 per extra, both runs
+    # recorded in extra["extras_runs"]. Rationale: the IVF-family extras
+    # run k-means-style many-small-jobs plans whose wall clock jitters
+    # 2-3x run-to-run from scheduler/GC noise (measured: ann_ivf
+    # [8.9, 3.4, 6.2] in one session) — single runs made round-over-
+    # round comparisons read as drift. Min-of-2 is the same rule the
+    # headline queries and the SF-1 IVM already use.
+    extras_runs: dict[str, list[float]] = {}
+
+    def _timed_extra(group: dict, vname: str, thunk) -> None:
+        rs = []
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            thunk()
+            rs.append(round(time.time() - t0, 3))
+        group[vname] = min(rs)
+        extras_runs[vname] = rs
+
+    # Informational (not regression-gated): the ANN spectrum at this SF
+    # — exact baseline vs the pruned indexes. Wall-clock at test scale
+    # is training-dominated (tiny corpus); the scan-volume story these
+    # stand for is in SCALING.md and the recall certifications.
     ann_variants: dict[str, float] = {}
     for vname, vfn in (
         ("ann_lsh", llm.ann_lsh),
@@ -168,31 +186,33 @@ def main() -> None:
         ("ann_ivfpq", llm.ann_ivfpq),
         ("ann_ivfpq_rerank", llm.ann_ivfpq_rerank),
     ):
-        t0 = time.time()
-        _run(vfn(spark, sf_dir))
-        ann_variants[vname] = round(time.time() - t0, 3)
+        _timed_extra(ann_variants, vname, lambda vfn=vfn: _run(vfn(spark, sf_dir)))
     extra["ann_variants"] = ann_variants
 
-    # Round-7 LLM-pipeline additions at suite scale (single runs, like
-    # the ANN variant spectrum): span-level dedup incl. the md5-verified
+    # Round-7 LLM-pipeline additions at suite scale: span-level dedup incl. the md5-verified
     # rewrite, and true-BPE counting (mapInPandas over Arrow batches).
     r7: dict[str, float] = {}
     for vname, vfn in (
         ("dedup_exact_substring", llm.dedup_exact_substring),
         ("dedup_substring_rewrite", llm.dedup_substring_rewrite),
         ("text_bpe_token_count", llm.text_bpe_token_count),
-        # 16 training rounds + tokenize-with-learned-table, end to end
-        # (the trained table is memoized, so the pair costs one train).
+        # bpe_train_merges re-trains COLD on both timed runs (the memo
+        # is dropped first — min-of-2 of a warm memo would time a
+        # no-op); text_token_count_trained then reuses the warm table,
+        # measuring tokenize-with-learned-table as before.
         ("bpe_train_merges", llm.bpe_train_merges),
         ("text_token_count_trained", llm.text_token_count_trained),
     ):
-        spark.catalog.clearCache()
-        t0 = time.time()
-        _run(vfn(spark, sf_dir))
-        r7[vname] = round(time.time() - t0, 3)
+
+        def _thunk(vfn=vfn, vname=vname) -> None:
+            if vname == "bpe_train_merges":
+                llm._TRAINED_MERGES.pop(sf_dir, None)
+            _run(vfn(spark, sf_dir))
+
+        _timed_extra(r7, vname, _thunk)
     extra["llm_extras"] = r7
 
-    # Round-8 additions (single runs): the model-based quality gates
+    # Round-8 additions: the model-based quality gates
     # (bigram-LM perplexity incl. training, Naive Bayes train+apply,
     # Gopher rules), table maintenance (MERGE + diff), the Bloom
     # membership sketch, and SQ8 ANN.
@@ -217,13 +237,10 @@ def main() -> None:
         ("embedding_outliers", llm.embedding_outliers),
         ("source_overlap_matrix", llm.source_overlap_matrix),
     ):
-        spark.catalog.clearCache()
-        t0 = time.time()
-        _run(vfn(spark, sf_dir))
-        r8[vname] = round(time.time() - t0, 3)
+        _timed_extra(r8, vname, lambda vfn=vfn: _run(vfn(spark, sf_dir)))
     extra["quality_extras"] = r8
 
-    # Round-9/10 additions (single runs): the interpolated Kneser-Ney
+    # Round-9/10 additions: the interpolated Kneser-Ney
     # trigram gate (CCNet model class) + its head/middle/tail bucket
     # partitioning, and SemDeDup-style cluster-balanced sampling.
     r9: dict[str, float] = {}
@@ -232,10 +249,7 @@ def main() -> None:
         ("text_perplexity_buckets_kn", qual.text_perplexity_buckets_kn),
         ("sample_cluster_balanced", llm.sample_cluster_balanced),
     ):
-        spark.catalog.clearCache()
-        t0 = time.time()
-        _run(vfn(spark, sf_dir))
-        r9[vname] = round(time.time() - t0, 3)
+        _timed_extra(r9, vname, lambda vfn=vfn: _run(vfn(spark, sf_dir)))
     extra["lm_extras"] = r9
 
     # SF-1 parity datapoint: BASELINE.md measures the reference at SF-1
@@ -526,7 +540,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "extra": {**extra, "suite_total_sec": round(sum(timings.values()), 3)},
+                "extra": {**extra, "extras_runs": extras_runs, "suite_total_sec": round(sum(timings.values()), 3)},
             }
         )
     )

@@ -408,9 +408,9 @@ def dedup_clusters_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_clusters(docs, pairs)
 
 
-_CLUSTERS_SQL = f"""
-WITH RECURSIVE
-sh AS (
+# The recursive transitive-closure CTE chain, shared by the cluster
+# query and the quality-aware canonical selection built on it.
+_CLUSTERS_CTES = f"""sh AS (
   SELECT lang AS blk, doc_id, {_shingle_hashes_sql()} AS sh
   FROM (SELECT *, {_TOKENS} AS toks FROM documents)
   WHERE len({_shingles_sql('toks')}) > 0
@@ -432,7 +432,11 @@ reach AS (
   SELECT e.src AS doc_id, r.label FROM edges e JOIN reach r ON e.dst = r.doc_id
 ),
 labels AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
-sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id)
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id)"""
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+{_CLUSTERS_CTES}
 SELECT doc_id, cluster_id, cluster_size FROM labels JOIN sizes USING (cluster_id)
 """
 
@@ -2734,6 +2738,56 @@ FROM per_src s JOIN topl t ON s.source = t.source AND t.rk = 1
 
 
 register("corpus_quality_report", corpus_quality_report, _CORPUS_REPORT_SQL)
+
+
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup canonical selection: each n-gram-Jaccard
+    cluster (the registered `dedup_clusters_ngram` components) keeps
+    its HIGHEST-QUALITY member instead of the first-seen doc_id —
+    what production dedup actually does (you keep the cleanest copy of
+    a template, not whichever crawled first). Quality is the integer
+    micro-quantized composite score (`tx.quality_score`), tie-broken by
+    doc_id so the choice is total.
+
+    Plan: the cluster labeling unchanged (pair graph + min-label
+    propagation, work scales with candidate pairs), then one window
+    partitioned by cluster_id — a single extra shuffle on the cluster
+    key. The oracle reuses the clusterer's recursive transitive-closure
+    CTEs verbatim and ranks inside SQL."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dd.dedup_clusters(docs, dd.ngram_jaccard_pairs(docs, threshold=0.35))
+    scored = docs.select(
+        "doc_id",
+        F.floor(tx.quality_score(F.col("text")) * 1_000_000).cast("long").alias("q_micro"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("q_micro"), F.asc("doc_id"))
+    return (
+        clusters.join(scored, "doc_id")
+        .withColumn("is_kept", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "cluster_size", "q_micro", "is_kept")
+    )
+
+
+_KEEP_BEST_SQL = f"""
+WITH RECURSIVE
+{_CLUSTERS_CTES},
+scored_q AS (
+  SELECT doc_id, CAST(floor(({_QUALITY_EXPR}) * 1000000) AS BIGINT) AS q_micro
+  FROM (SELECT *, {_TOKENS} AS toks FROM documents)
+),
+ranked_q AS (
+  SELECT l.doc_id, l.cluster_id, s.cluster_size, q.q_micro,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY q.q_micro DESC, l.doc_id ASC) AS rnk
+  FROM labels l JOIN sizes s USING (cluster_id) JOIN scored_q q USING (doc_id)
+)
+SELECT doc_id, cluster_id, cluster_size, q_micro, rnk = 1 AS is_kept
+FROM ranked_q
+"""
+
+register("dedup_keep_best_quality", dedup_keep_best_quality, _KEEP_BEST_SQL)
 
 
 def dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:

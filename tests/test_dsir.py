@@ -103,3 +103,29 @@ def test_dsir_resample_takes_k_highest_keys(spark, tmp_path):
     excluded = [k for i, k in all_keys.items() if i not in sel]
     if excluded and len(sel) == q.DSIR_KEEP_K:
         assert min(sel.values()) >= max(excluded)
+
+
+def test_dedup_keep_best_quality_keeps_cleanest_not_first(spark, tmp_path):
+    """In a near-dup cluster the HIGHEST-quality member must be kept
+    even when it has the higher doc_id (min-id dedup would keep the
+    noisy copy); singletons keep themselves."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        dedup_keep_best_quality,
+    )
+
+    base = "the cat sat on the mat and looked at the dog in the sun"
+    rows = [
+        (1, base + " #### !!!! ????", "en", "srcX", 0),  # noisy near-dup, LOWER id
+        (2, base, "en", "srcX", 0),  # clean copy, higher id
+        (3, "a completely different document about spark plans", "en", "srcX", 0),
+    ]
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(d + "/documents.parquet")
+    out = {r["doc_id"]: r for r in dedup_keep_best_quality(spark, d).collect()}
+    assert out[1]["cluster_id"] == out[2]["cluster_id"]
+    assert out[1]["cluster_size"] == 2
+    assert not out[1]["is_kept"] and out[2]["is_kept"]  # quality beats min-id
+    assert out[2]["q_micro"] > out[1]["q_micro"]
+    assert out[3]["is_kept"] and out[3]["cluster_size"] == 1
