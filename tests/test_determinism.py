@@ -46,6 +46,14 @@ QUERIES = [
     "ann_pq",
     "ann_recall_pq_vs_exact",
     "changelog_windowed_churn_state",
+    # round-9/10 families (KN gate, cluster/importance sampling,
+    # quality-aware dedup): every one folds integer micro-nat sums or
+    # md5 draws, so partitioning must not move a single row
+    "text_perplexity_filter_kn",
+    "sample_cluster_balanced",
+    "dsir_importance_weights",
+    "sample_dsir_resample",
+    "dedup_keep_best_quality",
 ]
 
 
