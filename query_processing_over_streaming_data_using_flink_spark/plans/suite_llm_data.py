@@ -622,6 +622,60 @@ WHERE CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BI
 
 
 register("decontaminate_eval_overlap", decontaminate_eval_overlap, _DECONTAM_SQL)
+
+
+def decontaminate_eval_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination: training docs that are NEAR-
+    duplicates (MinHash-LSH candidates verified at Jaccard >= 0.35) of
+    any eval-subset doc (doc_id % 7 == 0 — a wider deterministic eval
+    slice than the exact check's % 53, so the fuzzy pass has hits to
+    certify at both test scales). The exact-overlap check
+    (`decontaminate_eval_overlap`) catches verbatim leakage; this
+    catches the paraphrased/reformatted copies that survive it — the
+    GPT-3-style fuzzy pass every benchmark-hygiene pipeline runs next.
+    Reuses the registered LSH pair generation unchanged (banded
+    equi-join, candidate-only verification), then keeps cross-side
+    pairs only; per training doc: how many eval docs it collides with
+    and the worst similarity."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.35)
+    a_eval = (F.col("doc_a") % 7) == 0
+    b_eval = (F.col("doc_b") % 7) == 0
+    return (
+        pairs.filter(a_eval != b_eval)
+        .select(
+            F.when(a_eval, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_id"),
+            "jaccard",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_eval_matches"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
+def _decontam_minhash_sql() -> str:
+    # The registered MinHash-LSH pair SQL verbatim as a nested CTE —
+    # the fuzzy decontamination is certified from the same text that
+    # certifies the pair generation.
+    return f"""
+WITH pairs_mh AS MATERIALIZED (
+{_minhash_sql()}
+),
+x_side AS (
+  SELECT CASE WHEN doc_a % 7 = 0 THEN doc_b ELSE doc_a END AS doc_id, jaccard
+  FROM pairs_mh
+  WHERE (doc_a % 7 = 0) <> (doc_b % 7 = 0)
+)
+SELECT doc_id, count(*) AS n_eval_matches, max(jaccard) AS max_jaccard
+FROM x_side GROUP BY doc_id
+"""
+
+
+register(
+    "decontaminate_eval_minhash", decontaminate_eval_minhash, _decontam_minhash_sql()
+)
 register("sample_stratified_lang", sample_stratified_lang, _SAMPLE_SQL)
 
 

@@ -49,6 +49,7 @@ _PRIORITY_FIRST = [
     "dsir_importance_weights",
     "sample_dsir_resample",
     "dedup_keep_best_quality",
+    "decontaminate_eval_minhash",
     # --- stale-4 cohort (last driver-green round 5):
     "embedding_covariance",
     "embedding_pca_power_iter",
@@ -97,12 +98,12 @@ _PRIORITY_FIRST = [
     "q11_important_stock",
     "q12_late_shipment_priority",
     "q13_customer_distribution",
-    "q15_top_supplier",
     # --- position 51+: the OVERFLOW QUEUE -- the rest of the stale-3
-    # (r6-green) cohort (headed by the three fillers the round-10
+    # (r6-green) cohort (headed by the four fillers the round-10
     # registrations displaced), contiguous and first in line for the
     # round-11 prefix; all remain verified by the local dual-scale
     # sweep every round meanwhile.
+    "q15_top_supplier",
     "q16_part_supplier_relationship",
     "q20_potential_promotion",
     "q21_suppliers_kept_waiting",

@@ -129,3 +129,27 @@ def test_dedup_keep_best_quality_keeps_cleanest_not_first(spark, tmp_path):
     assert not out[1]["is_kept"] and out[2]["is_kept"]  # quality beats min-id
     assert out[2]["q_micro"] > out[1]["q_micro"]
     assert out[3]["is_kept"] and out[3]["cluster_size"] == 1
+
+
+def test_decontaminate_eval_minhash_flags_near_dup_leakage(spark, tmp_path):
+    """A training doc that is a near-duplicate (not verbatim) of an
+    eval doc (doc_id % 7 == 0) must be flagged with its similarity;
+    unrelated training docs must not appear."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        decontaminate_eval_minhash,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (7, base, "en", "srcX", 0),  # eval member (7 % 7 == 0)
+        (8, base + " extra", "en", "srcX", 0),  # near-dup training doc -> leak
+        (9, "completely different text about query plans and shuffles", "en", "srcX", 0),
+    ]
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(d + "/documents.parquet")
+    out = {r["doc_id"]: r for r in decontaminate_eval_minhash(spark, d).collect()}
+    assert set(out) == {8}
+    assert out[8]["n_eval_matches"] == 1
+    assert out[8]["max_jaccard"] >= 0.35
