@@ -162,11 +162,16 @@ def bpe_count_text(text: str, ranks: dict[tuple[str, str], int], pat: re.Pattern
 
 
 def bpe_token_counts(
-    docs: DataFrame, merges: tuple[tuple[str, str], ...] = DEFAULT_MERGES
+    docs: DataFrame,
+    merges: tuple[tuple[str, str], ...] = DEFAULT_MERGES,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, n_pieces, n_tokens_bpe) per document — the production
     path: Arrow-batched pure-Python BPE via `mapInPandas` (no
-    row-at-a-time UDF; the merge table rides the closure)."""
+    row-at-a-time UDF; the merge table rides the closure). `carry`
+    names extra string columns to pass through unchanged (e.g. `lang`
+    for per-language rollups) so downstream aggregates never need a
+    corpus-scale self-join back onto `documents`."""
     validate_merges(merges)
     ranks = {m: i for i, m in enumerate(merges)}
 
@@ -177,26 +182,28 @@ def bpe_token_counts(
             # replace chain over NULL) — astype(str) would fabricate
             # the literal string 'None' and count its tokens.
             texts = [None if pd.isna(t) else str(t) for t in pdf["text"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_pieces": pd.array(
-                        [None if t is None else len(pat.findall(t)) for t in texts],
-                        dtype="Int64",
-                    ),
-                    "n_tokens_bpe": pd.array(
-                        [
-                            None if t is None else bpe_count_text(t, ranks, pat)
-                            for t in texts
-                        ],
-                        dtype="Int64",
-                    ),
-                }
-            )
+            out = {
+                "doc_id": pdf["doc_id"],
+                "n_pieces": pd.array(
+                    [None if t is None else len(pat.findall(t)) for t in texts],
+                    dtype="Int64",
+                ),
+                "n_tokens_bpe": pd.array(
+                    [
+                        None if t is None else bpe_count_text(t, ranks, pat)
+                        for t in texts
+                    ],
+                    dtype="Int64",
+                ),
+            }
+            for c in carry:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return docs.select("doc_id", "text").mapInPandas(
-        run, "doc_id long, n_pieces long, n_tokens_bpe long"
+    schema = "doc_id long, n_pieces long, n_tokens_bpe long" + "".join(
+        f", {c} {docs.schema[c].dataType.simpleString()}" for c in carry
     )
+    return docs.select("doc_id", "text", *carry).mapInPandas(run, schema)
 
 
 def bpe_count_expr(

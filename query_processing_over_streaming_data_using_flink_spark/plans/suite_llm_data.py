@@ -3992,3 +3992,169 @@ SELECT q_id, n_id, sel_round, round(score, 6) AS score FROM selected{MMR_K}
 
 
 register("ann_mmr_diversified", ann_mmr_diversified, _mmr_sql())
+
+
+# ---------------------------------------------------------------------------
+# Corpus export: deterministic sharding with a verifiable manifest
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 64
+# Fingerprint modulus: 2^61 - 1 (prime). Per-doc hashes are 60-bit, so
+# the running sum is taken exactly (decimal(38,0) in Spark, HUGEINT in
+# DuckDB — both exact integer arithmetic) and reduced once at the end;
+# headroom is 10^38 / 2^60 ≈ 10^20 docs per shard.
+_FP_MOD = 2305843009213693951
+
+
+def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus EXPORT step a 100 TB training run ends with: assign
+    every document a deterministic shard (salted md5 of doc_id mod 64)
+    and a deterministic within-shard position (an independent salted
+    draw — a reproducible global shuffle, so training order is fixed by
+    the data alone, not by task scheduling), then emit the 64-row
+    manifest that certifies the export: per shard, the doc count, byte
+    mass, an order-independent content fingerprint (sum of per-doc
+    content hashes mod 2^61-1), and an order-SENSITIVE fingerprint
+    (position-weighted hash sum) that changes if any shard's write
+    order changes. Two writers on different clusters can diff manifests
+    instead of 100 TB of bytes.
+
+    Plan shape: one corpus scan, one shuffle (the per-shard window's
+    partitioning IS the writer's repartition(shard_id)), then a
+    map-side-combinable aggregate down to 64 rows. At scale the same
+    frame feeds `.write.partitionBy(shard_id)` directly; the manifest
+    rides the identical exchange, so certification adds no extra pass.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        (
+            md5_hash64(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+            % N_SHARDS
+        ).alias("shard_id"),
+        md5_hash64(
+            F.concat(F.lit("order:"), F.col("doc_id").cast("string"))
+        ).alias("draw"),
+        md5_hash64(F.col("text")).alias("fp"),
+        F.length("text").cast("long").alias("n_chars_txt"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("draw", "doc_id")
+    d = d.withColumn("pos", F.row_number().over(w).cast("long"))
+    # Position-weighted term stays < 1000003^2 ≈ 10^12 — exact in int64
+    # at any corpus size (both factors are residues).
+    d = d.withColumn(
+        "ofp", ((F.col("fp") % 1000003) * (F.col("pos") % 1000003)) % F.lit(_FP_MOD)
+    )
+    return (
+        d.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars_txt").alias("total_chars"),
+            (F.sum(F.col("fp").cast("decimal(38,0)")) % F.lit(_FP_MOD))
+            .cast("long")
+            .alias("content_fp"),
+            (F.sum(F.col("ofp").cast("decimal(38,0)")) % F.lit(_FP_MOD))
+            .cast("long")
+            .alias("order_fp"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+_SHARD_MANIFEST_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         {_H64.format(x="'shard:' || CAST(doc_id AS VARCHAR)")} % {N_SHARDS} AS shard_id,
+         {_H64.format(x="'order:' || CAST(doc_id AS VARCHAR)")} AS draw,
+         {_H64.format(x='text')} AS fp,
+         CAST(length(text) AS BIGINT) AS n_chars_txt
+  FROM documents
+),
+p AS (
+  SELECT *,
+         CAST(row_number() OVER (PARTITION BY shard_id ORDER BY draw, doc_id)
+              AS BIGINT) AS pos
+  FROM d
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars_txt) AS BIGINT) AS total_chars,
+       CAST(sum(CAST(fp AS HUGEINT)) % {_FP_MOD} AS BIGINT) AS content_fp,
+       CAST(sum(CAST(((fp % 1000003) * (pos % 1000003)) % {_FP_MOD} AS HUGEINT))
+            % {_FP_MOD} AS BIGINT) AS order_fp
+FROM p
+GROUP BY shard_id
+"""
+
+register("export_shard_manifest", export_shard_manifest, _SHARD_MANIFEST_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility: per-language tokens/char under the trained BPE
+# ---------------------------------------------------------------------------
+
+
+def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer-fertility audit — the standard check that
+    a tokenizer doesn't tax some languages with far more tokens per
+    character than others (fertility in the multilingual-tokenizer
+    literature; high fertility = that language pays more compute per
+    byte of text). Runs the TRUE BPE tokenizer (`operators/bpe.py`,
+    the same merge-table application `text_bpe_token_count` certifies)
+    once over the corpus with `lang` and char counts carried through
+    the Arrow batches — no corpus self-join — then rolls up per
+    language: doc/char/piece/token masses, chars-per-token (the
+    inverse of fertility), and the BPE expansion over pre-tokenizer
+    pieces. The oracle replays the full merge chain in SQL per doc and
+    aggregates identically; divisions are textually mirrored
+    (`nullif`-guarded, round 6)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_chars_txt", F.length("text").cast("long")
+    )
+    counts = bp.bpe_token_counts(docs, carry=("lang", "n_chars_txt"))
+    totals = counts.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars_txt").alias("total_chars"),
+        F.sum("n_pieces").alias("total_pieces"),
+        F.sum("n_tokens_bpe").alias("total_tokens_bpe"),
+    )
+    return totals.select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        "total_pieces",
+        "total_tokens_bpe",
+        F.expr("round(total_chars / nullif(total_tokens_bpe, 0), 6)").alias(
+            "chars_per_token"
+        ),
+        F.expr("round(total_tokens_bpe / nullif(total_pieces, 0), 6)").alias(
+            "bpe_expansion"
+        ),
+    ).orderBy("lang")
+
+
+_FERTILITY_SQL = f"""
+WITH c AS (
+  SELECT doc_id, lang,
+         CAST(length(text) AS BIGINT) AS n_chars_txt,
+         CAST(len(regexp_extract_all(text, {_BPE_RE_SQL})) AS BIGINT) AS n_pieces,
+         CAST({_BPE_COUNT} AS BIGINT) AS n_tokens_bpe
+  FROM documents
+),
+t AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars_txt) AS BIGINT) AS total_chars,
+         CAST(sum(n_pieces) AS BIGINT) AS total_pieces,
+         CAST(sum(n_tokens_bpe) AS BIGINT) AS total_tokens_bpe
+  FROM c GROUP BY lang
+)
+SELECT lang, n_docs, total_chars, total_pieces, total_tokens_bpe,
+       round(total_chars / nullif(total_tokens_bpe, 0), 6) AS chars_per_token,
+       round(total_tokens_bpe / nullif(total_pieces, 0), 6) AS bpe_expansion
+FROM t
+"""
+
+register("tokenizer_fertility_report", tokenizer_fertility_report, _FERTILITY_SQL)

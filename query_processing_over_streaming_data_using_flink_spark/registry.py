@@ -39,8 +39,9 @@ _PRIORITY_FIRST = [
     # With CORRECTNESS_r09 landed the histogram is {stale-4: 23,
     # stale-3: 50, stale-2: 50, stale-1: 50} and nothing is forced
     # (bound 5), so the fill rule alone decides: the 23-query stale-4
-    # cohort (last green r5 -- round 9's overflow queue) plus the first
-    # 27 of the stale-3 cohort (last green r6), stalest-first.
+    # cohort (last green r5 -- round 9's overflow queue) plus the
+    # stalest remaining stale-3 entries (last green r6), stalest-first
+    # (21 fillers after the six round-10 registrations displaced six).
     # New round-10 queries are inserted at the TOP as they land (never-
     # checked = infinitely stale = forced), each displacing the last
     # stale-3 filler into the front of the overflow queue below.
@@ -50,6 +51,8 @@ _PRIORITY_FIRST = [
     "sample_dsir_resample",
     "dedup_keep_best_quality",
     "decontaminate_eval_minhash",
+    "export_shard_manifest",
+    "tokenizer_fertility_report",
     # --- stale-4 cohort (last driver-green round 5):
     "embedding_covariance",
     "embedding_pca_power_iter",
@@ -96,9 +99,12 @@ _PRIORITY_FIRST = [
     "q8_national_market_share",
     "q9_product_type_profit",
     "q11_important_stock",
+    # --- position 51+: the OVERFLOW QUEUE -- the rest of the stale-3
+    # (headed by the two fillers the export/fertility registrations
+    # displaced),
     "q12_late_shipment_priority",
     "q13_customer_distribution",
-    # --- position 51+: the OVERFLOW QUEUE -- the rest of the stale-3
+    # then the original queue: the rest of the stale-3
     # (r6-green) cohort (headed by the four fillers the round-10
     # registrations displaced), contiguous and first in line for the
     # round-11 prefix; all remain verified by the local dual-scale

@@ -82,6 +82,11 @@ SELECTED = [
      "map-side hashed-n-gram explode, two 4096-bucket hash aggregates "
      "(full map-side combine), ratio table broadcast into the scoring "
      "join, one per-doc sum shuffle, TakeOrderedAndProject tail"),
+    ("export_shard_manifest", "deterministic shard export manifest",
+     "one corpus scan, ONE exchange (the shard window's partitioning — "
+     "identical to the writer's repartition(shard_id)), map-side "
+     "partial aggregation down to 64 manifest rows, exact decimal "
+     "fingerprint sums"),
 ]
 
 

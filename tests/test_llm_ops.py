@@ -1400,3 +1400,126 @@ def test_mmr_breaks_up_redundant_top_k(spark):
     picks = [mmr[r] for r in sorted(mmr)]
     assert picks[0] in {1, 2, 3, 4}
     assert {5, 6} <= set(picks[:3]), picks
+
+
+# ---------------------------------------------------------------------------
+# export_shard_manifest / tokenizer_fertility_report (round 10)
+# ---------------------------------------------------------------------------
+
+
+def _write_docs(spark, rows, d):
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_shard_manifest_covers_corpus_and_is_layout_independent(spark, tmp_path):
+    """Every document lands in exactly one shard (the per-shard doc
+    counts sum to the corpus size), and the manifest is bit-identical
+    when the input parquet is rewritten at a different partitioning —
+    the export is a pure function of the data, not of task layout."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        N_SHARDS,
+        export_shard_manifest,
+    )
+
+    man = export_shard_manifest(spark, SF_SMOKE).collect()
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r["n_docs"] for r in man) == n_docs
+    assert len(man) <= N_SHARDS and len({r["shard_id"] for r in man}) == len(man)
+
+    alt = str(tmp_path / "alt_sf")
+    os.makedirs(alt)
+    spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet")).repartition(
+        7
+    ).write.parquet(os.path.join(alt, "documents.parquet"))
+    assert sorted(map(tuple, export_shard_manifest(spark, alt).collect())) == sorted(
+        map(tuple, man)
+    )
+
+
+def test_shard_manifest_fingerprint_semantics(spark, tmp_path):
+    """content_fp hears WHAT is in the corpus; order_fp also hears
+    WHERE it sits. Relabeling doc_ids (same text multiset) must keep
+    the global content fingerprint (sum over shards mod p) and the
+    total char mass, while moving docs between shards; editing one
+    character of one doc must change its shard's content_fp."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        _FP_MOD,
+        export_shard_manifest,
+    )
+
+    texts = [" ".join(f"tok{i}x{j}" for j in range(12)) for i in range(40)]
+    rows = [(i, texts[i], "en", "s", len(texts[i])) for i in range(40)]
+    a = _write_docs(spark, rows, str(tmp_path / "a"))
+    man_a = export_shard_manifest(spark, a).collect()
+
+    # doc_id relabel: i -> i + 1000 (different shard draws, same texts)
+    rows_b = [(i + 1000, t, lg, s, n) for (i, t, lg, s, n) in rows]
+    b = _write_docs(spark, rows_b, str(tmp_path / "b"))
+    man_b = export_shard_manifest(spark, b).collect()
+    gfp = lambda man: sum(r["content_fp"] for r in man) % _FP_MOD
+    assert gfp(man_a) == gfp(man_b)
+    assert sum(r["total_chars"] for r in man_a) == sum(
+        r["total_chars"] for r in man_b
+    )
+    assert {r["shard_id"]: r["n_docs"] for r in man_a} != {
+        r["shard_id"]: r["n_docs"] for r in man_b
+    }
+
+    # single-character edit: only that doc's shard changes, and only
+    # its fingerprints (doc counts stay put)
+    rows_c = list(rows)
+    rows_c[7] = (7, texts[7] + "!", "en", "s", len(texts[7]) + 1)
+    c = _write_docs(spark, rows_c, str(tmp_path / "c"))
+    man_c = {r["shard_id"]: r for r in export_shard_manifest(spark, c).collect()}
+    man_a_by = {r["shard_id"]: r for r in man_a}
+    diff = [
+        s
+        for s in man_a_by
+        if man_a_by[s]["content_fp"] != man_c[s]["content_fp"]
+    ]
+    assert len(diff) == 1
+    assert {s: man_c[s]["n_docs"] for s in man_c} == {
+        s: man_a_by[s]["n_docs"] for s in man_a_by
+    }
+
+
+def test_tokenizer_fertility_report_hand_counted(spark, tmp_path):
+    """Per-language totals pinned against hand-run BPE on a 4-doc
+    corpus, including the empty-text group: zero tokens must yield
+    NULL ratios (nullif guard), never a crash or inf."""
+    from query_processing_over_streaming_data_using_flink_spark.operators import bpe as bp
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        tokenizer_fertility_report,
+    )
+    import re as _re
+
+    rows = [
+        (0, "the cat sat on the mat", "en", "s", 22),
+        (1, "stream the stream", "en", "s", 17),
+        (2, "das ist ein test", "de", "s", 16),
+        (3, "", "xx", "s", 0),
+    ]
+    d = _write_docs(spark, rows, str(tmp_path / "f"))
+    got = {r["lang"]: r for r in tokenizer_fertility_report(spark, d).collect()}
+
+    pat = _re.compile(bp.BPE_PRETOKEN_RE)
+    ranks = {m: i for i, m in enumerate(bp.DEFAULT_MERGES)}
+    for lang, docs in (("en", [rows[0], rows[1]]), ("de", [rows[2]])):
+        chars = sum(len(t) for (_, t, *_r) in docs)
+        pieces = sum(len(pat.findall(t)) for (_, t, *_r) in docs)
+        toks = sum(bp.bpe_count_text(t, ranks, pat) for (_, t, *_r) in docs)
+        r = got[lang]
+        assert (r["n_docs"], r["total_chars"], r["total_pieces"]) == (
+            len(docs),
+            chars,
+            pieces,
+        )
+        assert r["total_tokens_bpe"] == toks
+        assert r["chars_per_token"] == round(chars / toks, 6)
+    r = got["xx"]
+    assert r["total_tokens_bpe"] == 0 and r["total_pieces"] == 0
+    assert r["chars_per_token"] is None and r["bpe_expansion"] is None
