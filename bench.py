@@ -188,6 +188,16 @@ def main() -> None:
     ):
         _timed_extra(ann_variants, vname, lambda vfn=vfn: _run(vfn(spark, sf_dir)))
     extra["ann_variants"] = ann_variants
+    # Cross-round comparability: before r10 the variants ran ONCE, in
+    # sequence, without a cache clear — a later variant could inherit a
+    # cached codebook/centroid block from an earlier one, so pre-r10
+    # numbers for ann_ivfpq(+rerank) read ~2x faster than an honest
+    # cold run. The per-run clearCache makes every run train cold.
+    extra["ann_variants_note"] = (
+        "min-of-2, cold per run (cache cleared): pre-r10 single-run "
+        "numbers could inherit cached training blocks from the "
+        "preceding variant"
+    )
 
     # Round-7 LLM-pipeline additions at suite scale: span-level dedup incl. the md5-verified
     # rewrite, and true-BPE counting (mapInPandas over Arrow batches).

@@ -4006,6 +4006,27 @@ N_SHARDS = 64
 _FP_MOD = 2305843009213693951
 
 
+def shard_doc_frame(docs: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """Per-doc shard projection shared by the batch manifest and the
+    streaming face (`streaming/export_manifest.py`): shard assignment,
+    within-shard order draw, content hash, char mass — all pure salted
+    md5 functions of the row. `extra` columns (e.g. the changelog's
+    signed `op`) pass through untouched."""
+    return docs.select(
+        *extra,
+        "doc_id",
+        (
+            md5_hash64(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+            % N_SHARDS
+        ).alias("shard_id"),
+        md5_hash64(
+            F.concat(F.lit("order:"), F.col("doc_id").cast("string"))
+        ).alias("draw"),
+        md5_hash64(F.col("text")).alias("fp"),
+        F.length("text").cast("long").alias("n_chars_txt"),
+    )
+
+
 def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus EXPORT step a 100 TB training run ends with: assign
     every document a deterministic shard (salted md5 of doc_id mod 64)
@@ -4028,18 +4049,7 @@ def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        (
-            md5_hash64(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
-            % N_SHARDS
-        ).alias("shard_id"),
-        md5_hash64(
-            F.concat(F.lit("order:"), F.col("doc_id").cast("string"))
-        ).alias("draw"),
-        md5_hash64(F.col("text")).alias("fp"),
-        F.length("text").cast("long").alias("n_chars_txt"),
-    )
+    d = shard_doc_frame(docs)
     w = Window.partitionBy("shard_id").orderBy("draw", "doc_id")
     d = d.withColumn("pos", F.row_number().over(w).cast("long"))
     # Position-weighted term stays < 1000003^2 ≈ 10^12 — exact in int64

@@ -55,6 +55,14 @@ class IncrementalGroupedAgg:
         wanted.
     schema : str
         State schema: ``bucket int, <group_cols>, <measure_cols>``.
+    fold_exprs : optional {measure -> (colname -> Column)}
+        Override the fold for a measure when plain ``F.sum`` is not the
+        right monoid — e.g. modular fingerprint sums fold with
+        ``pmod(sum(decimal), p)`` so the stored value stays a bounded
+        residue across any number of epochs. The override MUST still be
+        associative/commutative over the per-epoch delta rows (it is
+        applied at both ``compact`` and ``result``), and must map an
+        all-cancelled group to integer 0 so liveness filtering works.
     """
 
     TABLE = "agg"
@@ -68,16 +76,26 @@ class IncrementalGroupedAgg:
         schema: str,
         delta_fn: Callable[[DataFrame], DataFrame],
         run_id: str | None = None,
+        fold_exprs: dict[str, Callable[[str], F.Column]] | None = None,
     ) -> None:
         self.spark = spark
         self.group_cols = list(group_cols)
         self.measure_cols = list(measure_cols)
         self.schema = schema
         self.delta_fn = delta_fn
+        self.fold_exprs = dict(fold_exprs or {})
         self.state = VersionedBucketedState(spark, state_dir, {self.TABLE: schema})
         if run_id is not None:
             self.state.check_run(run_id)
         self.epoch = self.state.committed_epoch()
+
+    def _folds(self) -> list[F.Column]:
+        return [
+            self.fold_exprs[m](m).alias(m)
+            if m in self.fold_exprs
+            else F.sum(m).alias(m)
+            for m in self.measure_cols
+        ]
 
     def _bucket(self) -> F.Column:
         return F.pmod(F.hash(*[F.col(c) for c in self.group_cols]), F.lit(NUM_BUCKETS))
@@ -98,7 +116,7 @@ class IncrementalGroupedAgg:
     def compact(self) -> None:
         """Scheduled OPTIMIZE: fold the log to one row per group, drop
         groups whose every measure cancelled to zero."""
-        sums = [F.sum(m).alias(m) for m in self.measure_cols]
+        sums = self._folds()
         alive = None
         for m in self.measure_cols:
             cond = F.col(m) != 0
@@ -114,8 +132,7 @@ class IncrementalGroupedAgg:
     def result(self) -> DataFrame:
         """Current view: fold the state log per group. O(state) read,
         partial aggregation map-side per bucket."""
-        sums = [F.sum(m).alias(m) for m in self.measure_cols]
-        return self.state.read(self.TABLE).groupBy(*self.group_cols).agg(*sums)
+        return self.state.read(self.TABLE).groupBy(*self.group_cols).agg(*self._folds())
 
 
 # ---------------------------------------------------------------------------
