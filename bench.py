@@ -262,6 +262,16 @@ def main() -> None:
         _timed_extra(r9, vname, lambda vfn=vfn: _run(vfn(spark, sf_dir)))
     extra["lm_extras"] = r9
 
+    # Round-10 additions: the deterministic shard-export manifest and
+    # the per-language tokenizer-fertility audit (true-BPE, one pass).
+    r10: dict[str, float] = {}
+    for vname, vfn in (
+        ("export_shard_manifest", llm.export_shard_manifest),
+        ("tokenizer_fertility_report", llm.tokenizer_fertility_report),
+    ):
+        _timed_extra(r10, vname, lambda vfn=vfn: _run(vfn(spark, sf_dir)))
+    extra["export_extras"] = r10
+
     # SF-1 parity datapoint: BASELINE.md measures the reference at SF-1
     # (15.3M events, ~71s best). No sf1 testdata directory exists, so
     # replicate the sf0.1 changelog tables 10× with disjoint key ranges
@@ -504,6 +514,10 @@ def main() -> None:
                 "curation_pipeline_model_gated": r8.get(
                     "curation_pipeline_model_gated"
                 ),
+                "export_shard_manifest": r10.get("export_shard_manifest"),
+                "tokenizer_fertility_report": r10.get(
+                    "tokenizer_fertility_report"
+                ),
             }
             soak: dict[str, dict] = {}
             for vname, vfn in (
@@ -512,6 +526,8 @@ def main() -> None:
                 ("ann_ivfpq_rerank", llm.ann_ivfpq_rerank),
                 ("text_perplexity_filter_kn", qual.text_perplexity_filter_kn),
                 ("curation_pipeline_model_gated", qual.curation_pipeline_model_gated),
+                ("export_shard_manifest", llm.export_shard_manifest),
+                ("tokenizer_fertility_report", llm.tokenizer_fertility_report),
             ):
                 spark.catalog.clearCache()
                 t0 = time.time()
