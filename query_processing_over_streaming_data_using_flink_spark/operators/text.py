@@ -363,3 +363,10 @@ def boilerplate_strip(docs, chunk_tokens: int = 4, min_docs: int = 3):
             "cleaned_md5",
         )
     )
+
+
+# Corpus split proportions shared by the doc-level split
+# (plans/suite_quality.py:split_train_val_test) and the cluster-level
+# leakage-safe split (plans/suite_llm_data.py:split_leakage_safe).
+SPLIT_VAL_PERMILLE = 100  # 10% validation
+SPLIT_TEST_PERMILLE = 100  # 10% test

@@ -4168,3 +4168,53 @@ FROM t
 """
 
 register("tokenizer_fertility_report", tokenizer_fertility_report, _FERTILITY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split (cluster-level assignment)
+# ---------------------------------------------------------------------------
+
+
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across the
+    boundary: the salted-md5 draw is taken on the near-dup CLUSTER id
+    (the registered `dedup_clusters_ngram` components), not the doc id,
+    so every member of a template family lands on the same side — the
+    failure mode `split_train_val_test` (doc-level draw) permits is a
+    paraphrase of a training doc sitting in the eval split and
+    inflating eval scores. Same permille constants as the doc-level
+    split; singletons (cluster_id = own doc_id) behave exactly like the
+    doc-level split, so the two assignments differ only where near-dups
+    exist — which is the point.
+
+    Plan: the cluster labeling unchanged (pair graph + pointer-jumped
+    min-label propagation, work scales with candidate pairs), then a
+    zero-shuffle hash on the label. The oracle reuses the clusterer's
+    recursive transitive-closure CTEs verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dd.dedup_clusters(docs, dd.ngram_jaccard_pairs(docs, threshold=0.35))
+    draw = tx.sample_hash(F.col("cluster_id"), salt="clsplit", modulus=1000)
+    split = (
+        F.when(draw < tx.SPLIT_VAL_PERMILLE, F.lit("val"))
+        .when(draw < tx.SPLIT_VAL_PERMILLE + tx.SPLIT_TEST_PERMILLE, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return clusters.select("doc_id", "cluster_id", "cluster_size", split.alias("split"))
+
+
+def _leakage_safe_split_sql() -> str:
+    from query_processing_over_streaming_data_using_flink_spark.functions.scalar import md5_hash64_sql
+
+    h = md5_hash64_sql("'clsplit:' || CAST(cluster_id AS VARCHAR)")
+    return f"""
+WITH RECURSIVE
+{_CLUSTERS_CTES}
+SELECT doc_id, cluster_id, cluster_size,
+       CASE WHEN ({h}) % 1000 < {tx.SPLIT_VAL_PERMILLE} THEN 'val'
+            WHEN ({h}) % 1000 < {tx.SPLIT_VAL_PERMILLE + tx.SPLIT_TEST_PERMILLE} THEN 'test'
+            ELSE 'train' END AS split
+FROM labels JOIN sizes USING (cluster_id)
+"""
+
+
+register("split_leakage_safe", split_leakage_safe, _leakage_safe_split_sql())

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from query_processing_over_streaming_data_using_flink_spark.functions.scalar import md5_hash64_sql
 from query_processing_over_streaming_data_using_flink_spark.operators import lm
 from query_processing_over_streaming_data_using_flink_spark.operators import text as tx
 from query_processing_over_streaming_data_using_flink_spark.registry import register
@@ -696,8 +697,153 @@ FROM kn_doc_ppl
 register("text_perplexity_buckets_kn", text_perplexity_buckets_kn, _PPL_BUCKETS_KN_SQL)
 
 
-SPLIT_VAL_PERMILLE = 100  # 10% validation
-SPLIT_TEST_PERMILLE = 100  # 10% test
+# --------------------------------------------------------------------------
+# Perplexity-tilted source mixture (DoReMi-family domain reweighting)
+# --------------------------------------------------------------------------
+
+
+def mixture_ppl_tilted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-driven domain mixing — the DoReMi-family idea of setting
+    source weights from a trained model's judgment rather than from
+    token counts alone: each source's corpus-level perplexity under
+    the KN trigram LM (trained on the designated clean subset, the
+    same model `text_perplexity_filter_kn` certifies) sets its mixture
+    weight ∝ 1/ppl — target-like sources are upweighted, off-domain
+    sources pay for looking unlike the clean subset. Token mass is the
+    scorer's own n_scored (trigram positions), so the weights and the
+    budget share one unit. Spend half the corpus: per-source budget ∝
+    weight, keep-rate = budget/tokens capped at 1, realized by the
+    salted-md5 Bernoulli draw (permyriad integer threshold — no IEEE
+    rounding can flip a draw).
+
+    Determinism discipline: the ONLY float steps are the two mirrored
+    ops the per-doc gate already certifies (round(exp(lp/n), 6)) and
+    one floor(1e6/ppl) on the rounded value; everything after is
+    integer DIV arithmetic (widen to DECIMAL(38,0) at corpora where
+    tokens×10^6 approaches int64, like the mixture siblings document).
+    Scale: the corpus streams the KN scoring joins once; everything
+    downstream is per-source rows + one broadcast of the rate table
+    back onto the doc stream for the kept-mass audit."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") == PPL_TRAIN_SOURCE)
+    model = lm.kn_trigram_train(train)
+    scored = lm.kn_perplexity(docs, *model).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    per_src = scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_scored").cast("long").alias("est_tokens"),
+        F.sum("lp_sum_micro").cast("long").alias("lp_sum"),
+    )
+    per_src = per_src.withColumn(
+        "ppl",
+        F.round(
+            F.exp(
+                -F.col("lp_sum").cast("double")
+                / (F.col("est_tokens").cast("double") * F.lit(float(lm.MICRO)))
+            ),
+            6,
+        ),
+    ).withColumn("w_milli", F.floor(F.lit(1000000.0) / F.col("ppl")).cast("long"))
+    totals = per_src.agg(
+        F.sum("est_tokens").alias("total"), F.sum("w_milli").alias("total_w")
+    )
+    rates = (
+        per_src.crossJoin(F.broadcast(totals))
+        .withColumn("token_budget", F.expr("((total DIV 2) * w_milli) DIV total_w"))
+        .withColumn(
+            "keep_rate_pmy",
+            F.least(
+                F.lit(10000).cast("long"),
+                F.expr("(token_budget * 10000) DIV est_tokens"),
+            ),
+        )
+        .select(
+            "source", "n_docs", "est_tokens", "ppl", "w_milli",
+            "token_budget", "keep_rate_pmy",
+        )
+    )
+    kept = (
+        scored.join(F.broadcast(rates.select("source", "keep_rate_pmy")), "source")
+        .filter(
+            tx.sample_hash(F.col("doc_id"), salt="mixppl", modulus=10000)
+            < F.col("keep_rate_pmy")
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.sum("n_scored").cast("long").alias("kept_tokens"),
+        )
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source", "n_docs", "est_tokens", "ppl", "w_milli", "token_budget",
+            "keep_rate_pmy",
+            F.coalesce(F.col("kept_docs"), F.lit(0)).cast("long").alias("kept_docs"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+_MIX_PPL_SQL = f"""
+WITH {_KN_SCORED_CTES},
+src_doc AS MATERIALIZED (
+  SELECT d.doc_id, d.source, p.n_scored, p.lp_sum_micro
+  FROM kn_per_doc p JOIN documents d USING (doc_id)
+),
+per_src AS MATERIALIZED (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_scored) AS BIGINT) AS est_tokens,
+         CAST(sum(lp_sum_micro) AS BIGINT) AS lp_sum
+  FROM src_doc GROUP BY source
+),
+wtab AS MATERIALIZED (
+  SELECT source, n_docs, est_tokens,
+         round(exp(-lp_sum / (est_tokens * {lm.MICRO}.0)), 6) AS ppl,
+         CAST(floor(1000000.0 / round(exp(-lp_sum / (est_tokens * {lm.MICRO}.0)), 6))
+              AS BIGINT) AS w_milli
+  FROM per_src
+),
+tot AS (
+  SELECT CAST(sum(est_tokens) AS BIGINT) AS total,
+         CAST(sum(w_milli) AS BIGINT) AS total_w
+  FROM wtab
+),
+rates AS MATERIALIZED (
+  SELECT w.source, w.n_docs, w.est_tokens, w.ppl, w.w_milli,
+         CAST(((t.total // 2) * w.w_milli) // t.total_w AS BIGINT) AS token_budget,
+         CAST(least(10000, ((((t.total // 2) * w.w_milli) // t.total_w) * 10000)
+                            // w.est_tokens) AS BIGINT) AS keep_rate_pmy
+  FROM wtab w CROSS JOIN tot t
+),
+kept AS (
+  SELECT s.source,
+         CAST(count(*) AS BIGINT) AS kept_docs,
+         CAST(sum(s.n_scored) AS BIGINT) AS kept_tokens
+  FROM src_doc s JOIN rates r USING (source)
+  WHERE {md5_hash64_sql("'mixppl:' || CAST(s.doc_id AS VARCHAR)")} % 10000
+        < r.keep_rate_pmy
+  GROUP BY s.source
+)
+SELECT r.source, r.n_docs, r.est_tokens, r.ppl, r.w_milli, r.token_budget,
+       r.keep_rate_pmy,
+       CAST(coalesce(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+       CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+FROM rates r LEFT JOIN kept k USING (source)
+"""
+
+register("mixture_ppl_tilted", mixture_ppl_tilted, _MIX_PPL_SQL)
+
+
+# Shared with the cluster-level leakage-safe split in suite_llm_data
+# (defined in the leaf module to keep plan modules acyclic).
+from query_processing_over_streaming_data_using_flink_spark.operators.text import (  # noqa: E402
+    SPLIT_TEST_PERMILLE,
+    SPLIT_VAL_PERMILLE,
+)
 
 
 def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,7 +41,7 @@ _PRIORITY_FIRST = [
     # (bound 5), so the fill rule alone decides: the 23-query stale-4
     # cohort (last green r5 -- round 9's overflow queue) plus the
     # stalest remaining stale-3 entries (last green r6), stalest-first
-    # (21 fillers after the six round-10 registrations displaced six).
+    # (19 fillers after the eight round-10 registrations displaced 8).
     # New round-10 queries are inserted at the TOP as they land (never-
     # checked = infinitely stale = forced), each displacing the last
     # stale-3 filler into the front of the overflow queue below.
@@ -53,6 +53,8 @@ _PRIORITY_FIRST = [
     "decontaminate_eval_minhash",
     "export_shard_manifest",
     "tokenizer_fertility_report",
+    "mixture_ppl_tilted",
+    "split_leakage_safe",
     # --- stale-4 cohort (last driver-green round 5):
     "embedding_covariance",
     "embedding_pca_power_iter",
@@ -97,18 +99,16 @@ _PRIORITY_FIRST = [
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q8_national_market_share",
+    # --- position 51+: the OVERFLOW QUEUE -- the rest of the stale-3
+    # (headed by the four fillers the export/fertility/mixture/split
+    # registrations displaced),
     "q9_product_type_profit",
     "q11_important_stock",
-    # --- position 51+: the OVERFLOW QUEUE -- the rest of the stale-3
-    # (headed by the two fillers the export/fertility registrations
-    # displaced),
     "q12_late_shipment_priority",
     "q13_customer_distribution",
-    # then the original queue: the rest of the stale-3
-    # (r6-green) cohort (headed by the four fillers the round-10
-    # registrations displaced), contiguous and first in line for the
-    # round-11 prefix; all remain verified by the local dual-scale
-    # sweep every round meanwhile.
+    # then the rest of the stale-3 (r6-green) cohort, contiguous and
+    # first in line for the round-11 prefix; all remain verified by the
+    # local dual-scale sweep every round meanwhile.
     "q15_top_supplier",
     "q16_part_supplier_relationship",
     "q20_potential_promotion",
@@ -128,14 +128,13 @@ _PRIORITY_FIRST = [
     "q18_large_volume_customer",
     "q19_discounted_revenue",
     "q22_global_sales_opportunity",
-    "text_stats",
-    "text_lang_id",
-    "doc_fingerprints",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
+    # The remaining r6-green names (text_stats, text_lang_id,
+    # doc_fingerprints, dedup_exact, dedup_ngram_jaccard,
+    # dedup_minhash_lsh, dedup_simhash, dedup_embedding_cosine) are
+    # deliberately UNLISTED: unlisted names order themselves between
+    # this block and _PUSH_LAST (registration order), which is exactly
+    # their queue position, and same-staleness ties are free — keeping
+    # the hand-ordered block inside its runaway-growth cap.
 ]
 _PUSH_LAST = [
     # Driver-green in round 8 (staleness 2 -- the queue rule requires

@@ -1523,3 +1523,37 @@ def test_tokenizer_fertility_report_hand_counted(spark, tmp_path):
     r = got["xx"]
     assert r["total_tokens_bpe"] == 0 and r["total_pieces"] == 0
     assert r["chars_per_token"] is None and r["bpe_expansion"] is None
+
+
+def test_split_leakage_safe_keeps_clusters_together(spark, tmp_path):
+    """The near-dup cluster of planted copies must land entirely in ONE
+    split (the doc-level draw would scatter it with high probability
+    across many cluster sizes); singletons keep a working 3-way split;
+    assignment is deterministic across reruns."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        split_leakage_safe,
+    )
+
+    base = [" ".join(f"w{i}t{j}" for j in range(30)) for i in range(40)]
+    rows = [(i, base[i], "en", "src", len(base[i])) for i in range(40)]
+    # 6 exact copies of doc 0 at scattered ids -> one 7-member cluster
+    for k, nid in enumerate((100, 211, 322, 433, 544, 655)):
+        rows.append((nid, base[0], "en", "src", len(base[0])))
+    d = str(tmp_path / "split_sf")
+    os.makedirs(d)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    out = split_leakage_safe(spark, d).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    assert len(by_doc) == 46
+    fam = [by_doc[i] for i in (0, 100, 211, 322, 433, 544, 655)]
+    assert {r["cluster_id"] for r in fam} == {0}
+    assert all(r["cluster_size"] == 7 for r in fam)
+    assert len({r["split"] for r in fam}) == 1, "cluster straddles the split"
+    # singletons: every other doc is its own cluster
+    for i in range(1, 40):
+        assert by_doc[i]["cluster_id"] == i and by_doc[i]["cluster_size"] == 1
+    again = {(r["doc_id"], r["split"]) for r in split_leakage_safe(spark, d).collect()}
+    assert again == {(r["doc_id"], r["split"]) for r in out}

@@ -262,3 +262,54 @@ def test_nb_custom_feature_fn_char_trigrams(spark):
     # absent from the output (callers route feature-less docs to a
     # default bucket), and nothing crashes
     assert 12 not in pred
+
+
+# --------------------------------------------------------------------------
+# mixture_ppl_tilted (round 10)
+# --------------------------------------------------------------------------
+
+
+def test_mixture_ppl_tilted_upweights_target_like_sources(spark, tmp_path):
+    """Model-driven mixing semantics on a planted corpus: the source
+    whose text matches the training subset (src0) must get strictly
+    lower perplexity and a strictly higher mixture weight than a
+    source of never-seen tokens; budgets are conserved (sum <= half
+    the token mass), keep-rates are capped at 10000 permyriad, and
+    kept mass never exceeds the source's mass."""
+    import os
+
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_quality import (
+        mixture_ppl_tilted,
+    )
+
+    rows = []
+    for i in range(12):
+        rows.append((i, "the cat sat on the mat and the dog ran", "en", "src0", 39))
+    for i in range(12, 24):
+        rows.append((i, "the cat sat on the mat and the dog ran", "en", "srcA", 39))
+    for i in range(24, 36):
+        rows.append((i, "zq xv qqj wzx vvk pqr mlk jjh ggf ddx", "en", "srcB", 38))
+    d = str(tmp_path / "mix_sf")
+    os.makedirs(d)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = {r["source"]: r for r in mixture_ppl_tilted(spark, d).collect()}
+    assert set(got) == {"src0", "srcA", "srcB"}
+    # srcA is verbatim in-distribution -> same ppl as src0; srcB is
+    # out-of-distribution -> strictly higher ppl, strictly lower weight
+    assert got["srcA"]["ppl"] == got["src0"]["ppl"]
+    assert got["srcB"]["ppl"] > got["srcA"]["ppl"]
+    assert got["srcB"]["w_milli"] < got["srcA"]["w_milli"]
+    total = sum(r["est_tokens"] for r in got.values())
+    assert sum(r["token_budget"] for r in got.values()) <= total // 2
+    for r in got.values():
+        assert 0 <= r["keep_rate_pmy"] <= 10000
+        assert r["kept_docs"] <= r["n_docs"]
+        assert r["kept_tokens"] <= r["est_tokens"]
+    # determinism: a rerun reproduces the draw bit-for-bit
+    again = {r["source"]: r for r in mixture_ppl_tilted(spark, d).collect()}
+    assert {k: tuple(v) for k, v in got.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }

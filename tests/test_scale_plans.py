@@ -237,6 +237,7 @@ _BNLJ_ALLOWED = {
     # --- round 10:
     "dsir_importance_weights",  # 1-row broadcast feature-totals scalar into the 4096-row ratio table
     "sample_dsir_resample",  # composes the DSIR weight chain above
+    "mixture_ppl_tilted",  # KN stats scalar + 1-row corpus-totals broadcast (mixture-sibling shape)
 }
 
 
