@@ -14,7 +14,6 @@ from __future__ import annotations
 import os
 import sys
 
-import pytest
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -101,3 +100,50 @@ def test_streamed_manifest_restarts_from_state(spark, tmp_path):
     assert _rows(resumed.manifest()) == _batch_rows(spark, SF_SMOKE)
     resumed.process_batch(d1, 1)  # replayed old epoch: no-op
     assert _rows(resumed.manifest()) == _batch_rows(spark, SF_SMOKE)
+
+
+def test_modular_fold_is_batching_invariant_property():
+    """Pure-model property (no Spark): the state machinery folds
+    per-epoch residues with pmod(sum, p) — for ANY sequence of signed
+    per-doc hash contributions and ANY partition of it into epochs,
+    the fold must equal the batch residue of the live mass. This is
+    the algebraic fact the streaming face's stream==batch equality
+    rests on; hypothesis searches for a batching that breaks it."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    P = 2305843009213693951
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=(1 << 60) - 1),  # fp
+                st.sampled_from([1, -1]),  # op
+            ),
+            max_size=60,
+        ),
+        st.data(),
+    )
+    def check(events, data):
+        # carve the event list into arbitrary contiguous epochs
+        cuts = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=len(events)), max_size=6
+                )
+            )
+        )
+        bounds = [0, *cuts, len(events)]
+        epochs = [events[a:b] for a, b in zip(bounds, bounds[1:])]
+        # delta_fn: each epoch reduces to a residue in [0, p)
+        deltas = [sum(op * fp for fp, op in ep) % P for ep in epochs]
+        # fold rule: pmod(sum(residues), p)
+        folded = sum(deltas) % P
+        batch = sum(op * fp for fp, op in events) % P
+        assert folded == batch
+        # a fully-cancelled stream must fold to exactly 0 (liveness)
+        cancelled = [(fp, 1) for fp, _ in events] + [(fp, -1) for fp, _ in events]
+        assert sum(op * fp for fp, op in cancelled) % P == 0
+
+    check()
