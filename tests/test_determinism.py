@@ -54,6 +54,14 @@ QUERIES = [
     "dsir_importance_weights",
     "sample_dsir_resample",
     "dedup_keep_best_quality",
+    # round-10 tail (export manifest, fertility, model-driven mixing,
+    # cluster-level split): manifests fold modular residues, the
+    # mixture's draw is an integer permyriad threshold, the split
+    # hashes cluster labels — layout must not move a row or a bit
+    "export_shard_manifest",
+    "tokenizer_fertility_report",
+    "mixture_ppl_tilted",
+    "split_leakage_safe",
 ]
 
 
