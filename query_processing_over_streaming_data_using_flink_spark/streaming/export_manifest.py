@@ -109,3 +109,29 @@ class IncrementalShardManifest:
                 F.col("fp_res").alias("content_fp"),
             )
         )
+
+
+def run_streaming_manifest(
+    spark: SparkSession,
+    docs_dir: str,
+    state_dir: str,
+    files_per_trigger: int = 2,
+    checkpoint_dir: str | None = None,
+) -> IncrementalShardManifest:
+    """Drain a documents directory as micro-batches into the live
+    manifest (the same file-source harness as `run_streaming_lm_train`
+    — in production the source is the ingest stream's Kafka topic);
+    returns the pipeline for `manifest()`."""
+    static = spark.read.parquet(docs_dir)
+    pipe = IncrementalShardManifest(spark, state_dir)
+    writer = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(docs_dir)
+        .writeStream.foreachBatch(lambda b, e: pipe.process_batch(b, e))
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    writer.start().awaitTermination()
+    return pipe

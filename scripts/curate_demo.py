@@ -88,10 +88,36 @@ def main() -> None:
         target_file_bytes=32 << 20,
     )
 
+    # Final stage: the deterministic shard export with its verifiable
+    # manifest (the artifact a training run actually consumes) — shard
+    # + order are salted-md5 of the data, the 64-row manifest is the
+    # integrity record downstream consumers diff instead of bytes.
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        N_SHARDS,
+        shard_doc_frame,
+    )
+
+    sharded = shard_doc_frame(docs, extra=("text", "lang", "source"))
+    export_dir = os.path.join(out_dir, "shards")
+    (
+        sharded.repartition(N_SHARDS, "shard_id")
+        .sortWithinPartitions("draw", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(export_dir)
+    )
+    manifest = (
+        sharded.groupBy("shard_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars_txt").alias("chars"))
+        .agg(F.count("*").alias("shards"), F.sum("n_docs").alias("docs"))
+        .first()
+    )
+
     print(
         f"docs {n0} -> rules {n_rules} -> dedup {n1} -> perplexity {n_ppl} "
         f"-> quality {n2} -> decontam {n3}; "
-        f"{n_seqs} packed sequences; layout: {n_files} write tasks -> {out_dir}"
+        f"{n_seqs} packed sequences; layout: {n_files} write tasks -> {out_dir}; "
+        f"export: {manifest['docs']} docs across {manifest['shards']} shards -> {export_dir}"
     )
 
 

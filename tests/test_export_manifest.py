@@ -147,3 +147,19 @@ def test_modular_fold_is_batching_invariant_property():
         assert sum(op * fp for fp, op in cancelled) % P == 0
 
     check()
+
+
+def test_run_streaming_manifest_file_source(spark, tmp_path):
+    """The Structured Streaming harness (readStream file source +
+    foreachBatch) drains the corpus into the same live manifest the
+    direct-batch path produces."""
+    from query_processing_over_streaming_data_using_flink_spark.streaming.export_manifest import (
+        run_streaming_manifest,
+    )
+
+    d = str(tmp_path / "docs")
+    spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet")).repartition(
+        5
+    ).write.parquet(d)
+    pipe = run_streaming_manifest(spark, d, str(tmp_path / "state"), files_per_trigger=2)
+    assert _rows(pipe.manifest()) == _batch_rows(spark, SF_SMOKE)
