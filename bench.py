@@ -262,12 +262,14 @@ def main() -> None:
         _timed_extra(r9, vname, lambda vfn=vfn: _run(vfn(spark, sf_dir)))
     extra["lm_extras"] = r9
 
-    # Round-10 additions: the deterministic shard-export manifest and
-    # the per-language tokenizer-fertility audit (true-BPE, one pass).
+    # Round-10 additions: the deterministic shard-export manifest, the
+    # per-language tokenizer-fertility audit (true-BPE, one pass), and
+    # the KN-model-driven source mixture.
     r10: dict[str, float] = {}
     for vname, vfn in (
         ("export_shard_manifest", llm.export_shard_manifest),
         ("tokenizer_fertility_report", llm.tokenizer_fertility_report),
+        ("mixture_ppl_tilted", qual.mixture_ppl_tilted),
     ):
         _timed_extra(r10, vname, lambda vfn=vfn: _run(vfn(spark, sf_dir)))
     extra["export_extras"] = r10
