@@ -87,6 +87,11 @@ SELECTED = [
      "identical to the writer's repartition(shard_id)), map-side "
      "partial aggregation down to 64 manifest rows, exact decimal "
      "fingerprint sums"),
+    ("mixture_ppl_tilted", "KN-model-driven source mixture",
+     "the corpus streams the five model-keyed scoring joins once "
+     "(vocabulary-bounded broadcast sides), then per-source rows only: "
+     "1-row totals broadcast, rate table broadcast back for the "
+     "kept-mass audit — no second corpus shuffle"),
 ]
 
 
