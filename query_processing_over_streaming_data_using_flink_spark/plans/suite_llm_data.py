@@ -4052,10 +4052,17 @@ def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = shard_doc_frame(docs)
     w = Window.partitionBy("shard_id").orderBy("draw", "doc_id")
     d = d.withColumn("pos", F.row_number().over(w).cast("long"))
-    # Position-weighted term stays < 1000003^2 ≈ 10^12 — exact in int64
-    # at any corpus size (both factors are residues).
+    # Position-weighted term: the FULL 60-bit hash times the full
+    # position, exact in the decimal(38,0) accumulator (≤ 2^60 · pos —
+    # headroom to ~10^19-row shards), reduced once mod p. No residue
+    # shrinking: reducing either factor first (an earlier draft used
+    # mod 1000003) makes the fingerprint blind to reorderings that move
+    # rows by a multiple of the modulus — reachable at recommended
+    # shard sizes.
     d = d.withColumn(
-        "ofp", ((F.col("fp") % 1000003) * (F.col("pos") % 1000003)) % F.lit(_FP_MOD)
+        "ofp",
+        ((F.col("fp").cast("decimal(38,0)") * F.col("pos")) % F.lit(_FP_MOD))
+        .cast("long"),
     )
     return (
         d.groupBy("shard_id")
@@ -4092,7 +4099,7 @@ SELECT shard_id,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars_txt) AS BIGINT) AS total_chars,
        CAST(sum(CAST(fp AS HUGEINT)) % {_FP_MOD} AS BIGINT) AS content_fp,
-       CAST(sum(CAST(((fp % 1000003) * (pos % 1000003)) % {_FP_MOD} AS HUGEINT))
+       CAST(sum((CAST(fp AS HUGEINT) * pos) % {_FP_MOD})
             % {_FP_MOD} AS BIGINT) AS order_fp
 FROM p
 GROUP BY shard_id

@@ -727,9 +727,15 @@ def mixture_ppl_tilted(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     train = docs.filter(F.col("source") == PPL_TRAIN_SOURCE)
     model = lm.kn_trigram_train(train)
+    # `scored` (the expensive train+score subtree) feeds BOTH the
+    # per-source rollup and the kept-mass audit, and the rate table is
+    # referenced twice more — persist both so the corpus really does
+    # stream the scoring joins once per action, as the plan contract
+    # below claims (without it Spark re-evaluates the subtree per
+    # reference: ~5x the dominant stage).
     scored = lm.kn_perplexity(docs, *model).join(
         docs.select("doc_id", "source"), "doc_id"
-    )
+    ).persist()
     per_src = scored.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_scored").cast("long").alias("est_tokens"),
@@ -762,6 +768,7 @@ def mixture_ppl_tilted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "n_docs", "est_tokens", "ppl", "w_milli",
             "token_budget", "keep_rate_pmy",
         )
+        .persist()
     )
     kept = (
         scored.join(F.broadcast(rates.select("source", "keep_rate_pmy")), "source")

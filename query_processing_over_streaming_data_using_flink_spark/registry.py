@@ -79,7 +79,8 @@ _PRIORITY_FIRST = [
     "dedup_clusters_ngram",
     "decontaminate_eval_overlap",
     "sample_stratified_lang",
-    # --- stale-3 fill (last driver-green round 6, first 27 of 50):
+    # --- stale-3 fill (last driver-green round 6, 19 names after the
+    # eight round-10 registrations displaced eight into the queue):
     "dedup_cross_snapshot_minhash",
     "image_phash_near_dup",
     "image_dedup_keep_best",

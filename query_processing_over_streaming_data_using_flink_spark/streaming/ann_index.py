@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from query_processing_over_streaming_data_using_flink_spark.operators import similarity as sim
+from query_processing_over_streaming_data_using_flink_spark.streaming.drain import drain_file_source
 from query_processing_over_streaming_data_using_flink_spark.streaming.state_table import (
     VersionedBucketedState,
 )
@@ -66,7 +67,6 @@ def run_streaming_ann_index(
     import json as _json
     import os as _os
 
-    static = spark.read.parquet(vectors_dir)
     idx = IncrementalIVFIndex(spark, state_dir, centroids, nprobe, cells)
     applied = {"n": 0}
 
@@ -88,17 +88,7 @@ def run_streaming_ann_index(
             if refresh_every is not None and applied["n"] % refresh_every == 0:
                 idx.refresh_centroids()
 
-    writer = (
-        spark.readStream.schema(static.schema)
-        .option("maxFilesPerTrigger", files_per_trigger)
-        .parquet(vectors_dir)
-        .writeStream.foreachBatch(handle)
-        .trigger(availableNow=True)
-    )
-    if checkpoint_dir is not None:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    query = writer.start()
-    query.awaitTermination()
+    drain_file_source(spark, vectors_dir, handle, files_per_trigger, checkpoint_dir)
     return idx
 
 

@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from query_processing_over_streaming_data_using_flink_spark.streaming.drain import drain_file_source
 from query_processing_over_streaming_data_using_flink_spark.streaming.incragg import IncrementalGroupedAgg
 
 
@@ -122,16 +123,9 @@ def run_streaming_manifest(
     manifest (the same file-source harness as `run_streaming_lm_train`
     — in production the source is the ingest stream's Kafka topic);
     returns the pipeline for `manifest()`."""
-    static = spark.read.parquet(docs_dir)
     pipe = IncrementalShardManifest(spark, state_dir)
-    writer = (
-        spark.readStream.schema(static.schema)
-        .option("maxFilesPerTrigger", files_per_trigger)
-        .parquet(docs_dir)
-        .writeStream.foreachBatch(lambda b, e: pipe.process_batch(b, e))
-        .trigger(availableNow=True)
+    drain_file_source(
+        spark, docs_dir, lambda b, e: pipe.process_batch(b, e),
+        files_per_trigger, checkpoint_dir,
     )
-    if checkpoint_dir is not None:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    writer.start().awaitTermination()
     return pipe

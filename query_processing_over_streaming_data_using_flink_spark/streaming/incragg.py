@@ -33,6 +33,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from query_processing_over_streaming_data_using_flink_spark.streaming.drain import drain_file_source
 from query_processing_over_streaming_data_using_flink_spark.streaming.state_table import (
     VersionedBucketedState,
 )
@@ -206,7 +207,6 @@ def run_streaming_rollup(
     import json as _json
     import os as _os
 
-    static = spark.read.parquet(changelog_dir)
     pipe = monthly_revenue_rollup(spark, state_dir)
 
     def bind_run() -> None:
@@ -226,15 +226,5 @@ def run_streaming_rollup(
         bind_run()
         pipe.process_batch(batch, epoch_id)
 
-    writer = (
-        spark.readStream.schema(static.schema)
-        .option("maxFilesPerTrigger", files_per_trigger)
-        .parquet(changelog_dir)
-        .writeStream.foreachBatch(handle)
-        .trigger(availableNow=True)
-    )
-    if checkpoint_dir is not None:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    query = writer.start()
-    query.awaitTermination()
+    drain_file_source(spark, changelog_dir, handle, files_per_trigger, checkpoint_dir)
     return present_monthly_revenue(pipe.result())

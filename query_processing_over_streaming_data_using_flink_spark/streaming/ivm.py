@@ -78,6 +78,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from query_processing_over_streaming_data_using_flink_spark.functions.scalar import ts_lit
+from query_processing_over_streaming_data_using_flink_spark.streaming.drain import drain_file_source
 from query_processing_over_streaming_data_using_flink_spark.streaming.state_table import (
     VersionedBucketedState,
     dir_bytes,
@@ -598,7 +599,6 @@ def run_streaming_q3(
     import json as _json
     import os as _os
 
-    static = spark.read.parquet(changelog_dir)
     pipe = IncrementalQ3(
         spark, state_dir, broadcast_threshold_bytes=broadcast_threshold_bytes
     )
@@ -639,15 +639,5 @@ def run_streaming_q3(
             else:
                 on_progress(epoch_id, pipe.top_n(top_n))
 
-    writer = (
-        spark.readStream.schema(static.schema)
-        .option("maxFilesPerTrigger", files_per_trigger)
-        .parquet(changelog_dir)
-        .writeStream.foreachBatch(handle)
-        .trigger(availableNow=True)
-    )
-    if checkpoint_dir is not None:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    query = writer.start()
-    query.awaitTermination()
+    drain_file_source(spark, changelog_dir, handle, files_per_trigger, checkpoint_dir)
     return pipe.top_n(top_n)

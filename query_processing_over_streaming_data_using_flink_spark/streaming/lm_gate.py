@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from query_processing_over_streaming_data_using_flink_spark.operators import lm
+from query_processing_over_streaming_data_using_flink_spark.streaming.drain import drain_file_source
 from query_processing_over_streaming_data_using_flink_spark.streaming.incragg import IncrementalGroupedAgg
 
 
@@ -154,7 +155,6 @@ def run_streaming_lm_train(
     """Drain a documents directory as micro-batches into the
     incrementally-trained LM (`model_class`: "bigram" or "kn");
     returns the pipeline for `model()`."""
-    static = spark.read.parquet(docs_dir)
     if model_class == "kn":
         pipe: IncrementalBigramLM | IncrementalKneserNeyLM = IncrementalKneserNeyLM(
             spark, state_dir
@@ -164,16 +164,10 @@ def run_streaming_lm_train(
     else:
         raise ValueError(f"unknown model_class {model_class!r}")
 
-    writer = (
-        spark.readStream.schema(static.schema)
-        .option("maxFilesPerTrigger", files_per_trigger)
-        .parquet(docs_dir)
-        .writeStream.foreachBatch(lambda b, e: pipe.process_batch(b, e))
-        .trigger(availableNow=True)
+    drain_file_source(
+        spark, docs_dir, lambda b, e: pipe.process_batch(b, e),
+        files_per_trigger, checkpoint_dir,
     )
-    if checkpoint_dir is not None:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    writer.start().awaitTermination()
     return pipe
 
 
@@ -221,8 +215,6 @@ def run_streaming_ppl_gate(
         raise ValueError(
             f"model must have 3 (bigram) or 6 (KN trigram) frames, got {len(model)}"
         )
-    static = spark.read.parquet(docs_dir)
-
     def handle(batch: DataFrame, epoch_id: int) -> None:
         scored = score(batch).withColumn(
             "keep", F.col("ppl") <= F.lit(keep_max)
@@ -231,16 +223,7 @@ def run_streaming_ppl_gate(
             os.path.join(out_dir, f"epoch={epoch_id}")
         )
 
-    writer = (
-        spark.readStream.schema(static.schema)
-        .option("maxFilesPerTrigger", files_per_trigger)
-        .parquet(docs_dir)
-        .writeStream.foreachBatch(handle)
-        .trigger(availableNow=True)
-    )
-    if checkpoint_dir is not None:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    writer.start().awaitTermination()
+    drain_file_source(spark, docs_dir, handle, files_per_trigger, checkpoint_dir)
     return spark.read.option("basePath", out_dir).parquet(out_dir + "/epoch=*").drop(
         "epoch"
     )
@@ -264,24 +247,13 @@ def run_streaming_nb_router(
     the union of all routed outputs."""
     _check_fresh_out_dir(out_dir, checkpoint_dir)
     term_counts, class_totals, stats = model
-    static = spark.read.parquet(docs_dir)
-
     def handle(batch: DataFrame, epoch_id: int) -> None:
         routed = lm.nb_classify(batch, term_counts, class_totals, stats)
         routed.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"epoch={epoch_id}")
         )
 
-    writer = (
-        spark.readStream.schema(static.schema)
-        .option("maxFilesPerTrigger", files_per_trigger)
-        .parquet(docs_dir)
-        .writeStream.foreachBatch(handle)
-        .trigger(availableNow=True)
-    )
-    if checkpoint_dir is not None:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    writer.start().awaitTermination()
+    drain_file_source(spark, docs_dir, handle, files_per_trigger, checkpoint_dir)
     return spark.read.option("basePath", out_dir).parquet(out_dir + "/epoch=*").drop(
         "epoch"
     )

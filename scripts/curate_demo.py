@@ -102,13 +102,19 @@ def main() -> None:
     (
         sharded.repartition(N_SHARDS, "shard_id")
         .sortWithinPartitions("draw", "doc_id")
+        # ship only the training columns; shard/draw/fp are derivable
+        # from the data and live in the manifest, not the artifact
+        .select("shard_id", "doc_id", "text", "lang", "source")
         .write.mode("overwrite")
         .partitionBy("shard_id")
         .parquet(export_dir)
     )
+    # Audit from the WRITTEN artifact (one cheap re-read), not by
+    # re-running the whole curation chain a second time.
     manifest = (
-        sharded.groupBy("shard_id")
-        .agg(F.count("*").alias("n_docs"), F.sum("n_chars_txt").alias("chars"))
+        spark.read.parquet(export_dir)
+        .groupBy("shard_id")
+        .agg(F.count("*").alias("n_docs"))
         .agg(F.count("*").alias("shards"), F.sum("n_docs").alias("docs"))
         .first()
     )

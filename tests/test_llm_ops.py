@@ -1557,3 +1557,36 @@ def test_split_leakage_safe_keeps_clusters_together(spark, tmp_path):
         assert by_doc[i]["cluster_id"] == i and by_doc[i]["cluster_size"] == 1
     again = {(r["doc_id"], r["split"]) for r in split_leakage_safe(spark, d).collect()}
     assert again == {(r["doc_id"], r["split"]) for r in out}
+
+
+def test_shard_manifest_order_fp_hears_reordering(spark, tmp_path):
+    """Swapping the TEXTS of two doc_ids that share a shard keeps the
+    shard's content multiset (content_fp equal) but moves which hash
+    sits at which position — order_fp must change. This is the
+    writer-silently-reordered-rows case the manifest exists to catch."""
+    import hashlib
+
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        N_SHARDS,
+        export_shard_manifest,
+    )
+
+    def shard_of(i):
+        h = hashlib.md5(f"shard:{i}".encode()).hexdigest()[:15]
+        return int(h, 16) % N_SHARDS
+
+    a = 0
+    b = next(i for i in range(1, 1000) if shard_of(i) == shard_of(a))
+    t1 = "alpha beta gamma delta epsilon"
+    t2 = "zeta eta theta iota kappa"
+    base = [(a, t1, "en", "s", len(t1)), (b, t2, "en", "s", len(t2))]
+    swap = [(a, t2, "en", "s", len(t2)), (b, t1, "en", "s", len(t1))]
+    d1 = _write_docs(spark, base, str(tmp_path / "o1"))
+    d2 = _write_docs(spark, swap, str(tmp_path / "o2"))
+    m1 = export_shard_manifest(spark, d1).collect()
+    m2 = export_shard_manifest(spark, d2).collect()
+    assert len(m1) == len(m2) == 1
+    assert m1[0]["content_fp"] == m2[0]["content_fp"]
+    assert m1[0]["order_fp"] != m2[0]["order_fp"], (
+        "order_fp blind to a same-shard reordering"
+    )
