@@ -262,14 +262,17 @@ def main() -> None:
         _timed_extra(r9, vname, lambda vfn=vfn: _run(vfn(spark, sf_dir)))
     extra["lm_extras"] = r9
 
-    # Round-10 additions: the deterministic shard-export manifest, the
-    # per-language tokenizer-fertility audit (true-BPE, one pass), and
-    # the KN-model-driven source mixture.
+    # Round-10/11 additions: the deterministic shard-export manifest,
+    # the per-language tokenizer-fertility audit (true-BPE, one pass),
+    # the KN-model-driven source mixture, and the DSIR importance-
+    # sampling pair (hashed-n-gram LLR weights + Gumbel top-k resample).
     r10: dict[str, float] = {}
     for vname, vfn in (
         ("export_shard_manifest", llm.export_shard_manifest),
         ("tokenizer_fertility_report", llm.tokenizer_fertility_report),
         ("mixture_ppl_tilted", qual.mixture_ppl_tilted),
+        ("dsir_importance_weights", qual.dsir_importance_weights),
+        ("sample_dsir_resample", qual.sample_dsir_resample),
     ):
         _timed_extra(r10, vname, lambda vfn=vfn: _run(vfn(spark, sf_dir)))
     extra["export_extras"] = r10
@@ -517,11 +520,24 @@ def main() -> None:
                     "curation_pipeline_model_gated"
                 ),
                 "export_shard_manifest": r10.get("export_shard_manifest"),
+                "bpe_train_merges": r7.get("bpe_train_merges"),
                 "tokenizer_fertility_report": r10.get(
                     "tokenizer_fertility_report"
                 ),
+                "dsir_importance_weights": r10.get("dsir_importance_weights"),
+                "sample_dsir_resample": r10.get("sample_dsir_resample"),
             }
             soak: dict[str, dict] = {}
+            # BPE train vs apply broken out (round-10 verdict): the r10
+            # soak ran tokenizer_fertility_report with a COLD memo, so
+            # its 13-14x "scaleup" was the 16-round training loop on the
+            # suffixed fixture's 10x-inflated vocabulary (train cost
+            # scales with distinct pieces — a fixture artifact; a real
+            # corpus grows vocabulary ~logarithmically). Timing
+            # bpe_train_merges first (recorded as its own op, against
+            # the cold-train sf0.1 extra) leaves the memo warm, so the
+            # fertility row then measures what it measures at sf0.1:
+            # the map-side tokenize-apply pass.
             for vname, vfn in (
                 ("dedup_minhash_lsh", llm.dedup_minhash_lsh),
                 ("dedup_exact_substring", llm.dedup_exact_substring),
@@ -529,9 +545,14 @@ def main() -> None:
                 ("text_perplexity_filter_kn", qual.text_perplexity_filter_kn),
                 ("curation_pipeline_model_gated", qual.curation_pipeline_model_gated),
                 ("export_shard_manifest", llm.export_shard_manifest),
+                ("bpe_train_merges", llm.bpe_train_merges),
                 ("tokenizer_fertility_report", llm.tokenizer_fertility_report),
+                ("dsir_importance_weights", qual.dsir_importance_weights),
+                ("sample_dsir_resample", qual.sample_dsir_resample),
             ):
                 spark.catalog.clearCache()
+                if vname == "bpe_train_merges":
+                    llm._TRAINED_MERGES.pop(tmp, None)  # time a true cold train
                 t0 = time.time()
                 _run(vfn(spark, tmp))
                 sec = round(time.time() - t0, 3)
@@ -541,6 +562,11 @@ def main() -> None:
                     "sf01_sec": ref,
                     "scaleup_x10": round(sec / ref, 2) if ref else None,
                 }
+            soak["tokenizer_fertility_report"]["note"] = (
+                "apply-only (BPE memo warm; train broken out above — "
+                "the suffixed fixture inflates vocabulary 10x, so cold "
+                "train superlinearity is a fixture artifact)"
+            )
             extra["sf1_llm"] = {
                 "sf": 1,
                 "docs": 10 * load_table(spark, sf_dir, "documents").count(),
@@ -559,6 +585,7 @@ def main() -> None:
     # Headline value = the reference-comparable workload (BASELINE.md
     # measures exactly this: consume the full insert+delete changelog
     # and maintain Q3). The full suite wall-clock rides along in extra.
+    suite_total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
@@ -568,7 +595,49 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "extra": {**extra, "extras_runs": extras_runs, "suite_total_sec": round(sum(timings.values()), 3)},
+                "extra": {**extra, "extras_runs": extras_runs, "suite_total_sec": suite_total},
+            }
+        )
+    )
+    # Compact gate summary, printed LAST (round-10 verdict): the driver
+    # records only the final ~2000 stdout chars, and round 10's verbose
+    # blocks pushed every gate-relevant number (vs_baseline_ivm, the
+    # sf1 block, ann_variants_note) out of BENCH_r10.json's tail. This
+    # line is a complete, parseable JSON object well under that window;
+    # the verbose record above remains intact for local readers.
+    sf1 = extra.get("sf1", {})
+    llm_soak = extra.get("sf1_llm", {}).get("ops", {})
+    worst_op, worst_x = None, None
+    for op, row in llm_soak.items():
+        x = row.get("scaleup_x10")
+        if x is not None and (worst_x is None or x > worst_x):
+            worst_op, worst_x = op, x
+    print(
+        json.dumps(
+            {
+                "summary": "gate-relevant numbers (verbose record on the previous line)",
+                "metric": "changelog_stream_q3_wall_clock",
+                "value": timings["changelog_stream_q3"],
+                "unit": "sec",
+                "sf": sf,
+                "queries": timings,
+                "suite_total_sec": suite_total,
+                "sf1_ivm_consume_sec": sf1.get("ivm_consume_sec"),
+                "vs_baseline_ivm": sf1.get("vs_baseline_ivm"),
+                "sf1_consume_q3_sec": sf1.get("consume_q3_sec"),
+                "vs_baseline_consume": sf1.get("vs_baseline_consume"),
+                "sf1_ivm_events_per_sec": sf1.get("ivm_events_per_sec"),
+                "sf1_churn_matches_batch": extra.get("sf1_churn", {}).get(
+                    "matches_batch"
+                ),
+                "sf1_llm_worst_scaleup_x10": {"op": worst_op, "x": worst_x},
+                "ann_variants_note": "cold per run since r10 (see extra."
+                "ann_variants_note + OPERATIONS.md bench section)",
+                "errors": {
+                    k: extra[k]
+                    for k in ("sf1_error", "sf1_llm_error")
+                    if k in extra
+                },
             }
         )
     )

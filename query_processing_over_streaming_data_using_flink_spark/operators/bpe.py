@@ -169,8 +169,9 @@ def bpe_token_counts(
     """(doc_id, n_pieces, n_tokens_bpe) per document — the production
     path: Arrow-batched pure-Python BPE via `mapInPandas` (no
     row-at-a-time UDF; the merge table rides the closure). `carry`
-    names extra string columns to pass through unchanged (e.g. `lang`
-    for per-language rollups) so downstream aggregates never need a
+    names extra columns to pass through unchanged (types copied from
+    the input schema — e.g. `lang` for per-language rollups, bigint
+    `n_chars` for fertility) so downstream aggregates never need a
     corpus-scale self-join back onto `documents`."""
     validate_merges(merges)
     ranks = {m: i for i, m in enumerate(merges)}

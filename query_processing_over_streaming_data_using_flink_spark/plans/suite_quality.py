@@ -613,6 +613,8 @@ WHERE rules.rules_keep AND ppl.ppl_keep AND dedup.is_canonical
 register("curation_pipeline_model_gated", curation_pipeline_model_gated, _pipeline_sql())
 
 
+
+
 # --------------------------------------------------------------------------
 # CCNet head/middle/tail perplexity buckets + deterministic 3-way split
 # --------------------------------------------------------------------------
@@ -719,11 +721,17 @@ def mixture_ppl_tilted(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism discipline: the ONLY float steps are the two mirrored
     ops the per-doc gate already certifies (round(exp(lp/n), 6)) and
     one floor(1e6/ppl) on the rounded value; everything after is
-    integer DIV arithmetic (widen to DECIMAL(38,0) at corpora where
-    tokens×10^6 approaches int64, like the mixture siblings document).
+    integer DIV arithmetic with the product chains widened to
+    DECIMAL(38,0) — (total DIV 2) × w_milli passes int64 at ~1.8e13
+    total tokens, inside the 100 TB regime — and the quotients (which
+    fit) landing back in BIGINT; the oracle mirrors via HUGEINT.
     Scale: the corpus streams the KN scoring joins once; everything
     downstream is per-source rows + one broadcast of the rate table
-    back onto the doc stream for the kept-mass audit."""
+    back onto the doc stream for the kept-mass audit. Like
+    `bpe_train_merges`, the bounded final table (9 columns ×
+    |sources| rows) is materialized eagerly so both persisted
+    intermediates are unpersisted before return — a long-lived session
+    running the full sweep leaks no cached blocks."""
     docs = load_table(spark, sf_dir, "documents")
     train = docs.filter(F.col("source") == PPL_TRAIN_SOURCE)
     model = lm.kn_trigram_train(train)
@@ -756,12 +764,15 @@ def mixture_ppl_tilted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rates = (
         per_src.crossJoin(F.broadcast(totals))
-        .withColumn("token_budget", F.expr("((total DIV 2) * w_milli) DIV total_w"))
+        .withColumn(
+            "token_budget",
+            F.expr("(CAST((total DIV 2) AS DECIMAL(38,0)) * w_milli) DIV total_w"),
+        )
         .withColumn(
             "keep_rate_pmy",
             F.least(
                 F.lit(10000).cast("long"),
-                F.expr("(token_budget * 10000) DIV est_tokens"),
+                F.expr("(CAST(token_budget AS DECIMAL(38,0)) * 10000) DIV est_tokens"),
             ),
         )
         .select(
@@ -782,15 +793,26 @@ def mixture_ppl_tilted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_scored").cast("long").alias("kept_tokens"),
         )
     )
-    return (
-        rates.join(kept, "source", "left")
-        .select(
-            "source", "n_docs", "est_tokens", "ppl", "w_milli", "token_budget",
-            "keep_rate_pmy",
-            F.coalesce(F.col("kept_docs"), F.lit(0)).cast("long").alias("kept_docs"),
-            F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
-        )
-        .orderBy("source")
+    # Two bounded actions: rates (fills the scored cache), then the
+    # kept-mass audit (reads it back). Everything collected is
+    # |sources| rows.
+    rate_rows = sorted(rates.collect(), key=lambda r: r["source"])
+    kept_rows = {r["source"]: r for r in kept.collect()}
+    scored.unpersist()
+    rates.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                r["source"], r["n_docs"], r["est_tokens"], r["ppl"],
+                r["w_milli"], r["token_budget"], r["keep_rate_pmy"],
+                kept_rows[r["source"]]["kept_docs"] if r["source"] in kept_rows else 0,
+                kept_rows[r["source"]]["kept_tokens"] if r["source"] in kept_rows else 0,
+            )
+            for r in rate_rows
+        ],
+        "source string, n_docs bigint, est_tokens bigint, ppl double, "
+        "w_milli bigint, token_budget bigint, keep_rate_pmy bigint, "
+        "kept_docs bigint, kept_tokens bigint",
     )
 
 
@@ -820,10 +842,15 @@ tot AS (
   FROM wtab
 ),
 rates AS MATERIALIZED (
+  -- product chains widened to HUGEINT, mirroring the Spark side's
+  -- DECIMAL(38,0): (total//2)*w_milli passes int64 at ~1.8e13 tokens
   SELECT w.source, w.n_docs, w.est_tokens, w.ppl, w.w_milli,
-         CAST(((t.total // 2) * w.w_milli) // t.total_w AS BIGINT) AS token_budget,
-         CAST(least(10000, ((((t.total // 2) * w.w_milli) // t.total_w) * 10000)
-                            // w.est_tokens) AS BIGINT) AS keep_rate_pmy
+         CAST((CAST(t.total // 2 AS HUGEINT) * w.w_milli) // t.total_w
+              AS BIGINT) AS token_budget,
+         CAST(least(10000,
+                    (CAST((CAST(t.total // 2 AS HUGEINT) * w.w_milli)
+                          // t.total_w AS HUGEINT) * 10000)
+                    // w.est_tokens) AS BIGINT) AS keep_rate_pmy
   FROM wtab w CROSS JOIN tot t
 ),
 kept AS (
@@ -843,6 +870,160 @@ FROM rates r LEFT JOIN kept k USING (source)
 """
 
 register("mixture_ppl_tilted", mixture_ppl_tilted, _MIX_PPL_SQL)
+
+
+def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE curation lineage a 100 TB training run executes,
+    ending at the export artifact (round-11; extends
+    `curation_pipeline_model_gated`, which stops at classifier
+    routing): Gopher rule battery → KN-trigram perplexity gate →
+    exact-dedup canonical selection → fuzzy benchmark decontamination
+    (MinHash vs the eval slice) → perplexity-tilted source mixture
+    (each surviving doc passes the registered `mixture_ppl_tilted`
+    keep-rate Bernoulli draw for its source) → leakage-safe cluster
+    split → per-(split, shard) export manifest — the `filter → dedup →
+    decontaminate → mixture → split → export` order production
+    pipelines run. Output = `export_shard_manifest`'s deterministic
+    manifest keyed by (split, shard_id): diffable proof of exactly
+    which bytes each split ships, with the order-sensitive fingerprint
+    fixing training order.
+
+    Like `curation_pipeline_model_gated`, this registered rendering
+    conjoins the REGISTERED stage operators by doc_id equi-joins so the
+    chained oracle replays every stage from the same SQL text that
+    certifies it stage-by-stage (each stage therefore scans the full
+    corpus here — the models must train on what their per-stage oracles
+    train on); the staged input-shrinking deployment form is
+    `scripts/curate_demo.py`, built from the same operators. Scale
+    shape: the gates/dedup/decontamination stages are the registered
+    plans unchanged; the mixture adds one bounded broadcast (|sources|
+    rows); the manifest adds one shuffle, partitioned by the same
+    (split, shard_id) key the writer partitions by."""
+    from pyspark.sql.window import Window
+
+    from query_processing_over_streaming_data_using_flink_spark.operators import dedup as dd
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        _FP_MOD,
+        decontaminate_eval_minhash,
+        shard_doc_frame,
+        split_leakage_safe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = text_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("rules_keep")
+    )
+    ppl = text_perplexity_filter_kn(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("ppl_keep")
+    )
+    canon = dd.exact_dedup(docs).select("doc_id", "is_canonical")
+    contam = decontaminate_eval_minhash(spark, sf_dir).select("doc_id")
+    rates = mixture_ppl_tilted(spark, sf_dir).select("source", "keep_rate_pmy")
+    splits = split_leakage_safe(spark, sf_dir).select("doc_id", "split")
+    kept = (
+        docs.select("doc_id", "source", "text")
+        .join(rules, "doc_id")
+        .join(ppl, "doc_id")
+        .join(canon, "doc_id")
+        .filter(F.col("rules_keep") & F.col("ppl_keep") & F.col("is_canonical"))
+        .join(contam, "doc_id", "left_anti")
+        .join(F.broadcast(rates), "source")
+        .filter(
+            tx.sample_hash(F.col("doc_id"), salt="mixppl", modulus=10000)
+            < F.col("keep_rate_pmy")
+        )
+        .join(splits, "doc_id")
+    )
+    d = shard_doc_frame(kept, extra=("split",))
+    w = Window.partitionBy("split", "shard_id").orderBy("draw", "doc_id")
+    d = d.withColumn("pos", F.row_number().over(w).cast("long")).withColumn(
+        "ofp",
+        ((F.col("fp").cast("decimal(38,0)") * F.col("pos")) % F.lit(_FP_MOD))
+        .cast("long"),
+    )
+    return (
+        d.groupBy("split", "shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars_txt").alias("total_chars"),
+            (F.sum(F.col("fp").cast("decimal(38,0)")) % F.lit(_FP_MOD))
+            .cast("long")
+            .alias("content_fp"),
+            (F.sum(F.col("ofp").cast("decimal(38,0)")) % F.lit(_FP_MOD))
+            .cast("long")
+            .alias("order_fp"),
+        )
+        .orderBy("split", "shard_id")
+    )
+
+
+def _full_pipeline_sql() -> str:
+    # Every stage's REGISTERED oracle text embedded verbatim as a
+    # subquery (the `_pipeline_sql` discipline, extended to the export
+    # tail) — the composition is certified from the same SQL that
+    # certifies each stage.
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        _FP_MOD,
+        _H64,
+        N_SHARDS,
+        _decontam_minhash_sql,
+        _leakage_safe_split_sql,
+    )
+
+    mix_draw = md5_hash64_sql("'mixppl:' || CAST(d.doc_id AS VARCHAR)")
+    return f"""
+WITH rules AS (SELECT doc_id, keep AS rules_keep FROM ({_GOPHER_SQL})),
+pplg AS (SELECT doc_id, keep AS ppl_keep FROM ({_PPL_KN_SQL})),
+fp0 AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+canon0 AS (SELECT fp, min(doc_id) AS canonical_id FROM fp0 GROUP BY fp),
+dedup AS (
+  SELECT f.doc_id FROM fp0 f JOIN canon0 c USING (fp)
+  WHERE f.doc_id = c.canonical_id
+),
+contam AS (SELECT DISTINCT doc_id FROM ({_decontam_minhash_sql()})),
+mrates AS (SELECT source, keep_rate_pmy FROM ({_MIX_PPL_SQL})),
+splits AS (SELECT doc_id, split FROM ({_leakage_safe_split_sql()})),
+kept AS (
+  SELECT d.doc_id, d.text, s.split
+  FROM documents d
+  JOIN rules USING (doc_id)
+  JOIN pplg USING (doc_id)
+  JOIN dedup USING (doc_id)
+  JOIN mrates r ON d.source = r.source
+  JOIN splits s ON d.doc_id = s.doc_id
+  WHERE rules.rules_keep AND pplg.ppl_keep
+    AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+    AND ({mix_draw}) % 10000 < r.keep_rate_pmy
+),
+sh AS (
+  SELECT split, doc_id,
+         {_H64.format(x="'shard:' || CAST(doc_id AS VARCHAR)")} % {N_SHARDS} AS shard_id,
+         {_H64.format(x="'order:' || CAST(doc_id AS VARCHAR)")} AS draw,
+         {_H64.format(x='text')} AS fp,
+         CAST(length(text) AS BIGINT) AS n_chars_txt
+  FROM kept
+),
+p AS (
+  SELECT *,
+         CAST(row_number() OVER (PARTITION BY split, shard_id
+                                 ORDER BY draw, doc_id) AS BIGINT) AS pos
+  FROM sh
+)
+SELECT split, shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars_txt) AS BIGINT) AS total_chars,
+       CAST(sum(CAST(fp AS HUGEINT)) % {_FP_MOD} AS BIGINT) AS content_fp,
+       CAST(sum((CAST(fp AS HUGEINT) * pos) % {_FP_MOD})
+            % {_FP_MOD} AS BIGINT) AS order_fp
+FROM p
+GROUP BY split, shard_id
+"""
+
+
+register("curation_pipeline_full", curation_pipeline_full, _full_pipeline_sql())
 
 
 # Shared with the cluster-level leakage-safe split in suite_llm_data

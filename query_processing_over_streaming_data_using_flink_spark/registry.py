@@ -32,84 +32,27 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # fully verified by scripts/verify_contract.py every round). Names not
 # listed keep registration order after the priority block.
 _PRIORITY_FIRST = [
-    # Round-10 prefix (positions 1-50). Policy: staleness counted in
-    # LANDED CORRECTNESS files (on disk: r1-r6, r8, r9), dynamic bound
-    # ceil(N/50)+1 = 5; see
+    # Round-11 prefix (positions 1-50). Policy: staleness counted in
+    # LANDED CORRECTNESS files (on disk: r1-r6, r8, r9, r10), dynamic
+    # bound ceil(N/50)+1 = 5; see
     # tests/test_entry_contract.py::test_registry_rotation_covers_stalest_queries.
-    # With CORRECTNESS_r09 landed the histogram is {stale-4: 23,
+    # With CORRECTNESS_r10 landed the histogram is {stale-4: 31,
     # stale-3: 50, stale-2: 50, stale-1: 50} and nothing is forced
-    # (bound 5), so the fill rule alone decides: the 23-query stale-4
-    # cohort (last green r5 -- round 9's overflow queue) plus the
-    # stalest remaining stale-3 entries (last green r6), stalest-first
-    # (19 fillers after the eight round-10 registrations displaced 8).
-    # New round-10 queries are inserted at the TOP as they land (never-
+    # (bound 5), so the fill rule alone decides: the 31-query stale-4
+    # cohort (last green r6 -- round 10's overflow queue, including the
+    # eight names that were unlisted last round) plus the stalest
+    # remaining stale-3 entries (last green r8), queue-order-first.
+    # New round-11 queries are inserted at the TOP as they land (never-
     # checked = infinitely stale = forced), each displacing the last
-    # stale-3 filler into the front of the overflow queue below.
-    # --- new in round 10 (never driver-checked), uncommented as each
+    # stale-3 filler into the front of the overflow queue in _PUSH_LAST.
+    # --- new in round 11 (never driver-checked), uncommented as each
     # lands with its oracle + dual-scale sweep MATCH:
-    "dsir_importance_weights",
-    "sample_dsir_resample",
-    "dedup_keep_best_quality",
-    "decontaminate_eval_minhash",
-    "export_shard_manifest",
-    "tokenizer_fertility_report",
-    "mixture_ppl_tilted",
-    "split_leakage_safe",
-    # --- stale-4 cohort (last driver-green round 5):
-    "embedding_covariance",
-    "embedding_pca_power_iter",
-    "changelog_monthly_revenue_state",
-    "mixture_temperature_sampling",
-    "embedding_top_pc_projection",
-    "corpus_quality_report",
-    "dedup_cross_snapshot",
-    "q17_small_quantity_revenue",
-    "join_range_price_tiers",
-    "topk_orders_per_segment",
-    "agg_median_order_price",
-    "agg_rollup_orders",
-    "agg_cube_lineitem",
-    "join_semi_anti",
-    "join_outer_order_counts",
-    "join_snowflake_dims",
-    "multimodal_meta",
-    "curation_pipeline",
-    "token_frequencies",
-    "text_repetition",
-    "dedup_clusters_ngram",
-    "decontaminate_eval_overlap",
-    "sample_stratified_lang",
-    # --- stale-3 fill (last driver-green round 6, 19 names after the
-    # eight round-10 registrations displaced eight into the queue):
-    "dedup_cross_snapshot_minhash",
-    "image_phash_near_dup",
-    "image_dedup_keep_best",
-    "audio_ahash_near_dup",
-    "ann_pq",
-    "ann_recall_pq_vs_exact",
-    "ann_ivfpq",
-    "ann_recall_ivfpq_vs_exact",
-    "zorder_events_clusters",
-    "text_boilerplate_strip",
-    "changelog_windowed_churn_state",
-    "topk_orders",
-    "set_ops_active_keys",
-    "q3_shipping_priority_sql",
-    "ann_bruteforce_pandas",
-    "join_customer_orders",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q8_national_market_share",
-    # --- position 51+: the OVERFLOW QUEUE -- the rest of the stale-3
-    # (headed by the four fillers the export/fertility/mixture/split
-    # registrations displaced),
+    "curation_pipeline_full",
+    # --- stale-4 cohort (last driver-green round 6):
     "q9_product_type_profit",
     "q11_important_stock",
     "q12_late_shipment_priority",
     "q13_customer_distribution",
-    # then the rest of the stale-3 (r6-green) cohort, contiguous and
-    # first in line for the round-11 prefix; all remain verified by the
-    # local dual-scale sweep every round meanwhile.
     "q15_top_supplier",
     "q16_part_supplier_relationship",
     "q20_potential_promotion",
@@ -129,18 +72,16 @@ _PRIORITY_FIRST = [
     "q18_large_volume_customer",
     "q19_discounted_revenue",
     "q22_global_sales_opportunity",
-    # The remaining r6-green names (text_stats, text_lang_id,
-    # doc_fingerprints, dedup_exact, dedup_ngram_jaccard,
-    # dedup_minhash_lsh, dedup_simhash, dedup_embedding_cosine) are
-    # deliberately UNLISTED: unlisted names order themselves between
-    # this block and _PUSH_LAST (registration order), which is exactly
-    # their queue position, and same-staleness ties are free — keeping
-    # the hand-ordered block inside its runaway-growth cap.
-]
-_PUSH_LAST = [
-    # Driver-green in round 8 (staleness 2 -- the queue rule requires
-    # non-increasing staleness, so this cohort precedes the r9-green
-    # block below):
+    "text_stats",
+    "text_lang_id",
+    "doc_fingerprints",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    # --- stale-3 fill (last driver-green round 8, 19 names -- the head
+    # of round 10's _PUSH_LAST queue, taken in queue order):
     "ann_ivfpq_rerank",
     "dedup_exact_substring",
     "dedup_substring_rewrite",
@@ -159,6 +100,14 @@ _PUSH_LAST = [
     "events_tumbling_hourly",
     "events_sliding_30m_15m",
     "events_session_window",
+]
+_PUSH_LAST = [
+    # Position 51+: the OVERFLOW QUEUE. Head = the rest of the stale-3
+    # (r8-green) cohort (led by the fillers round-11 registrations
+    # displaced), contiguous and first in line for the round-12 prefix;
+    # all remain verified by the local dual-scale sweep every round
+    # meanwhile. The queue rule requires non-increasing staleness, so
+    # the r9-green (stale-2) and r10-green (stale-1) cohorts follow.
     "attr_interval_join_pairs",
     "attr_last_touch",
     "enrich_segment_activity",
@@ -243,6 +192,58 @@ _PUSH_LAST = [
     "multimodal_real_roundtrip",
     "events_moving_7d_avg",
     "mixture_token_budget",
+    # Driver-green in round 10 (the full r10 prefix came back 50/50 --
+    # freshest cohort, staleness 1, so it sits at the very tail):
+    "dsir_importance_weights",
+    "sample_dsir_resample",
+    "dedup_keep_best_quality",
+    "decontaminate_eval_minhash",
+    "export_shard_manifest",
+    "tokenizer_fertility_report",
+    "mixture_ppl_tilted",
+    "split_leakage_safe",
+    "embedding_covariance",
+    "embedding_pca_power_iter",
+    "changelog_monthly_revenue_state",
+    "mixture_temperature_sampling",
+    "embedding_top_pc_projection",
+    "corpus_quality_report",
+    "dedup_cross_snapshot",
+    "q17_small_quantity_revenue",
+    "join_range_price_tiers",
+    "topk_orders_per_segment",
+    "agg_median_order_price",
+    "agg_rollup_orders",
+    "agg_cube_lineitem",
+    "join_semi_anti",
+    "join_outer_order_counts",
+    "join_snowflake_dims",
+    "multimodal_meta",
+    "curation_pipeline",
+    "token_frequencies",
+    "text_repetition",
+    "dedup_clusters_ngram",
+    "decontaminate_eval_overlap",
+    "sample_stratified_lang",
+    "dedup_cross_snapshot_minhash",
+    "image_phash_near_dup",
+    "image_dedup_keep_best",
+    "audio_ahash_near_dup",
+    "ann_pq",
+    "ann_recall_pq_vs_exact",
+    "ann_ivfpq",
+    "ann_recall_ivfpq_vs_exact",
+    "zorder_events_clusters",
+    "text_boilerplate_strip",
+    "changelog_windowed_churn_state",
+    "topk_orders",
+    "set_ops_active_keys",
+    "q3_shipping_priority_sql",
+    "ann_bruteforce_pandas",
+    "join_customer_orders",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q8_national_market_share",
 ]
 
 

@@ -8,11 +8,17 @@ LLM-data operators exist for, wired start to finish:
       → bigram-LM perplexity gate (CCNet)      operators/lm.py
       → corpus-relative quality gate (ntile)   operators/text.py
       → benchmark decontamination              operators/dedup.py
+      → perplexity-tilted source mixture       plans/suite_quality.py
+      → leakage-safe cluster split             plans/suite_llm_data.py
       → sequence packing (2048-token budget)   operators/text.py
       → partitioned parquet layout             operators/layout.py
+      → per-(split, shard) export + manifest   plans/suite_llm_data.py
 
 Every stage is a registered, oracle-checked operator; this script just
-composes them and reports the funnel. Run:
+composes them and reports the funnel. This is the STAGED deployment
+form (each gate shrinks the next stage's input); the oracle-replayable
+conjunction of the same lineage is the registered
+`curation_pipeline_full`. Run:
 
     python scripts/curate_demo.py [sf_dir] [out_dir]
 """
@@ -78,8 +84,45 @@ def main() -> None:
     docs = docs.join(contaminated, "doc_id", "left_anti")
     n3 = docs.count()
 
+    # Perplexity-tilted source mixture (DoReMi-family): per-source keep
+    # rates from the registered KN-model-driven operator (a bounded
+    # |sources|-row broadcast), realized by the same deterministic
+    # salted Bernoulli draw the oracle certifies.
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_quality import (
+        mixture_ppl_tilted,
+    )
+
+    rates = mixture_ppl_tilted(spark, sf_dir).select("source", "keep_rate_pmy")
+    docs = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(
+            tx.sample_hash(F.col("doc_id"), salt="mixppl", modulus=10000)
+            < F.col("keep_rate_pmy")
+        )
+        .drop("keep_rate_pmy")
+    )
+    n_mix = docs.count()
+
+    # Leakage-safe train/val/test split: the draw is on the near-dup
+    # CLUSTER id, so a paraphrase family can never straddle the
+    # train/eval boundary.
+    clusters = dd.dedup_clusters(docs, dd.ngram_jaccard_pairs(docs, threshold=0.35))
+    cl_draw = tx.sample_hash(F.col("cluster_id"), salt="clsplit", modulus=1000)
+    split_col = (
+        F.when(cl_draw < tx.SPLIT_VAL_PERMILLE, F.lit("val"))
+        .when(cl_draw < tx.SPLIT_VAL_PERMILLE + tx.SPLIT_TEST_PERMILLE, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    docs = docs.join(
+        clusters.select("doc_id", split_col.alias("split")), "doc_id"
+    )
+    split_counts = {
+        r["split"]: r["n"]
+        for r in docs.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+
     packed = tx.pack_sequences(docs, budget_tokens=2048).join(
-        docs.select("doc_id", "text", "source"), "doc_id"
+        docs.select("doc_id", "text", "source", "split"), "doc_id"
     )
     n_seqs = packed.select("lang", "seq_id").distinct().count()
 
@@ -97,33 +140,39 @@ def main() -> None:
         shard_doc_frame,
     )
 
-    sharded = shard_doc_frame(docs, extra=("text", "lang", "source"))
+    sharded = shard_doc_frame(docs, extra=("text", "lang", "source", "split"))
     export_dir = os.path.join(out_dir, "shards")
     (
         sharded.repartition(N_SHARDS, "shard_id")
         .sortWithinPartitions("draw", "doc_id")
         # ship only the training columns; shard/draw/fp are derivable
         # from the data and live in the manifest, not the artifact
-        .select("shard_id", "doc_id", "text", "lang", "source")
+        .select("split", "shard_id", "doc_id", "text", "lang", "source")
         .write.mode("overwrite")
-        .partitionBy("shard_id")
+        .partitionBy("split", "shard_id")
         .parquet(export_dir)
     )
     # Audit from the WRITTEN artifact (one cheap re-read), not by
     # re-running the whole curation chain a second time.
     manifest = (
         spark.read.parquet(export_dir)
-        .groupBy("shard_id")
+        .groupBy("split", "shard_id")
         .agg(F.count("*").alias("n_docs"))
+        .groupBy("split")
         .agg(F.count("*").alias("shards"), F.sum("n_docs").alias("docs"))
-        .first()
+        .orderBy("split")
+        .collect()
+    )
+    export_report = ", ".join(
+        f"{r['split']}: {r['docs']} docs/{r['shards']} shards" for r in manifest
     )
 
     print(
         f"docs {n0} -> rules {n_rules} -> dedup {n1} -> perplexity {n_ppl} "
-        f"-> quality {n2} -> decontam {n3}; "
+        f"-> quality {n2} -> decontam {n3} -> mixture {n_mix} -> split "
+        f"{split_counts}; "
         f"{n_seqs} packed sequences; layout: {n_files} write tasks -> {out_dir}; "
-        f"export: {manifest['docs']} docs across {manifest['shards']} shards -> {export_dir}"
+        f"export: {export_report} -> {export_dir}"
     )
 
 
