@@ -679,6 +679,114 @@ register(
 register("sample_stratified_lang", sample_stratified_lang, _SAMPLE_SQL)
 
 
+NGRAM_DECONTAM_K = 13  # the GPT-3/PaLM-standard collision window
+
+
+def decontaminate_eval_ngram13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """13-gram collision decontamination — the GPT-3 appendix-C /
+    PaLM-standard middle ground between the exact-doc overlap check
+    (`decontaminate_eval_overlap`) and the whole-doc fuzzy MinHash pass
+    (`decontaminate_eval_minhash`): a training document is flagged if
+    ANY 13-token window of it appears verbatim in the eval slice
+    (doc_id % 7 == 0, the same slice the fuzzy pass audits). Catches
+    quoted benchmark questions embedded inside otherwise-novel
+    documents, which doc-level Jaccard dilutes below threshold.
+
+    Plan: one distinct-(doc, 13-gram-hash) pass (the registered shingle
+    machinery, `operators/text.py:shingle_hash_rows`, at k=13), split
+    into eval/train sides, one equi-join on the 60-bit gram hash, one
+    count-per-doc aggregate. At scale the eval side is a real benchmark
+    suite (thousands of docs, not a 1/7 corpus slice) — AQE broadcasts
+    it and the join is map-side; the train side streams through once."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = tx.shingle_hash_rows(docs, k=NGRAM_DECONTAM_K)
+    is_eval = (F.col("doc_id") % 7) == 0
+    eval_g = grams.filter(is_eval).select(F.col("h").alias("eh")).distinct()
+    train_g = grams.filter(~is_eval)
+    totals = train_g.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
+    hits = (
+        train_g.join(eval_g, F.col("h") == F.col("eh"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit_ngrams"),
+            (F.coalesce(F.col("n_hit"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def _decontam_ngram13_sql() -> str:
+    sh13 = _shingles_sql("toks", k=NGRAM_DECONTAM_K)
+    return f"""
+WITH tokd AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform({sh13}, s -> {_H64.format(x='s')}))) AS h
+  FROM tokd
+),
+eval_g AS (SELECT DISTINCT h FROM grams WHERE doc_id % 7 = 0),
+train_g AS (SELECT doc_id, h FROM grams WHERE doc_id % 7 <> 0),
+tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams FROM train_g GROUP BY 1
+),
+hits AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM train_g t JOIN eval_g e USING (h) GROUP BY 1
+)
+SELECT t.doc_id, t.n_ngrams,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit_ngrams,
+       coalesce(h.n_hit, 0) > 0 AS contaminated
+FROM tot t LEFT JOIN hits h USING (doc_id)
+"""
+
+
+register("decontaminate_eval_ngram13", decontaminate_eval_ngram13, _decontam_ngram13_sql())
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, log2-bin) document length histogram — the data-card
+    staple every corpus release publishes (and the input to
+    length-aware packing/batching decisions): for each source and each
+    power-of-two character bin, the doc count, char mass, and bin
+    bounds. Integer-deterministic: floor(log2(n)) of a positive BIGINT
+    is exact in IEEE double for n < 2^49, far past any document length.
+    One scan, one map-side-combinable aggregate over |sources| × ~20
+    bins — trivially 100 TB-safe."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    b = F.floor(F.log2(F.col("n_chars"))).cast("long").alias("len_bin")
+    return (
+        docs.groupBy("source", b)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source", "len_bin")
+    )
+
+
+_LEN_HIST_SQL = """
+SELECT source,
+       CAST(floor(log2(n_chars)) AS BIGINT) AS len_bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+WHERE n_chars > 0
+GROUP BY 1, 2
+"""
+
+
+register("doc_length_histogram", doc_length_histogram, _LEN_HIST_SQL)
+
+
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN (the index-structure scale path next to the LSH
     one): deterministic quantized-integer centroids make the whole
@@ -2646,6 +2754,139 @@ FROM rates r LEFT JOIN kept k USING (source)
 
 
 register("mixture_temperature_sampling", mixture_temperature_sampling, _TEMP_MIX_SQL)
+
+
+UNIMAX_MAX_EPOCHS = 4  # per-source repetition cap (UniMax's N)
+# Budget = 3.8x the corpus token mass — between 1x (no repetition) and
+# the 4x cap, so at every fixture scale SOME sources saturate and some
+# water-fill (the pivot logic is exercised, not degenerate).
+UNIMAX_BUDGET_NUM, UNIMAX_BUDGET_DEN = 19, 5
+
+
+def mixture_unimax_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax epoch allocation (Chung et al. 2023, 'UniMax: Fairer and
+    More Effective Language Sampling') — the data-constrained mixing
+    rule: spread a total training-token budget UNIFORMLY across
+    sources, but never repeat any source more than MAX_EPOCHS times.
+    Sources too small to absorb the uniform share saturate at their
+    cap (n_tokens × MAX_EPOCHS); their unused share water-fills the
+    rest. The classic alternative to temperature sampling when the
+    corpus, not compute, is the binding constraint.
+
+    Exact-integer closed form (no sequential loop): sources sorted by
+    (cap, source); the saturated set is provably a prefix of that
+    order — f(i) = cap_i·(n−i+1) + Σ_{j<i}cap_j is non-decreasing, so
+    `f(i) ≤ B` is a prefix property — found with one window pass. The
+    remaining budget splits as share = R DIV n_unsat with the DIV
+    remainder given to the first R mod n_unsat unsaturated sources in
+    the same total order, so Σ alloc == min(B, Σ caps) EXACTLY — the
+    allocation conserves the budget to the token, reproducibly in both
+    engines (verified against a sequential UniMax simulation in
+    tests). int64 headroom: cap·n_src ≤ 4·corpus_tokens·|sources| —
+    widen to DECIMAL(38,0) past ~10^4 sources × 10^14 tokens.
+
+    Scale: one corpus scan to per-source token masses; everything
+    after is |sources| rows (two 1-row broadcasts + one bounded
+    window)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.col("text"), r"\s+")))
+            .cast("long")
+            .alias("n_tokens")
+        )
+        .withColumn("cap", F.col("n_tokens") * UNIMAX_MAX_EPOCHS)
+    )
+    tot = per.agg(
+        F.count("*").alias("n_src"), F.sum("n_tokens").alias("tot_tokens")
+    )
+    w = Window.orderBy("cap", "source")
+    d = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "budget",
+            F.expr(f"(tot_tokens * {UNIMAX_BUDGET_NUM}) DIV {UNIMAX_BUDGET_DEN}"),
+        )
+        .withColumn("i", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "pre",
+            F.coalesce(
+                F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn("saturated", F.expr("cap * (n_src - i + 1) + pre <= budget"))
+    )
+    sat = d.filter("saturated").agg(
+        F.count("*").alias("m"),
+        F.coalesce(F.sum("cap"), F.lit(0)).alias("sat_caps"),
+    )
+    alloc = F.when(F.col("saturated"), F.col("cap")).otherwise(
+        F.expr("(budget - sat_caps) DIV (n_src - m)")
+        + F.when(
+            F.expr("(i - m) <= (budget - sat_caps) % (n_src - m)"), F.lit(1)
+        ).otherwise(F.lit(0))
+    )
+    return (
+        d.crossJoin(F.broadcast(sat))
+        .withColumn("alloc_tokens", alloc.cast("long"))
+        .select(
+            "source",
+            "n_tokens",
+            "cap",
+            "saturated",
+            "alloc_tokens",
+            F.expr("(alloc_tokens * 1000) DIV n_tokens").alias("epochs_permille"),
+        )
+        .orderBy("source")
+    )
+
+
+_UNIMAX_SQL = f"""
+WITH per AS (
+  SELECT source,
+         CAST(sum(len({_TOKENS})) AS BIGINT) AS n_tokens,
+         CAST(sum(len({_TOKENS})) AS BIGINT) * {UNIMAX_MAX_EPOCHS} AS cap
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_src,
+         CAST(sum(n_tokens) AS BIGINT) AS tot_tokens
+  FROM per
+),
+d AS (
+  SELECT per.*, t.n_src,
+         (t.tot_tokens * {UNIMAX_BUDGET_NUM}) // {UNIMAX_BUDGET_DEN} AS budget,
+         CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS i,
+         CAST(coalesce(sum(cap) OVER (ORDER BY cap, source
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS BIGINT) AS pre
+  FROM per CROSS JOIN tot t
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(coalesce(sum(cap), 0) AS BIGINT) AS sat_caps
+  FROM d WHERE cap * (n_src - i + 1) + pre <= budget
+),
+a AS (
+  SELECT d.source, d.n_tokens, d.cap,
+         cap * (n_src - i + 1) + pre <= budget AS saturated,
+         CASE WHEN cap * (n_src - i + 1) + pre <= budget THEN cap
+              ELSE ((budget - s.sat_caps) // (n_src - s.m))
+                   + CASE WHEN (i - s.m) <= ((budget - s.sat_caps) % (n_src - s.m))
+                          THEN 1 ELSE 0 END
+         END AS alloc_tokens
+  FROM d CROSS JOIN s
+)
+SELECT source, n_tokens, cap, saturated, alloc_tokens,
+       (alloc_tokens * 1000) // n_tokens AS epochs_permille
+FROM a
+"""
+
+register("mixture_unimax_epochs", mixture_unimax_epochs, _UNIMAX_SQL)
 
 
 def embedding_top_pc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:

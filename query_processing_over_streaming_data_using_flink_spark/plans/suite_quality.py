@@ -142,10 +142,12 @@ def text_perplexity_filter_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared KN scoring chain (training + per-position rational-arithmetic
-# scoring), reused by the filter and buckets oracles. MATERIALIZED on
-# every CTE referenced more than once — DuckDB otherwise re-inlines the
-# whole upstream chain per reference.
-_KN_SCORED_CTES = f"""
+# scoring), reused by the filter and buckets oracles — and, with a
+# different training predicate, by the Moore-Lewis contrast pair.
+# MATERIALIZED on every CTE referenced more than once — DuckDB
+# otherwise re-inlines the whole upstream chain per reference.
+def _kn_scored_ctes(train_where: str = f"source = '{PPL_TRAIN_SOURCE}'") -> str:
+    return f"""
 tokd AS MATERIALIZED (
   SELECT doc_id, source,
          ['{lm.BOS}', '{lm.BOS}'] || {_TOKENS} AS arr
@@ -157,7 +159,7 @@ tris AS MATERIALIZED (
 ),
 t3 AS MATERIALIZED (
   SELECT u, v, w, count(*) AS c3 FROM tris
-  WHERE source = '{PPL_TRAIN_SOURCE}' GROUP BY 1, 2, 3
+  WHERE {train_where} GROUP BY 1, 2, 3
 ),
 t2 AS (
   SELECT u, v, CAST(sum(c3) AS BIGINT) AS c2, count(*) AS n1p2
@@ -209,6 +211,9 @@ kn_per_doc AS MATERIALIZED (
   FROM kn_scored GROUP BY 1
 )
 """
+
+
+_KN_SCORED_CTES = _kn_scored_ctes()
 
 _PPL_KN_SQL = f"""
 WITH {_KN_SCORED_CTES}
@@ -793,27 +798,24 @@ def mixture_ppl_tilted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_scored").cast("long").alias("kept_tokens"),
         )
     )
-    # Two bounded actions: rates (fills the scored cache), then the
-    # kept-mass audit (reads it back). Everything collected is
-    # |sources| rows.
-    rate_rows = sorted(rates.collect(), key=lambda r: r["source"])
-    kept_rows = {r["source"]: r for r in kept.collect()}
+    out = (
+        rates.join(kept, "source", "left")
+        .select(
+            "source", "n_docs", "est_tokens", "ppl", "w_milli", "token_budget",
+            "keep_rate_pmy",
+            F.coalesce(F.col("kept_docs"), F.lit(0)).cast("long").alias("kept_docs"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
+        )
+        .orderBy("source")
+        # One eager executor-side materialization of the bounded
+        # (|sources|-row) result — the bpe_train localCheckpoint
+        # discipline, no driver collect — which cuts the lineage so
+        # both persisted intermediates can be released immediately.
+        .localCheckpoint(eager=True)
+    )
     scored.unpersist()
     rates.unpersist()
-    return spark.createDataFrame(
-        [
-            (
-                r["source"], r["n_docs"], r["est_tokens"], r["ppl"],
-                r["w_milli"], r["token_budget"], r["keep_rate_pmy"],
-                kept_rows[r["source"]]["kept_docs"] if r["source"] in kept_rows else 0,
-                kept_rows[r["source"]]["kept_tokens"] if r["source"] in kept_rows else 0,
-            )
-            for r in rate_rows
-        ],
-        "source string, n_docs bigint, est_tokens bigint, ppl double, "
-        "w_milli bigint, token_budget bigint, keep_rate_pmy bigint, "
-        "kept_docs bigint, kept_tokens bigint",
-    )
+    return out
 
 
 _MIX_PPL_SQL = f"""
@@ -1024,6 +1026,264 @@ GROUP BY split, shard_id
 
 
 register("curation_pipeline_full", curation_pipeline_full, _full_pipeline_sql())
+
+
+def export_curriculum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`export_shard_manifest`'s curriculum sibling: same deterministic
+    sharding and same diffable 64-row manifest, but the within-shard
+    training order is MODEL-ORDERED — ascending per-token KN
+    cross-entropy (easy → hard, the classic curriculum schedule) with
+    the doc_id tie-break — instead of the salted random draw. Because
+    the order-sensitive fingerprint is position-weighted, `order_fp`
+    CERTIFIES the curriculum: a loader (or a second cluster's export)
+    that shuffles, reverses, or re-ties the schedule produces a
+    different manifest row. Difficulty is integer micro-nats/token
+    ((−lp_sum) DIV n_scored — the truncating-DIV discipline
+    `sample_moore_lewis` documents), and each shard reports its
+    difficulty span (ce_lo/ce_hi) so the curriculum's shape is
+    auditable per shard. Plan: the registered KN scoring chain + one
+    shuffle (the per-shard window = the writer's repartition), then
+    the 64-row aggregate."""
+    from pyspark.sql.window import Window
+
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        _FP_MOD,
+        shard_doc_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = lm.kn_trigram_train(docs.filter(F.col("source") == PPL_TRAIN_SOURCE))
+    ce = lm.kn_perplexity(docs, *model).select(
+        "doc_id", F.expr("(-lp_sum_micro) DIV n_scored").alias("ce_micro")
+    )
+    d = shard_doc_frame(docs).drop("draw").join(ce, "doc_id")
+    w = Window.partitionBy("shard_id").orderBy("ce_micro", "doc_id")
+    d = d.withColumn("pos", F.row_number().over(w).cast("long")).withColumn(
+        "ofp",
+        ((F.col("fp").cast("decimal(38,0)") * F.col("pos")) % F.lit(_FP_MOD))
+        .cast("long"),
+    )
+    return (
+        d.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars_txt").alias("total_chars"),
+            (F.sum(F.col("fp").cast("decimal(38,0)")) % F.lit(_FP_MOD))
+            .cast("long")
+            .alias("content_fp"),
+            (F.sum(F.col("ofp").cast("decimal(38,0)")) % F.lit(_FP_MOD))
+            .cast("long")
+            .alias("order_fp"),
+            F.min("ce_micro").alias("ce_lo"),
+            F.max("ce_micro").alias("ce_hi"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+def _curriculum_manifest_sql() -> str:
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        _FP_MOD,
+        _H64,
+        N_SHARDS,
+    )
+
+    return f"""
+WITH {_KN_SCORED_CTES},
+ce AS (
+  SELECT doc_id, (-lp_sum_micro) // n_scored AS ce_micro FROM kn_per_doc
+),
+d AS (
+  SELECT doc_id,
+         {_H64.format(x="'shard:' || CAST(doc_id AS VARCHAR)")} % {N_SHARDS} AS shard_id,
+         {_H64.format(x='text')} AS fp,
+         CAST(length(text) AS BIGINT) AS n_chars_txt
+  FROM documents
+),
+p AS (
+  SELECT d.*, ce.ce_micro,
+         CAST(row_number() OVER (PARTITION BY shard_id
+                                 ORDER BY ce.ce_micro, d.doc_id) AS BIGINT) AS pos
+  FROM d JOIN ce USING (doc_id)
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars_txt) AS BIGINT) AS total_chars,
+       CAST(sum(CAST(fp AS HUGEINT)) % {_FP_MOD} AS BIGINT) AS content_fp,
+       CAST(sum((CAST(fp AS HUGEINT) * pos) % {_FP_MOD})
+            % {_FP_MOD} AS BIGINT) AS order_fp,
+       CAST(min(ce_micro) AS BIGINT) AS ce_lo,
+       CAST(max(ce_micro) AS BIGINT) AS ce_hi
+FROM p
+GROUP BY shard_id
+"""
+
+
+register("export_curriculum_manifest", export_curriculum_manifest, _curriculum_manifest_sql())
+
+
+MOORE_LEWIS_K = 100  # selection budget
+
+
+def sample_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore-Lewis cross-entropy-difference data selection (Moore &
+    Lewis 2010; the CCNet/importance-sampling ancestor): score every
+    document by H_in(d) − H_gen(d) — its per-token cross-entropy under
+    an IN-DOMAIN LM (the KN trigram trained on the clean src0 subset)
+    minus that under a GENERAL LM (the same model class trained on the
+    whole corpus) — and keep the k lowest. Unlike a raw perplexity
+    gate, the general-model subtraction cancels generic fluency: a doc
+    scores well only for looking MORE like the target domain than like
+    the corpus average, which is what makes this the classic
+    domain-data selector.
+
+    Determinism: both models use the registered KN integer micro-nat
+    scoring, and the score itself stays integer — MICRO-NATS PER TOKEN
+    via truncating division, (lp_gen − lp_in) DIV n_scored, identical
+    in both engines (a round(x, 6) rendering hit Spark-HALF_UP vs
+    DuckDB-half-even divergence at exact .5 boundaries, which integer
+    ratios of micro-nat sums reach routinely — 6138678/12 did, in the
+    sf0.001 fixture). The micro-nat quantum bounds the product: |lp
+    diff| ≤ ~40·10^6 per token · doc length, inside int64 to ~10^10-
+    token documents. Selection is a bounded top-k
+    (TakeOrderedAndProject), no global sort. Scale: two vocabulary-
+    bounded training aggregates + the corpus streaming the two scoring
+    join chains once each."""
+    docs = load_table(spark, sf_dir, "documents")
+    m_in = lm.kn_trigram_train(docs.filter(F.col("source") == PPL_TRAIN_SOURCE))
+    m_gen = lm.kn_trigram_train(docs)
+    s_in = lm.kn_perplexity(docs, *m_in).select(
+        "doc_id",
+        "n_scored",
+        F.col("lp_sum_micro").cast("long").alias("lp_in_micro"),
+    )
+    s_gen = lm.kn_perplexity(docs, *m_gen).select(
+        "doc_id", F.col("lp_sum_micro").cast("long").alias("lp_gen_micro")
+    )
+    score = F.expr("(lp_gen_micro - lp_in_micro) DIV n_scored")
+    return (
+        s_in.join(s_gen, "doc_id")
+        .select(
+            "doc_id", "n_scored", "lp_in_micro", "lp_gen_micro",
+            score.alias("ml_score_micro"),
+        )
+        .orderBy(F.asc("ml_score_micro"), F.asc("doc_id"))
+        .limit(MOORE_LEWIS_K)
+    )
+
+
+def _moore_lewis_sql() -> str:
+    # Two full KN chains (different training predicates) as scoped
+    # subqueries — each is the registered KN oracle text verbatim.
+    return f"""
+WITH s_in AS MATERIALIZED (
+  SELECT doc_id, n_scored, lp_sum_micro AS lp_in_micro
+  FROM (WITH {_kn_scored_ctes()} SELECT * FROM kn_per_doc)
+),
+s_gen AS MATERIALIZED (
+  SELECT doc_id, lp_sum_micro AS lp_gen_micro
+  FROM (WITH {_kn_scored_ctes("TRUE")} SELECT * FROM kn_per_doc)
+)
+SELECT i.doc_id, i.n_scored, i.lp_in_micro, g.lp_gen_micro,
+       (g.lp_gen_micro - i.lp_in_micro) // i.n_scored AS ml_score_micro
+FROM s_in i JOIN s_gen g USING (doc_id)
+ORDER BY ml_score_micro ASC, doc_id ASC
+LIMIT {MOORE_LEWIS_K}
+"""
+
+
+register("sample_moore_lewis", sample_moore_lewis, _moore_lewis_sql())
+
+
+CALIBRATION_BINS = 10
+
+
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit for the quality/domain classifier — the check
+    a production routing gate ships with (is an 80%-confident
+    prediction right 80% of the time?): on the HELD-OUT half (odd
+    doc_ids; the classifier trains on the even half), documents are
+    ranked by the classifier's own top1−top2 margin and cut into
+    deciles PER PREDICTED CLASS; each (class, decile) reports volume,
+    accuracy, and the margin range — the reliability-diagram table, and
+    per-class because routing acts per class. Integer-deterministic:
+    margins are integer micro-nats, accuracy is integer permille via
+    truncating division (identical DIV semantics both engines), and
+    ntile is totalized by the doc_id tie-break. Scale: the scoring
+    chain the classifier already runs, plus one window partitioned by
+    predicted class — parallel across classes."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    term_counts, class_totals, stats = lm.nb_train(train, label_col="lang")
+    per_class = lm.nb_scores(docs, term_counts, class_totals, stats)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), F.asc("label"))
+    top2 = per_class.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 2)
+    margins = top2.groupBy("doc_id").agg(
+        (F.max("score_micro") - F.min("score_micro")).alias("margin_micro"),
+        F.min(F.when(F.col("rk") == 1, F.col("label"))).alias("pred_label"),
+    )
+    held = margins.join(docs.select("doc_id", "lang"), "doc_id").filter(
+        F.col("doc_id") % 2 == 1
+    )
+    wb = Window.partitionBy("pred_label").orderBy(
+        F.asc("margin_micro"), F.asc("doc_id")
+    )
+    # cast: Spark ntile is int, the DuckDB oracle's is BIGINT
+    binned = held.withColumn("bin", F.ntile(CALIBRATION_BINS).over(wb).cast("long"))
+    return (
+        binned.groupBy("pred_label", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("lang") == F.col("pred_label")).cast("long")).alias(
+                "n_correct"
+            ),
+            F.min("margin_micro").cast("long").alias("margin_lo"),
+            F.max("margin_micro").cast("long").alias("margin_hi"),
+        )
+        .withColumn("acc_permille", F.expr("(n_correct * 1000) DIV n_docs"))
+        .orderBy("pred_label", "bin")
+    )
+
+
+def _calibration_sql() -> str:
+    # Same scoring chain as the classifier and margin oracles.
+    return f"""
+WITH {_NB_CHAIN_SQL},
+top2 AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_micro DESC, label) AS rk
+  FROM scored
+),
+margins AS (
+  SELECT doc_id,
+         max(score_micro) - min(score_micro) AS margin_micro,
+         min(CASE WHEN rk = 1 THEN label END) AS pred_label
+  FROM top2 WHERE rk <= 2 GROUP BY doc_id
+),
+held AS (
+  SELECT m.doc_id, m.margin_micro, m.pred_label, d.lang,
+         ntile({CALIBRATION_BINS}) OVER (PARTITION BY m.pred_label
+                                         ORDER BY m.margin_micro ASC,
+                                                  m.doc_id ASC) AS bin
+  FROM margins m JOIN documents d USING (doc_id)
+  WHERE m.doc_id % 2 = 1
+)
+SELECT pred_label, bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN lang = pred_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(min(margin_micro) AS BIGINT) AS margin_lo,
+       CAST(max(margin_micro) AS BIGINT) AS margin_hi,
+       (CAST(sum(CASE WHEN lang = pred_label THEN 1 ELSE 0 END) AS BIGINT)
+        * 1000) // CAST(count(*) AS BIGINT) AS acc_permille
+FROM held
+GROUP BY pred_label, bin
+"""
+
+
+register("classifier_calibration_bins", classifier_calibration_bins, _calibration_sql())
 
 
 # Shared with the cluster-level leakage-safe split in suite_llm_data

@@ -48,6 +48,12 @@ _PRIORITY_FIRST = [
     # --- new in round 11 (never driver-checked), uncommented as each
     # lands with its oracle + dual-scale sweep MATCH:
     "curation_pipeline_full",
+    "decontaminate_eval_ngram13",
+    "doc_length_histogram",
+    "sample_moore_lewis",
+    "classifier_calibration_bins",
+    "mixture_unimax_epochs",
+    "export_curriculum_manifest",
     # --- stale-4 cohort (last driver-green round 6):
     "q9_product_type_profit",
     "q11_important_stock",
@@ -94,12 +100,6 @@ _PRIORITY_FIRST = [
     "ann_recall_ivf_nprobe_curve",
     "agg_corr_regression",
     "bpe_train_merges",
-    "ann_ivf_filtered",
-    "image_cross_format_near_dup",
-    "q3_sql_stream",
-    "events_tumbling_hourly",
-    "events_sliding_30m_15m",
-    "events_session_window",
 ]
 _PUSH_LAST = [
     # Position 51+: the OVERFLOW QUEUE. Head = the rest of the stale-3
@@ -108,6 +108,12 @@ _PUSH_LAST = [
     # all remain verified by the local dual-scale sweep every round
     # meanwhile. The queue rule requires non-increasing staleness, so
     # the r9-green (stale-2) and r10-green (stale-1) cohorts follow.
+    "ann_ivf_filtered",
+    "image_cross_format_near_dup",
+    "q3_sql_stream",
+    "events_tumbling_hourly",
+    "events_sliding_30m_15m",
+    "events_session_window",
     "attr_interval_join_pairs",
     "attr_last_touch",
     "enrich_segment_activity",

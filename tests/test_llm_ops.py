@@ -1590,3 +1590,41 @@ def test_shard_manifest_order_fp_hears_reordering(spark, tmp_path):
     assert m1[0]["order_fp"] != m2[0]["order_fp"], (
         "order_fp blind to a same-shard reordering"
     )
+
+
+def test_unimax_epochs_waterfill_properties(spark):
+    """mixture_unimax_epochs must be an exact-integer water-fill: the
+    budget is conserved to the TOKEN, no source exceeds its epoch cap,
+    saturated sources form the small-cap prefix (every unsaturated
+    allocation >= every saturated cap), and the unsaturated shares are
+    uniform to within the 1-token DIV remainder."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        UNIMAX_BUDGET_DEN,
+        UNIMAX_BUDGET_NUM,
+        UNIMAX_MAX_EPOCHS,
+        mixture_unimax_epochs,
+    )
+
+    rows = mixture_unimax_epochs(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    budget = (total_tokens * UNIMAX_BUDGET_NUM) // UNIMAX_BUDGET_DEN
+    caps = {r["source"]: r["n_tokens"] * UNIMAX_MAX_EPOCHS for r in rows}
+    assert all(r["cap"] == caps[r["source"]] for r in rows)
+    # (a) exact budget conservation
+    assert sum(r["alloc_tokens"] for r in rows) == min(budget, sum(caps.values()))
+    # (b) cap respected; saturated <=> alloc == cap
+    for r in rows:
+        assert 0 <= r["alloc_tokens"] <= r["cap"]
+        assert r["saturated"] == (r["alloc_tokens"] == r["cap"])
+    sat = [r for r in rows if r["saturated"]]
+    unsat = [r for r in rows if not r["saturated"]]
+    # the chosen budget must exercise the pivot at this fixture
+    assert sat and unsat, "budget constant degenerate at this scale"
+    # (c) water level: nobody unsaturated gets less than a saturated cap
+    assert min(r["alloc_tokens"] for r in unsat) >= max(r["cap"] for r in sat)
+    # (d) uniform fill up to the DIV remainder
+    us = sorted(r["alloc_tokens"] for r in unsat)
+    assert us[-1] - us[0] <= 1
+    # epochs cap in permille
+    assert all(r["epochs_permille"] <= 1000 * UNIMAX_MAX_EPOCHS for r in rows)

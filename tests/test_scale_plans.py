@@ -238,6 +238,12 @@ _BNLJ_ALLOWED = {
     "dsir_importance_weights",  # 1-row broadcast feature-totals scalar into the 4096-row ratio table
     "sample_dsir_resample",  # composes the DSIR weight chain above
     "mixture_ppl_tilted",  # KN stats scalar + 1-row corpus-totals broadcast (mixture-sibling shape)
+    # --- round 11:
+    "curation_pipeline_full",  # composes the KN perplexity gate (stats scalar broadcast)
+    "sample_moore_lewis",  # two KN chains -> two 1-row stats-scalar broadcasts
+    "classifier_calibration_bins",  # the NB scoring chain (class dim + stats broadcast)
+    "mixture_unimax_epochs",  # 1-row corpus-totals + 1-row saturated-set broadcasts (mixture-sibling shape)
+    "export_curriculum_manifest",  # the KN scoring chain's 1-row stats scalar broadcast
 }
 
 
