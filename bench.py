@@ -277,6 +277,24 @@ def main() -> None:
         _timed_extra(r10, vname, lambda vfn=vfn: _run(vfn(spark, sf_dir)))
     extra["export_extras"] = r10
 
+    # Round-11 additions: the composed full-lineage pipeline (its wall
+    # clock is dominated by the leakage-safe split's exact clusterer —
+    # ~21 of ~33 s at sf0.1), the 13-gram decontamination pair, the
+    # Moore-Lewis selector, classifier calibration, UniMax epochs, and
+    # the curriculum manifest.
+    r11: dict[str, float] = {}
+    for vname, vfn in (
+        ("curation_pipeline_full", qual.curation_pipeline_full),
+        ("decontaminate_eval_ngram13", llm.decontaminate_eval_ngram13),
+        ("eval_burn_report", llm.eval_burn_report),
+        ("sample_moore_lewis", qual.sample_moore_lewis),
+        ("classifier_calibration_bins", qual.classifier_calibration_bins),
+        ("mixture_unimax_epochs", llm.mixture_unimax_epochs),
+        ("export_curriculum_manifest", qual.export_curriculum_manifest),
+    ):
+        _timed_extra(r11, vname, lambda vfn=vfn: _run(vfn(spark, sf_dir)))
+    extra["pipeline_extras"] = r11
+
     # SF-1 parity datapoint: BASELINE.md measures the reference at SF-1
     # (15.3M events, ~71s best). No sf1 testdata directory exists, so
     # replicate the sf0.1 changelog tables 10× with disjoint key ranges

@@ -748,6 +748,80 @@ FROM tot t LEFT JOIN hits h USING (doc_id)
 register("decontaminate_eval_ngram13", decontaminate_eval_ngram13, _decontam_ngram13_sql())
 
 
+def eval_burn_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REVERSE contamination view — the question the benchmark
+    owner asks: which eval items are BURNED (leaked into training
+    data) and how badly? Per eval-slice document (doc_id % 7 == 0, the
+    same slice `decontaminate_eval_ngram13` gates against): its 13-gram
+    count, how many of those grams appear in ANY training document, and
+    how many distinct training documents collide with it. An eval item
+    with burned grams can no longer measure generalization —
+    this report is what decides re-drawing it, while the forward query
+    decides dropping the training docs. Same distinct-gram machinery,
+    same single equi-join (grouped from the eval side), one aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = tx.shingle_hash_rows(docs, k=NGRAM_DECONTAM_K)
+    is_eval = (F.col("doc_id") % 7) == 0
+    eval_g = grams.filter(is_eval)
+    train_g = grams.filter(~is_eval).select(
+        F.col("doc_id").alias("train_doc"), F.col("h").alias("th")
+    )
+    totals = eval_g.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
+    hits = (
+        eval_g.join(train_g, F.col("h") == F.col("th"))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_burned_ngrams"),
+            F.countDistinct("train_doc").alias("n_train_docs"),
+        )
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce(F.col("n_burned_ngrams"), F.lit(0))
+            .cast("long")
+            .alias("n_burned_ngrams"),
+            F.coalesce(F.col("n_train_docs"), F.lit(0))
+            .cast("long")
+            .alias("n_train_docs"),
+            (F.coalesce(F.col("n_burned_ngrams"), F.lit(0)) > 0).alias("burned"),
+        )
+    )
+
+
+def _eval_burn_sql() -> str:
+    sh13 = _shingles_sql("toks", k=NGRAM_DECONTAM_K)
+    return f"""
+WITH tokd AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform({sh13}, s -> {_H64.format(x='s')}))) AS h
+  FROM tokd
+),
+eval_g AS (SELECT doc_id, h FROM grams WHERE doc_id % 7 = 0),
+train_g AS (SELECT doc_id AS train_doc, h FROM grams WHERE doc_id % 7 <> 0),
+tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams FROM eval_g GROUP BY 1
+),
+hits AS (
+  SELECT e.doc_id,
+         CAST(count(DISTINCT e.h) AS BIGINT) AS n_burned,
+         CAST(count(DISTINCT t.train_doc) AS BIGINT) AS n_train_docs
+  FROM eval_g e JOIN train_g t USING (h) GROUP BY 1
+)
+SELECT t.doc_id, t.n_ngrams,
+       CAST(coalesce(h.n_burned, 0) AS BIGINT) AS n_burned_ngrams,
+       CAST(coalesce(h.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+       coalesce(h.n_burned, 0) > 0 AS burned
+FROM tot t LEFT JOIN hits h USING (doc_id)
+"""
+
+
+register("eval_burn_report", eval_burn_report, _eval_burn_sql())
+
+
 def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, log2-bin) document length histogram — the data-card
     staple every corpus release publishes (and the input to

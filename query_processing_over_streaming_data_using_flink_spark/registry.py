@@ -54,6 +54,7 @@ _PRIORITY_FIRST = [
     "classifier_calibration_bins",
     "mixture_unimax_epochs",
     "export_curriculum_manifest",
+    "eval_burn_report",
     # --- stale-4 cohort (last driver-green round 6):
     "q9_product_type_profit",
     "q11_important_stock",
@@ -99,7 +100,6 @@ _PRIORITY_FIRST = [
     "ann_recall_ivfpq_rerank_vs_exact",
     "ann_recall_ivf_nprobe_curve",
     "agg_corr_regression",
-    "bpe_train_merges",
 ]
 _PUSH_LAST = [
     # Position 51+: the OVERFLOW QUEUE. Head = the rest of the stale-3
@@ -108,6 +108,7 @@ _PUSH_LAST = [
     # all remain verified by the local dual-scale sweep every round
     # meanwhile. The queue rule requires non-increasing staleness, so
     # the r9-green (stale-2) and r10-green (stale-1) cohorts follow.
+    "bpe_train_merges",
     "ann_ivf_filtered",
     "image_cross_format_near_dup",
     "q3_sql_stream",

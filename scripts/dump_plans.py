@@ -92,6 +92,19 @@ SELECTED = [
      "(vocabulary-bounded broadcast sides), then per-source rows only: "
      "1-row totals broadcast, rate table broadcast back for the "
      "kept-mass audit — no second corpus shuffle"),
+    ("decontaminate_eval_ngram13", "13-gram collision decontamination",
+     "one narrow shuffle to distinct (doc, gram-hash) rows, ONE "
+     "equi-join on the 60-bit hash (a benchmark-sized eval side "
+     "broadcasts under AQE), one per-doc aggregate — no all-pairs "
+     "anywhere"),
+    ("export_curriculum_manifest", "curriculum-ordered export manifest",
+     "the KN scoring chain + ONE exchange (the per-shard difficulty "
+     "window doubles as the writer's repartition), exact decimal "
+     "fingerprint sums certify the model-ordered schedule"),
+    ("mixture_unimax_epochs", "UniMax epoch water-fill",
+     "one corpus scan to per-source token masses; the closed-form "
+     "water-fill is a |sources|-row window plus two 1-row broadcasts "
+     "— no sequential driver loop at any source count"),
 ]
 
 
