@@ -4513,7 +4513,13 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label propagation, work scales with candidate pairs), then a
     zero-shuffle hash on the label. The oracle reuses the clusterer's
     recursive transitive-closure CTEs verbatim."""
-    docs = load_table(spark, sf_dir, "documents")
+    return leakage_safe_split_frame(load_table(spark, sf_dir, "documents"))
+
+
+def leakage_safe_split_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level `split_leakage_safe` body — shared with the
+    streaming curation face's release step (the split is corpus-global
+    clustering, a release-time batch stage in both faces)."""
     clusters = dd.dedup_clusters(docs, dd.ngram_jaccard_pairs(docs, threshold=0.35))
     draw = tx.sample_hash(F.col("cluster_id"), salt="clsplit", modulus=1000)
     split = (

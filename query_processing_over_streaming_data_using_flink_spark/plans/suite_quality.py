@@ -323,19 +323,11 @@ GOPHER_MAX_MWL_X100 = 1000
 GOPHER_STOPWORDS = tx.STOPWORDS["en"]
 
 
-def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Gopher quality heuristics (Rae et al. 2021, table A1 —
-    public knowledge; simplified to the signals computable over this
-    corpus) as ONE integer-only projection: word count bounds, mean
-    word length bounds, symbol-to-word ratio, alpha-word fraction,
-    stopword evidence. All comparisons are cross-multiplied integer
-    inequalities — no float thresholds anywhere, so the rule verdicts
-    are trivially engine-portable.
-
-    Scale: embarrassingly parallel scan (no shuffle at all); at 100 TB
-    this runs at read bandwidth, which is why production pipelines run
-    the rule battery FIRST and the model-based filters after."""
-    docs = load_table(spark, sf_dir, "documents")
+def gopher_flags(docs: DataFrame) -> DataFrame:
+    """Frame-level Gopher rule battery — the registered
+    `text_gopher_rules` body, shared with the streaming curation gate
+    (`streaming/curation.py`) so both faces evaluate the identical
+    integer-only projection."""
     toks = tx.tokens(F.col("text"))
     n_words = F.size(toks)
     chars_in_words = F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
@@ -375,6 +367,21 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in rules:
         keep = F.col(name) if keep is None else keep & F.col(name)
     return out.withColumn("keep", keep)
+
+
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality heuristics (Rae et al. 2021, table A1 —
+    public knowledge; simplified to the signals computable over this
+    corpus) as ONE integer-only projection: word count bounds, mean
+    word length bounds, symbol-to-word ratio, alpha-word fraction,
+    stopword evidence. All comparisons are cross-multiplied integer
+    inequalities — no float thresholds anywhere, so the rule verdicts
+    are trivially engine-portable.
+
+    Scale: embarrassingly parallel scan (no shuffle at all); at 100 TB
+    this runs at read bandwidth, which is why production pipelines run
+    the rule battery FIRST and the model-based filters after."""
+    return gopher_flags(load_table(spark, sf_dir, "documents"))
 
 
 _STOP_LIST = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
@@ -709,6 +716,54 @@ register("text_perplexity_buckets_kn", text_perplexity_buckets_kn, _PPL_BUCKETS_
 # --------------------------------------------------------------------------
 
 
+def mixture_rates(scored_src: DataFrame) -> DataFrame:
+    """Per-source rate table of `mixture_ppl_tilted`, frame-level:
+    input is a KN-scored frame carrying (doc_id, n_scored,
+    lp_sum_micro, source); output is (source, n_docs, est_tokens, ppl,
+    w_milli, token_budget, keep_rate_pmy) with the exact-integer
+    DECIMAL(38,0) budget chain. Shared with the streaming curation
+    gate (`streaming/curation.py`), which derives the identical rates
+    from its live incrementally-trained model. The input subtree is
+    referenced twice (per-source rollup + grand totals) — the caller
+    persists/checkpoints it as `mixture_ppl_tilted` does."""
+    per_src = scored_src.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_scored").cast("long").alias("est_tokens"),
+        F.sum("lp_sum_micro").cast("long").alias("lp_sum"),
+    )
+    per_src = per_src.withColumn(
+        "ppl",
+        F.round(
+            F.exp(
+                -F.col("lp_sum").cast("double")
+                / (F.col("est_tokens").cast("double") * F.lit(float(lm.MICRO)))
+            ),
+            6,
+        ),
+    ).withColumn("w_milli", F.floor(F.lit(1000000.0) / F.col("ppl")).cast("long"))
+    totals = per_src.agg(
+        F.sum("est_tokens").alias("total"), F.sum("w_milli").alias("total_w")
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "token_budget",
+            F.expr("(CAST((total DIV 2) AS DECIMAL(38,0)) * w_milli) DIV total_w"),
+        )
+        .withColumn(
+            "keep_rate_pmy",
+            F.least(
+                F.lit(10000).cast("long"),
+                F.expr("(CAST(token_budget AS DECIMAL(38,0)) * 10000) DIV est_tokens"),
+            ),
+        )
+        .select(
+            "source", "n_docs", "est_tokens", "ppl", "w_milli",
+            "token_budget", "keep_rate_pmy",
+        )
+    )
+
+
 def mixture_ppl_tilted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-driven domain mixing — the DoReMi-family idea of setting
     source weights from a trained model's judgment rather than from
@@ -749,43 +804,7 @@ def mixture_ppl_tilted(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = lm.kn_perplexity(docs, *model).join(
         docs.select("doc_id", "source"), "doc_id"
     ).persist()
-    per_src = scored.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_scored").cast("long").alias("est_tokens"),
-        F.sum("lp_sum_micro").cast("long").alias("lp_sum"),
-    )
-    per_src = per_src.withColumn(
-        "ppl",
-        F.round(
-            F.exp(
-                -F.col("lp_sum").cast("double")
-                / (F.col("est_tokens").cast("double") * F.lit(float(lm.MICRO)))
-            ),
-            6,
-        ),
-    ).withColumn("w_milli", F.floor(F.lit(1000000.0) / F.col("ppl")).cast("long"))
-    totals = per_src.agg(
-        F.sum("est_tokens").alias("total"), F.sum("w_milli").alias("total_w")
-    )
-    rates = (
-        per_src.crossJoin(F.broadcast(totals))
-        .withColumn(
-            "token_budget",
-            F.expr("(CAST((total DIV 2) AS DECIMAL(38,0)) * w_milli) DIV total_w"),
-        )
-        .withColumn(
-            "keep_rate_pmy",
-            F.least(
-                F.lit(10000).cast("long"),
-                F.expr("(CAST(token_budget AS DECIMAL(38,0)) * 10000) DIV est_tokens"),
-            ),
-        )
-        .select(
-            "source", "n_docs", "est_tokens", "ppl", "w_milli",
-            "token_budget", "keep_rate_pmy",
-        )
-        .persist()
-    )
+    rates = mixture_rates(scored).persist()
     kept = (
         scored.join(F.broadcast(rates.select("source", "keep_rate_pmy")), "source")
         .filter(
@@ -901,13 +920,9 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans unchanged; the mixture adds one bounded broadcast (|sources|
     rows); the manifest adds one shuffle, partitioned by the same
     (split, shard_id) key the writer partitions by."""
-    from pyspark.sql.window import Window
-
     from query_processing_over_streaming_data_using_flink_spark.operators import dedup as dd
     from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
-        _FP_MOD,
         decontaminate_eval_minhash,
-        shard_doc_frame,
         split_leakage_safe,
     )
 
@@ -936,6 +951,22 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(splits, "doc_id")
     )
+    return split_manifest_tail(kept)
+
+
+def split_manifest_tail(kept: DataFrame) -> DataFrame:
+    """Shared export tail of the full pipeline — the per-(split,
+    shard) deterministic manifest over a kept frame carrying (doc_id,
+    text, split). Frame-level so the streaming curation face
+    (`streaming/curation.py`) emits the bit-identical artifact from
+    its live-state gate chain."""
+    from pyspark.sql.window import Window
+
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        _FP_MOD,
+        shard_doc_frame,
+    )
+
     d = shard_doc_frame(kept, extra=("split",))
     w = Window.partitionBy("split", "shard_id").orderBy("draw", "doc_id")
     d = d.withColumn("pos", F.row_number().over(w).cast("long")).withColumn(

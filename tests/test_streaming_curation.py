@@ -1,0 +1,141 @@
+"""Streaming face of the COMPLETE curation pipeline
+(`streaming/curation.py`): the composed live state (KN LM +
+exact-dedup fingerprint index + eval MinHash signatures) must
+reproduce `curation_pipeline_full`'s export manifest BIT-FOR-BIT, and
+each new state index must honor retraction semantics the batch
+operators define (canonical promotion, benchmark withdrawal).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.conftest import SF_SMOKE
+from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+    decontaminate_eval_minhash,
+)
+from query_processing_over_streaming_data_using_flink_spark.plans.suite_quality import (
+    curation_pipeline_full,
+)
+from query_processing_over_streaming_data_using_flink_spark.sources.catalog import load_table
+from query_processing_over_streaming_data_using_flink_spark.streaming.curation import (
+    IncrementalEvalMinhash,
+    IncrementalExactDedupIndex,
+    run_streaming_curation,
+)
+
+
+def _docs_df(spark, rows):
+    """Minimal documents frame: (doc_id, source, lang, text)."""
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+
+
+def test_stream_manifest_equals_batch_pipeline(spark, tmp_path):
+    """Drain the sf0.001 corpus through the composed face (multiple
+    micro-batches), then manifest() == the registered
+    curation_pipeline_full output exactly — every gate decision, the
+    mixture draw, the split, and both fingerprints."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "docs_src")
+    docs.repartition(4).write.parquet(src)
+
+    pipe = run_streaming_curation(
+        spark, src, str(tmp_path / "state"), files_per_trigger=2
+    )
+    got = sorted(tuple(r) for r in pipe.manifest(docs).collect())
+    pipe.release_gate_cache()
+    want = sorted(
+        tuple(r) for r in curation_pipeline_full(spark, SF_SMOKE).collect()
+    )
+    assert got == want
+    assert len(got) > 0, "fixture should produce a non-empty manifest"
+
+
+def test_streamed_eval_minhash_flag_equals_batch(spark, tmp_path):
+    """Eval signatures folded across arbitrary micro-batches, then
+    flag() over the training side == the registered batch
+    decontaminate_eval_minhash query exactly; compaction preserves the
+    verdicts."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 7 == 0)
+    train_docs = docs.filter(F.col("doc_id") % 7 != 0)
+
+    emh = IncrementalEvalMinhash(spark, str(tmp_path / "emh"))
+    for e in range(3):
+        emh.process_batch(eval_docs.filter(F.col("doc_id") % 3 == e), e + 1)
+
+    def rows(df):
+        return sorted(
+            (r["doc_id"], r["n_eval_matches"], round(r["max_jaccard"], 6))
+            for r in df.collect()
+        )
+
+    got = rows(emh.flag(train_docs))
+    want = rows(decontaminate_eval_minhash(spark, SF_SMOKE))
+    assert got == want
+    assert got, "fixture should contain planted near-dup contamination"
+    emh.compact()
+    assert rows(emh.flag(train_docs)) == want
+
+
+def test_eval_minhash_retraction_unflags(spark, tmp_path):
+    """A withdrawn benchmark stops contaminating: insert an eval doc
+    that is a verbatim copy of a training doc (flagged, jaccard 1.0),
+    then retract it (op = −1) — the training doc comes back clean."""
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    train = _docs_df(spark, [(1, "src1", "en", text)])
+    eval_in = _docs_df(spark, [(7, "src2", "en", text)])
+
+    emh = IncrementalEvalMinhash(spark, str(tmp_path / "emh"))
+    emh.process_batch(eval_in, 1)
+    flagged = emh.flag(train).collect()
+    assert [(r["doc_id"], r["max_jaccard"]) for r in flagged] == [(1, 1.0)]
+
+    emh.process_batch(eval_in.withColumn("op", F.lit(-1)), 2)
+    assert emh.flag(train).count() == 0
+    assert emh.live().count() == 0
+
+
+def test_exact_index_canonical_promotion(spark, tmp_path):
+    """Retracting the canonical member PROMOTES the next-smallest live
+    doc — the read-time min over net membership rows, which a
+    first-wins ownership scheme cannot express."""
+    text = "identical content shared by the duplicate pair"
+    other = "a different document entirely with its own words"
+    idx = IncrementalExactDedupIndex(spark, str(tmp_path / "fp"))
+    idx.process_batch(
+        _docs_df(
+            spark,
+            [(10, "s", "en", text), (11, "s", "en", text), (12, "s", "en", other)],
+        ),
+        1,
+    )
+    canon = {r["canonical_id"]: r["group_size"] for r in idx.canonicals().collect()}
+    assert canon == {10: 2, 12: 1}
+
+    # retract the canonical → 11 takes over its group
+    idx.process_batch(
+        _docs_df(spark, [(10, "s", "en", text)]).withColumn("op", F.lit(-1)), 2
+    )
+    canon = {r["canonical_id"]: r["group_size"] for r in idx.canonicals().collect()}
+    assert canon == {11: 1, 12: 1}
+
+    # retract the survivor → the group is gone entirely
+    idx.process_batch(
+        _docs_df(spark, [(11, "s", "en", text)]).withColumn("op", F.lit(-1)), 3
+    )
+    canon = {r["canonical_id"]: r["group_size"] for r in idx.canonicals().collect()}
+    assert canon == {12: 1}
+
+    # flags over a frame: only live docs' rows resolve
+    flags = idx.canonical_flags(
+        _docs_df(spark, [(12, "s", "en", other)])
+    ).collect()
+    assert [(r["doc_id"], r["is_canonical"]) for r in flags] == [(12, True)]
