@@ -103,6 +103,46 @@ def test_eval_minhash_retraction_unflags(spark, tmp_path):
     assert emh.live().count() == 0
 
 
+def test_composed_redelivery_skipped_in_lockstep(spark, tmp_path):
+    """Exactly-once across the composed face: a redelivered epoch is
+    skipped by ALL THREE state tables (KN counts, fp index, eval
+    signatures) — including after a process restart that re-attaches
+    to the same state dirs — so no gate input is ever double-counted."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_quality import PPL_TRAIN_SOURCE
+    from query_processing_over_streaming_data_using_flink_spark.streaming.curation import (
+        StreamingCurationPipeline,
+    )
+
+    batch = _docs_df(
+        spark,
+        [
+            (1, PPL_TRAIN_SOURCE, "en", "the quick brown fox jumps over the dog"),
+            (2, "src1", "en", "an entirely different training document body"),
+            (7, "src2", "en", "an eval benchmark item with enough words here"),
+        ],
+    )
+    root = str(tmp_path / "state")
+    pipe = StreamingCurationPipeline(spark, root)
+    pipe.process_batch(batch, 1)
+
+    def snapshot(p):
+        return (
+            sorted(tuple(r) for r in p.kn.agg.result().collect()),
+            sorted(tuple(r) for r in p.dedup.agg.result().collect()),
+            sorted(tuple(r) for r in p.eval_mh.live().collect()),
+        )
+
+    before = snapshot(pipe)
+    pipe.process_batch(batch, 1)  # same-process redelivery
+    assert snapshot(pipe) == before
+
+    pipe2 = StreamingCurationPipeline(spark, root)  # restart, same dirs
+    pipe2.process_batch(batch, 1)  # redelivery after restart
+    assert snapshot(pipe2) == before
+    pipe2.process_batch(batch.filter(F.col("doc_id") == 2), 2)  # new epoch folds
+    assert snapshot(pipe2) != before
+
+
 def test_exact_index_canonical_promotion(spark, tmp_path):
     """Retracting the canonical member PROMOTES the next-smallest live
     doc — the read-time min over net membership rows, which a
