@@ -272,10 +272,28 @@ def ivf_centroids(
 
 def _nearest_cells(vectors: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
     """Keep each vector's `nprobe` closest cells (cosine, ties → lower
-    cell). `vectors` must have columns (id, vec)."""
+    cell). `vectors` must have columns (id, vec).
+
+    nprobe == 1 (every corpus-side assignment: centroid refinement,
+    inverted-list builds) is an argmax per id — computed as a
+    map-side-combinable `max_by` over the same (csim DESC, cell ASC)
+    total order instead of a row_number window, so the shuffle carries
+    one pre-reduced row per (id, partition) rather than sorting the
+    |corpus|×|cells| candidate blow-up (NaN sorts greatest in both
+    forms, identical tie-breaks — bit-equal output, cheaper exchange)."""
     scored = vectors.crossJoin(F.broadcast(cents)).withColumn(
         "csim", cosine(F.col("vec"), F.col("cvec"))
     )
+    if nprobe == 1:
+        best = scored.groupBy("id").agg(
+            F.max_by(
+                F.struct(F.col("vec").alias("vec"), F.col("cell").alias("cell")),
+                F.struct(F.col("csim").alias("csim"), (-F.col("cell")).alias("nc")),
+            ).alias("b")
+        )
+        return best.select(
+            "id", F.col("b.vec").alias("vec"), F.col("b.cell").alias("cell")
+        )
     w = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cell"))
     return (
         scored.withColumn("crank", F.row_number().over(w))
@@ -365,15 +383,18 @@ def _pq_books(comp: DataFrame, assign: DataFrame, quant: int) -> DataFrame:
 
 def _pq_assign(subs: DataFrame, books: DataFrame) -> DataFrame:
     """(id, s, code): nearest codebook entry per subvector (min L2,
-    ties → lower code). Books are broadcast (m·K tiny rows)."""
+    ties → lower code). Books are broadcast (m·K tiny rows). The
+    argmin is a map-side-combinable `min_by` over the (d2 ASC, code
+    ASC) total order — the |corpus|·m·K scored rows reduce to one
+    candidate per (id, s) per partition BEFORE the exchange, where a
+    row_number window would sort the whole blow-up (same tie-breaks,
+    bit-equal assignment)."""
     scored = subs.join(F.broadcast(books), "s").withColumn(
         "d2", l2_sq(F.col("sub"), F.col("cvec"))
     )
-    w = Window.partitionBy("id", "s").orderBy(F.asc("d2"), F.asc("code"))
-    return (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select("id", "s", "code")
+    return scored.groupBy("id", "s").agg(
+        F.min_by("code", F.struct(F.col("d2").alias("d2"), F.col("code").alias("code")))
+        .alias("code")
     )
 
 
