@@ -429,15 +429,24 @@ def nb_classify(
     feature_fn=None,
 ) -> DataFrame:
     """Apply the NB model: per-doc argmax of `nb_scores`, ties broken
-    on label asc — fully order-independent."""
+    on label asc — fully order-independent. The argmax folds as a
+    map-side-combinable `min_by` over the (−score_micro, label) total
+    order (score_micro is an integer micro-nat, so the negation is
+    exact) — one pre-reduced row per doc per partition crosses the
+    shuffle instead of sorting the docs×classes scored frame."""
     scored = nb_scores(docs, term_counts, class_totals, stats, text_col, feature_fn)
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("score_micro"), F.asc("label")
+    best = scored.groupBy("doc_id").agg(
+        F.min_by(
+            F.struct(
+                F.col("label").alias("pred_label"),
+                F.col("score_micro").alias("score_micro"),
+            ),
+            F.struct(
+                (-F.col("score_micro")).alias("ns"), F.col("label").alias("label")
+            ),
+        ).alias("b")
     )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("doc_id", F.col("label").alias("pred_label"), "score_micro")
+    return best.select(
+        "doc_id", F.col("b.pred_label").alias("pred_label"),
+        F.col("b.score_micro").alias("score_micro"),
     )
