@@ -176,5 +176,47 @@ def main() -> None:
     )
 
 
+def stream_main() -> None:
+    """`--stream`: the CONTINUOUS-ingest deployment form — drain the
+    corpus as micro-batches into the composed live state
+    (`streaming/curation.py`), gate with the live models, and prove
+    the export manifest equals the batch `curation_pipeline_full`
+    artifact row-for-row (the audit a streaming deployment diffs
+    instead of re-running the batch chain)."""
+    args = [a for a in sys.argv[1:] if a != "--stream"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    spark = get_spark("curate_demo_stream")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_quality import (
+        curation_pipeline_full,
+    )
+    from query_processing_over_streaming_data_using_flink_spark.streaming.curation import (
+        run_streaming_curation,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "docs_src")
+        docs.repartition(4).write.parquet(src)
+        pipe = run_streaming_curation(
+            spark, src, os.path.join(tmp, "state"), files_per_trigger=1
+        )
+        live = sorted(tuple(r) for r in pipe.manifest(docs).collect())
+        pipe.release_gate_cache()
+    batch = sorted(
+        tuple(r) for r in curation_pipeline_full(spark, sf_dir).collect()
+    )
+    n_docs = sum(r[2] for r in live)
+    print(
+        f"streamed {docs.count()} docs in 4 micro-batches -> live gate kept "
+        f"{n_docs} docs across {len(live)} (split, shard) manifest rows; "
+        f"manifest equals batch curation_pipeline_full: {live == batch}"
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if "--stream" in sys.argv[1:]:
+        stream_main()
+    else:
+        main()
