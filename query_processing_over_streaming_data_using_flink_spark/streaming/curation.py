@@ -256,6 +256,16 @@ class StreamingCurationPipeline:
         self.dedup.compact()
         self.eval_mh.compact()
 
+    def check_run(self, run_id: str) -> None:
+        """Bind all three state dirs to one stream run id — a
+        recreated checkpoint restarts epoch ids at 0, and without the
+        binding the replay-skip guard would silently drop new batches
+        against old state (the `run_streaming_q3` defense, applied to
+        the whole composed face at once)."""
+        self.kn.agg.state.check_run(run_id)
+        self.dedup.agg.state.check_run(run_id)
+        self.eval_mh.agg.state.check_run(run_id)
+
     def gate(self, docs: DataFrame) -> DataFrame:
         """Apply the batch pipeline's gate chain to a documents frame
         with the LIVE state: Gopher rules ∧ KN perplexity ≤ threshold ∧
@@ -332,9 +342,19 @@ def run_streaming_curation(
     curation state (same harness as every face — production swaps the
     source to Kafka in `streaming/drain.py`, once); returns the
     pipeline for `gate()` / `manifest()`."""
+    import json as _json
+    import os as _os
+
     pipe = StreamingCurationPipeline(spark, state_root)
-    drain_file_source(
-        spark, docs_dir, lambda b, e: pipe.process_batch(b, e),
-        files_per_trigger, checkpoint_dir,
-    )
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        if checkpoint_dir is not None:
+            try:
+                with open(_os.path.join(checkpoint_dir, "metadata")) as fh:
+                    pipe.check_run(_json.load(fh)["id"])
+            except FileNotFoundError:
+                pass
+        pipe.process_batch(batch, epoch_id)
+
+    drain_file_source(spark, docs_dir, handle, files_per_trigger, checkpoint_dir)
     return pipe
