@@ -182,6 +182,43 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
+def cross_side_minhash_pairs(
+    a_sigs: DataFrame, b_sigs: DataFrame, threshold: float
+) -> DataFrame:
+    """Cross-side MinHash verification core, shared by
+    `cross_snapshot_minhash` (new batch vs history) and the streaming
+    eval-decontamination state (`streaming/curation.py`): side A's
+    band keys equi-joined against side B's (the only corpus-scale
+    shuffle), candidates verified with exact shingle-set Jaccard. Both
+    inputs are (doc_id, sh, sig) signature frames; returns one row per
+    verified cross pair (doc_id from A, other_id from B, jaccard).
+    Keeping the band layout / rounding / threshold semantics in ONE
+    place is what the pinned stream==batch equalities rely on."""
+    a_bands = band_keys(a_sigs)
+    b_bands = band_keys(b_sigs).select(
+        F.col("doc_id").alias("other_id"), "band", "band_key"
+    )
+    candidates = (
+        a_bands.join(b_bands, ["band", "band_key"])
+        .select("doc_id", "other_id")
+        .distinct()
+    )
+    a = a_sigs.select("doc_id", F.col("sh").alias("sh_a"))
+    b = b_sigs.select(F.col("doc_id").alias("other_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        candidates.join(a, "doc_id")
+        .join(b, "other_id")
+        .select(
+            "doc_id",
+            "other_id",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def cross_snapshot_minhash(
     history: DataFrame, batch: DataFrame, threshold: float = 0.5
 ) -> DataFrame:
@@ -203,31 +240,7 @@ def cross_snapshot_minhash(
     """
     hist_sigs = minhash_signatures(history).persist()
     batch_sigs = minhash_signatures(batch).persist()
-    hist_bands = band_keys(hist_sigs)
-    batch_bands = band_keys(batch_sigs)
-    candidates = (
-        batch_bands.alias("x")
-        .join(
-            hist_bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_key") == F.col("y.band_key")),
-        )
-        .select(F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("hist_id"))
-        .distinct()
-    )
-    a = batch_sigs.select("doc_id", F.col("sh").alias("sh_a"))
-    b = hist_sigs.select(F.col("doc_id").alias("hist_id"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    verified = (
-        candidates.join(a, "doc_id")
-        .join(b, "hist_id")
-        .select(
-            "doc_id",
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    verified = cross_side_minhash_pairs(batch_sigs, hist_sigs, threshold)
     per_doc = verified.groupBy("doc_id").agg(
         F.count("*").alias("n_near_dups"), F.max("jaccard").alias("max_jaccard")
     )

@@ -133,21 +133,46 @@ class IncrementalEvalMinhash:
     retractions withdraw it and its contamination verdicts with it."""
 
     def __init__(self, spark: SparkSession, state_dir: str, run_id: str | None = None):
+        from query_processing_over_streaming_data_using_flink_spark.functions.scalar import md5_hash64
+
         def delta(batch: DataFrame) -> DataFrame:
             weighted = batch
             if "op" not in batch.columns:
                 weighted = batch.withColumn("op", F.lit(1))
-            sigs = dd.minhash_signatures(weighted)
+            # Signatures must be computed per (doc_id, CONTENT VERSION),
+            # not per doc_id: a benchmark version update delivers
+            # retract(old text) + insert(new text) for the SAME doc in
+            # one micro-batch, and signing per doc_id would merge both
+            # texts' shingles into one bogus row whose ops cancel —
+            # silently losing the update. Fold identical versions'
+            # ops first, then sign each surviving version under a
+            # content-derived key and group the state delta back under
+            # the real doc id.
+            vers = (
+                weighted.groupBy("doc_id", "text")
+                .agg(F.sum("op").cast("long").alias("op"))
+                .filter(F.col("op") != 0)
+            )
+            keyed = vers.select(
+                F.col("doc_id").alias("orig_id"),
+                "op",
+                md5_hash64(
+                    F.concat_ws(
+                        " ", F.col("doc_id").cast("string"), F.col("text")
+                    )
+                ).alias("doc_id"),
+                "text",
+            )
             # sort the collected shingle set so the state row is a
             # deterministic function of the document (collect_set order
             # is partition-dependent; an unsorted array would make
             # insert and retract rows fail to cancel)
-            sigs = sigs.select(
+            sigs = dd.minhash_signatures(keyed).select(
                 "doc_id", F.array_sort("sh").alias("sh"), "sig"
             )
             return (
-                sigs.join(weighted.select("doc_id", "op"), "doc_id")
-                .groupBy("doc_id", "sh", "sig")
+                sigs.join(keyed.select("doc_id", "orig_id", "op"), "doc_id")
+                .groupBy(F.col("orig_id").alias("doc_id"), "sh", "sig")
                 .agg(F.sum("op").cast("long").alias("net"))
             )
 
@@ -163,6 +188,7 @@ class IncrementalEvalMinhash:
             delta_fn=delta,
             run_id=run_id,
         )
+        self._cached: list[DataFrame] = []
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
         self.agg.process_batch(batch, epoch_id)
@@ -180,40 +206,30 @@ class IncrementalEvalMinhash:
         """Per-training-doc contamination report against the LIVE eval
         set — the batch `decontaminate_eval_minhash` output shape
         (doc_id, n_eval_matches, max_jaccard), produced by the batch
-        plan unchanged: band-key candidate join, exact shingle-Jaccard
-        verification on candidates only. At scale the eval side is
-        benchmark-sized and broadcasts."""
-        t_sigs = dd.minhash_signatures(train_docs)
-        e_sigs = self.live().select(
-            F.col("doc_id").alias("eval_id"),
-            F.col("sh").alias("sh_e"),
-            F.col("sig").alias("sig_e"),
-        )
-        t_bands = dd.band_keys(t_sigs)
-        e_bands = dd.band_keys(
-            e_sigs.select(F.col("eval_id").alias("doc_id"), F.col("sig_e").alias("sig"))
-        ).select(F.col("doc_id").alias("eval_id"), "band", "band_key")
-        candidates = (
-            t_bands.join(e_bands, ["band", "band_key"])
-            .select("doc_id", "eval_id")
-            .distinct()
-        )
-        inter = F.size(F.array_intersect("sh", "sh_e"))
-        union = F.size("sh") + F.size("sh_e") - inter
+        plan's own cross-side core (`dd.cross_side_minhash_pairs` —
+        band-key candidate join, exact shingle-Jaccard verification on
+        candidates only). At scale the eval side is benchmark-sized
+        and broadcasts. Both signature frames feed the band explode
+        AND the verification join, so they are persisted (the
+        `minhash_lsh_pairs` discipline); call `release_cache()` —
+        or the owning pipeline's `release_gate_cache()` — after
+        materializing the result."""
+        t_sigs = dd.minhash_signatures(train_docs).persist()
+        e_sigs = self.live().persist()
+        self._cached += [t_sigs, e_sigs]
         return (
-            candidates.join(t_sigs.select("doc_id", "sh"), "doc_id")
-            .join(e_sigs.select("eval_id", "sh_e"), "eval_id")
-            .select(
-                "doc_id",
-                F.round(inter.cast("double") / union, 6).alias("jaccard"),
-            )
-            .filter(F.col("jaccard") >= threshold)
+            dd.cross_side_minhash_pairs(t_sigs, e_sigs, threshold)
             .groupBy("doc_id")
             .agg(
                 F.count("*").alias("n_eval_matches"),
                 F.max("jaccard").alias("max_jaccard"),
             )
         )
+
+    def release_cache(self) -> None:
+        """Unpersist the signature frames `flag()` cached."""
+        while self._cached:
+            self._cached.pop().unpersist()
 
 
 class StreamingCurationPipeline:
@@ -312,9 +328,11 @@ class StreamingCurationPipeline:
         )
 
     def release_gate_cache(self) -> None:
-        """Unpersist the scored subtrees `gate()` cached."""
+        """Unpersist the scored subtrees `gate()` cached and the
+        signature frames its decontamination stage cached."""
         while self._cached:
             self._cached.pop().unpersist()
+        self.eval_mh.release_cache()
 
     def manifest(self, docs: DataFrame) -> DataFrame:
         """The full export artifact from live state: gate the frame,
@@ -346,12 +364,15 @@ def run_streaming_curation(
     import os as _os
 
     pipe = StreamingCurationPipeline(spark, state_root)
+    bound = False
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
-        if checkpoint_dir is not None:
+        nonlocal bound
+        if checkpoint_dir is not None and not bound:
             try:
                 with open(_os.path.join(checkpoint_dir, "metadata")) as fh:
                     pipe.check_run(_json.load(fh)["id"])
+                bound = True
             except FileNotFoundError:
                 pass
         pipe.process_batch(batch, epoch_id)

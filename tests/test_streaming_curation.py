@@ -143,6 +143,56 @@ def test_composed_redelivery_skipped_in_lockstep(spark, tmp_path):
     assert snapshot(pipe2) != before
 
 
+def test_eval_minhash_same_batch_version_update(spark, tmp_path):
+    """A benchmark VERSION UPDATE delivered inside one micro-batch —
+    retract(old text) + insert(new text) for the same eval doc — must
+    land the new version (per-version signing; signing per doc_id
+    would merge both texts' shingles and cancel the ops to a no-op)."""
+    old = "the quick brown fox jumps over the lazy dog again and again"
+    new = "a completely rewritten benchmark item with novel phrasing here"
+    emh = IncrementalEvalMinhash(spark, str(tmp_path / "emh"))
+    emh.process_batch(_docs_df(spark, [(7, "src2", "en", old)]), 1)
+
+    both = _docs_df(spark, [(7, "src2", "en", old)]).withColumn(
+        "op", F.lit(-1)
+    ).unionByName(
+        _docs_df(spark, [(7, "src2", "en", new)]).withColumn("op", F.lit(1))
+    )
+    emh.process_batch(both, 2)
+
+    train_old = _docs_df(spark, [(1, "src1", "en", old)])
+    train_new = _docs_df(spark, [(2, "src1", "en", new)])
+    assert emh.flag(train_old).count() == 0, "withdrawn version still gating"
+    got = [(r["doc_id"], r["max_jaccard"]) for r in emh.flag(train_new).collect()]
+    assert got == [(2, 1.0)], "updated version not registered"
+    assert emh.live().count() == 1
+    emh.release_cache()
+
+
+def test_composed_state_bound_to_stream_run(spark, tmp_path):
+    """Re-attaching the composed state to a DIFFERENT stream run
+    (deleted-and-recreated checkpoint → epoch ids restart at 0) must
+    hard-fail on all of the face's state dirs instead of silently
+    replay-skipping new batches."""
+    import pytest
+
+    from query_processing_over_streaming_data_using_flink_spark.streaming.curation import (
+        StreamingCurationPipeline,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    src = str(tmp_path / "src")
+    docs.repartition(2).write.parquet(src)
+
+    run_streaming_curation(
+        spark, src, str(tmp_path / "state"),
+        files_per_trigger=1, checkpoint_dir=str(tmp_path / "ckpt_a"),
+    )
+    pipe = StreamingCurationPipeline(spark, str(tmp_path / "state"))
+    with pytest.raises(RuntimeError, match="belongs to stream run"):
+        pipe.check_run("another-stream-uuid")
+
+
 def test_exact_index_canonical_promotion(spark, tmp_path):
     """Retracting the canonical member PROMOTES the next-smallest live
     doc — the read-time min over net membership rows, which a
