@@ -46,12 +46,33 @@ class IncrementalNgramDecontam:
         self.k = NGRAM_DECONTAM_K if k is None else k
 
         def delta(batch: DataFrame) -> DataFrame:
+            from query_processing_over_streaming_data_using_flink_spark.functions.scalar import md5_hash64
+
             weighted = batch
             if "op" not in batch.columns:
                 weighted = batch.withColumn("op", F.lit(1))
-            grams = tx.shingle_hash_rows(weighted, k=self.k)
+            # Grams must be attributed per (doc, CONTENT VERSION): a
+            # benchmark version update delivers retract(old) +
+            # insert(new) for one doc_id in one micro-batch, and
+            # joining doc-keyed gram rows back to doc-keyed ops would
+            # attach BOTH ops to every gram of both texts — netting
+            # the whole update to 0. Fold identical versions first,
+            # then shingle each surviving version under its own key.
+            vers = (
+                weighted.groupBy("doc_id", "text")
+                .agg(F.sum("op").cast("long").alias("op"))
+                .filter(F.col("op") != 0)
+            )
+            keyed = vers.select(
+                md5_hash64(
+                    F.concat_ws(" ", F.col("doc_id").cast("string"), F.col("text"))
+                ).alias("doc_id"),
+                "text",
+                "op",
+            )
+            grams = tx.shingle_hash_rows(keyed, k=self.k)
             return (
-                grams.join(weighted.select("doc_id", "op"), "doc_id")
+                grams.join(keyed.select("doc_id", "op"), "doc_id")
                 .groupBy("h")
                 .agg(F.sum("op").cast("long").alias("net_docs"))
             )

@@ -76,6 +76,32 @@ def test_streamed_gate_retraction(spark, tmp_path):
     assert _rows(pipe.flag(train_docs)) == want
 
 
+def test_same_batch_version_update_lands(spark, tmp_path):
+    """A benchmark VERSION UPDATE inside one micro-batch —
+    retract(old text) + insert(new text) for the same eval doc — must
+    swap the gram set (per-version shingling; doc-keyed shingling
+    would attach both ops to every gram and cancel the update)."""
+    mk = lambda text: spark.createDataFrame(  # noqa: E731
+        [(7, text)], "doc_id long, text string"
+    )
+    old = " ".join(f"oldtok{i}" for i in range(20))
+    new = " ".join(f"newtok{i}" for i in range(20))
+    pipe = IncrementalNgramDecontam(spark, str(tmp_path / "state"))
+    pipe.process_batch(mk(old), 1)
+    both = mk(old).withColumn("op", F.lit(-1)).unionByName(
+        mk(new).withColumn("op", F.lit(1))
+    )
+    pipe.process_batch(both, 2)
+
+    train_old = spark.createDataFrame([(1, old)], "doc_id long, text string")
+    train_new = spark.createDataFrame([(2, new)], "doc_id long, text string")
+    assert not [r for r in pipe.flag(train_old).collect() if r["contaminated"]], (
+        "withdrawn version still gating"
+    )
+    hits = [r for r in pipe.flag(train_new).collect() if r["contaminated"]]
+    assert [r["doc_id"] for r in hits] == [2], "updated version not registered"
+
+
 def test_streamed_gate_through_drain_harness(spark, tmp_path):
     """End-to-end through drain_file_source (the face production runs):
     eval docs written as a multi-file directory, drained as
