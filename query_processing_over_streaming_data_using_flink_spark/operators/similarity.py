@@ -352,13 +352,19 @@ def _pq_subvectors(embeddings: DataFrame, m: int) -> DataFrame:
     )
 
 
-def _pq_books(comp: DataFrame, assign: DataFrame, quant: int) -> DataFrame:
+def _pq_books(subs: DataFrame, assign: DataFrame, quant: int) -> DataFrame:
     """(s, code, cvec): per-subspace MEAN centroids from an (id, s,
     code) assignment — exact integer sums divided by exact counts in
     one fixed expression (L2 needs means, not the IVF's scale-free
-    sums)."""
+    sums). The assignment joins the (id, s, sub) SUBVECTOR rows (m
+    per vector) and explodes components after — the same aggregate
+    over the same values, with a join shuffle d/m× smaller than
+    joining the per-component rows (the position within `sub` IS the
+    within-subspace index the components were sorted by, for every
+    doc alike, so grouping by it is grouping by sdim)."""
     agg = (
-        comp.join(assign, ["id", "s"])
+        subs.join(assign, ["id", "s"])
+        .select("s", "code", F.posexplode("sub").alias("sdim", "x"))
         .groupBy("s", "code", "sdim")
         .agg(
             F.sum(F.floor(F.col("x") * quant).cast("long")).alias("sv"),
@@ -403,13 +409,15 @@ def pq_codebooks(
 ) -> DataFrame:
     """Train per-subspace PQ codebooks: seed code = vec_id % k, then
     `refine` Lloyd rounds (re-assign by min subvector L2, re-average).
-    Each round is one linear corpus pass against broadcast books."""
-    comp = _pq_components(embeddings, m).persist()
+    Each round is one linear corpus pass against broadcast books. Only
+    the (id, s, sub) subvector table is persisted — it feeds the
+    averaging AND every re-assignment; the per-component form is never
+    materialized separately."""
     subs = _pq_subvectors(embeddings, m).persist()
     assign = subs.select("id", "s", (F.col("id") % k).alias("code"))
-    books = _pq_books(comp, assign, PQ_QUANT)
+    books = _pq_books(subs, assign, PQ_QUANT)
     for _ in range(refine):
-        books = _pq_books(comp, _pq_assign(subs, books), PQ_QUANT)
+        books = _pq_books(subs, _pq_assign(subs, books), PQ_QUANT)
     return books
 
 
