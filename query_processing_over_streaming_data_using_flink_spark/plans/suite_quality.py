@@ -443,16 +443,19 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"),
         F.col("embedding").cast("array<double>").alias("q_vec"),
         F.col("label").alias("q_label"),
-    )
+    ).withColumn("q_n", sim.l2_norm(F.col("q_vec")))
     c = e.select(
         F.col("vec_id").alias("n_id"),
         F.col("embedding").cast("array<double>").alias("n_vec"),
         F.col("label").alias("n_label"),
-    )
+    ).withColumn("n_n", sim.l2_norm(F.col("n_vec")))
     scored = c.join(
         F.broadcast(q),
         (F.col("q_id") != F.col("n_id")) & (F.col("q_label") != F.col("n_label")),
-    ).withColumn("sim", sim.cosine(F.col("q_vec"), F.col("n_vec")))
+    ).withColumn(
+        "sim",
+        sim.cosine_norm(F.col("q_vec"), F.col("n_vec"), F.col("q_n"), F.col("n_n")),
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

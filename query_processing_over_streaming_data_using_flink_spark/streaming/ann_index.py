@@ -250,9 +250,18 @@ class IncrementalIVFIndex:
             F.col("cell").cast("int").alias("bucket"),
         )
         scored = (
-            inv.join(F.broadcast(probes), ["bucket", "cell"])
+            inv.withColumn("n_n", sim.l2_norm(F.col("n_vec")))
+            .join(
+                F.broadcast(probes.withColumn("q_n", sim.l2_norm(F.col("q_vec")))),
+                ["bucket", "cell"],
+            )
             .filter(F.col("q_id") != F.col("n_id"))
-            .withColumn("sim", sim.cosine(F.col("q_vec"), F.col("n_vec")))
+            .withColumn(
+                "sim",
+                sim.cosine_norm(
+                    F.col("q_vec"), F.col("n_vec"), F.col("q_n"), F.col("n_n")
+                ),
+            )
         )
         w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
         return (
