@@ -49,6 +49,9 @@ def test_stream_manifest_equals_batch_pipeline(spark, tmp_path):
     pipe = run_streaming_curation(
         spark, src, str(tmp_path / "state"), files_per_trigger=2
     )
+    # fold the state logs first: the gate must read identically from
+    # COMPACTED state (one row per live group) as from the epoch log
+    pipe.compact()
     got = sorted(tuple(r) for r in pipe.manifest(docs).collect())
     pipe.release_gate_cache()
     want = sorted(
@@ -83,6 +86,33 @@ def test_streamed_eval_minhash_flag_equals_batch(spark, tmp_path):
     assert got, "fixture should contain planted near-dup contamination"
     emh.compact()
     assert rows(emh.flag(train_docs)) == want
+
+
+def test_cross_side_core_matches_lsh_pair_semantics(spark):
+    """The shared cross-side verify core must agree with the
+    registered pair-finder's semantics on a planted corpus: splitting
+    the docs into two sides and running `cross_side_minhash_pairs`
+    yields exactly the cross-side subset of `minhash_lsh_pairs` over
+    the union, with identical jaccard values."""
+    from query_processing_over_streaming_data_using_flink_spark.operators import dedup as dd
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(120)
+    left = docs.filter(F.col("doc_id") % 2 == 0)
+    right = docs.filter(F.col("doc_id") % 2 == 1)
+
+    got = {
+        (r["doc_id"], r["other_id"]): r["jaccard"]
+        for r in dd.cross_side_minhash_pairs(
+            dd.minhash_signatures(left), dd.minhash_signatures(right), 0.2
+        ).collect()
+    }
+    want = {}
+    for r in dd.minhash_lsh_pairs(docs, threshold=0.2).collect():
+        a, b = r["doc_a"], r["doc_b"]
+        if a % 2 != b % 2:  # cross-side only
+            la, rb = (a, b) if a % 2 == 0 else (b, a)
+            want[(la, rb)] = r["jaccard"]
+    assert got == want
 
 
 def test_eval_minhash_retraction_unflags(spark, tmp_path):
