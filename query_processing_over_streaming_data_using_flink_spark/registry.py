@@ -32,82 +32,19 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # fully verified by scripts/verify_contract.py every round). Names not
 # listed keep registration order after the priority block.
 _PRIORITY_FIRST = [
-    # Round-11 prefix (positions 1-50). Policy: staleness counted in
-    # LANDED CORRECTNESS files (on disk: r1-r6, r8, r9, r10), dynamic
-    # bound ceil(N/50)+1 = 5; see
+    # Round-12 prefix (positions 1-50). Policy: staleness counted in
+    # LANDED CORRECTNESS files (on disk: r1-r6, r8-r11), dynamic bound
+    # ceil(189/50)+1 = 5; see
     # tests/test_entry_contract.py::test_registry_rotation_covers_stalest_queries.
-    # With CORRECTNESS_r10 landed the histogram is {stale-4: 31,
+    # With CORRECTNESS_r11 landed the histogram is {stale-4: 39,
     # stale-3: 50, stale-2: 50, stale-1: 50} and nothing is forced
-    # (bound 5), so the fill rule alone decides: the 31-query stale-4
-    # cohort (last green r6 -- round 10's overflow queue, including the
-    # eight names that were unlisted last round) plus the stalest
-    # remaining stale-3 entries (last green r8), queue-order-first.
-    # New round-11 queries are inserted at the TOP as they land (never-
+    # (bound 5), so the fill rule alone decides: the whole 39-query
+    # stale-4 cohort (last green r8 -- round 11's overflow queue) plus
+    # the 11 stalest stale-3 entries (last green r9), queue-order-first.
+    # New round-12 queries are inserted at the TOP as they land (never-
     # checked = infinitely stale = forced), each displacing the last
     # stale-3 filler into the front of the overflow queue in _PUSH_LAST.
-    # --- new in round 11 (never driver-checked), uncommented as each
-    # lands with its oracle + dual-scale sweep MATCH:
-    "curation_pipeline_full",
-    "decontaminate_eval_ngram13",
-    "doc_length_histogram",
-    "sample_moore_lewis",
-    "classifier_calibration_bins",
-    "mixture_unimax_epochs",
-    "export_curriculum_manifest",
-    "eval_burn_report",
-    # --- stale-4 cohort (last driver-green round 6):
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q12_late_shipment_priority",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_relationship",
-    "q20_potential_promotion",
-    "q21_suppliers_kept_waiting",
-    "changelog_scd2_customer",
-    "pit_orders_customer_segment",
-    "changelog_q3_current_state",
-    "sample_fixed_k_per_lang",
-    "pack_training_sequences",
-    "text_pii_scrub",
-    "text_quality_quartiles",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q22_global_sales_opportunity",
-    "text_stats",
-    "text_lang_id",
-    "doc_fingerprints",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    # --- stale-3 fill (last driver-green round 8, 19 names -- the head
-    # of round 10's _PUSH_LAST queue, taken in queue order):
-    "ann_ivfpq_rerank",
-    "dedup_exact_substring",
-    "dedup_substring_rewrite",
-    "dedup_cross_snapshot_substring",
-    "text_bpe_token_count",
-    "pack_sequences_bpe",
-    "mixture_bpe_token_budget",
-    "hilbert_events_clusters",
-    "ann_recall_ivfpq_rerank_vs_exact",
-    "ann_recall_ivf_nprobe_curve",
-    "agg_corr_regression",
-]
-_PUSH_LAST = [
-    # Position 51+: the OVERFLOW QUEUE. Head = the rest of the stale-3
-    # (r8-green) cohort (led by the fillers round-11 registrations
-    # displaced), contiguous and first in line for the round-12 prefix;
-    # all remain verified by the local dual-scale sweep every round
-    # meanwhile. The queue rule requires non-increasing staleness, so
-    # the r9-green (stale-2) and r10-green (stale-1) cohorts follow.
+    # --- stale-4 cohort (last driver-green round 8, all 39):
     "bpe_train_merges",
     "ann_ivf_filtered",
     "image_cross_format_near_dup",
@@ -147,8 +84,8 @@ _PUSH_LAST = [
     "approx_distinct_users",
     "hll_union_daily_users",
     "approx_quantiles_event_value",
-    # Driver-green in round 9 (the full r9 prefix came back 50/50 --
-    # freshest cohort, staleness 1, so it sits at the very tail):
+    # --- stale-3 fill (last driver-green round 9, 11 names -- the head
+    # of round 11's r9-green queue, taken in queue order):
     "text_perplexity_filter_kn",
     "text_perplexity_buckets_kn",
     "sample_cluster_balanced",
@@ -160,6 +97,14 @@ _PUSH_LAST = [
     "snapshot_diff_customer",
     "er_fuzzy_part_names",
     "bloom_membership_audit",
+]
+_PUSH_LAST = [
+    # Position 51+: the OVERFLOW QUEUE, stalest-first. Head = the rest
+    # of the stale-3 (r9-green) cohort, contiguous and first in line
+    # for the round-13 prefix; all remain verified by the local
+    # dual-scale sweep every round meanwhile. The queue rule requires
+    # non-increasing staleness, so the r10-green (stale-2) and r11-green
+    # (stale-1) cohorts follow.
     "ann_sq8",
     "ann_recall_sq8_vs_exact",
     "mine_hard_negatives",
@@ -199,8 +144,7 @@ _PUSH_LAST = [
     "multimodal_real_roundtrip",
     "events_moving_7d_avg",
     "mixture_token_budget",
-    # Driver-green in round 10 (the full r10 prefix came back 50/50 --
-    # freshest cohort, staleness 1, so it sits at the very tail):
+    # Driver-green in round 10 (staleness 2):
     "dsir_importance_weights",
     "sample_dsir_resample",
     "dedup_keep_best_quality",
@@ -251,6 +195,58 @@ _PUSH_LAST = [
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q8_national_market_share",
+    # Driver-green in round 11 (the full r11 prefix came back 50/50 --
+    # freshest cohort, staleness 1, so it sits at the very tail):
+    "curation_pipeline_full",
+    "decontaminate_eval_ngram13",
+    "doc_length_histogram",
+    "sample_moore_lewis",
+    "classifier_calibration_bins",
+    "mixture_unimax_epochs",
+    "export_curriculum_manifest",
+    "eval_burn_report",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_relationship",
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
+    "changelog_scd2_customer",
+    "pit_orders_customer_segment",
+    "changelog_q3_current_state",
+    "sample_fixed_k_per_lang",
+    "pack_training_sequences",
+    "text_pii_scrub",
+    "text_quality_quartiles",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
+    "text_stats",
+    "text_lang_id",
+    "doc_fingerprints",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_ivfpq_rerank",
+    "dedup_exact_substring",
+    "dedup_substring_rewrite",
+    "dedup_cross_snapshot_substring",
+    "text_bpe_token_count",
+    "pack_sequences_bpe",
+    "mixture_bpe_token_budget",
+    "hilbert_events_clusters",
+    "ann_recall_ivfpq_rerank_vs_exact",
+    "ann_recall_ivf_nprobe_curve",
+    "agg_corr_regression",
 ]
 
 
