@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from query_processing_over_streaming_data_using_flink_spark.functions.scalar import md5_hash64_sql
 from query_processing_over_streaming_data_using_flink_spark.operators import lm
 from query_processing_over_streaming_data_using_flink_spark.operators import text as tx
+from query_processing_over_streaming_data_using_flink_spark.pin import pin_result
 from query_processing_over_streaming_data_using_flink_spark.registry import register
 from query_processing_over_streaming_data_using_flink_spark.sources.catalog import load_table
 
@@ -829,12 +830,14 @@ def mixture_ppl_tilted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
         )
         .orderBy("source")
-        # One eager executor-side materialization of the bounded
-        # (|sources|-row) result — the bpe_train localCheckpoint
-        # discipline, no driver collect — which cuts the lineage so
-        # both persisted intermediates can be released immediately.
-        .localCheckpoint(eager=True)
     )
+    # One eager executor-side materialization of the bounded
+    # (|sources|-row) result — the bpe_train localCheckpoint
+    # discipline, no driver collect — which cuts the lineage so both
+    # persisted intermediates can be released immediately. Routed
+    # through pin_result so plan-dump tooling sees the real subtree
+    # (explain-mode no-op: see pin.py).
+    out = pin_result(out)
     scored.unpersist()
     rates.unpersist()
     return out
@@ -922,7 +925,19 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: the gates/dedup/decontamination stages are the registered
     plans unchanged; the mixture adds one bounded broadcast (|sources|
     rows); the manifest adds one shuffle, partitioned by the same
-    (split, shard_id) key the writer partitions by."""
+    (split, shard_id) key the writer partitions by.
+
+    ONE KN chain (round 12): the perplexity gate and the mixture rates
+    both derive from a single trained-and-scored KN frame — exactly
+    how the streaming face shares one live LM between its gate and its
+    rates (`streaming/curation.py`). The per-stage registered queries
+    (`text_perplexity_filter_kn`, `mixture_ppl_tilted`) train
+    identical models from identical inputs, so the manifest is
+    bit-identical to the two-chain composition, and the chained oracle
+    (which embeds the same `_KN_SCORED_CTES` text once per stage SQL,
+    deduplicated by DuckDB's MATERIALIZED CTEs) is unchanged — but the
+    most expensive query in the suite stops paying the KN train+score
+    chain twice."""
     from query_processing_over_streaming_data_using_flink_spark.operators import dedup as dd
     from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
         decontaminate_eval_minhash,
@@ -933,12 +948,23 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = text_gopher_rules(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("rules_keep")
     )
-    ppl = text_perplexity_filter_kn(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("ppl_keep")
+    # Hoisted KN chain: train on the clean subset once, score the
+    # corpus once; persist because the scored frame feeds BOTH the
+    # per-doc gate and the per-source rate rollup (mixture_rates scans
+    # it twice — per-source aggregate + grand totals).
+    train = docs.filter(F.col("source") == PPL_TRAIN_SOURCE)
+    model = lm.kn_trigram_train(train)
+    scored = (
+        lm.kn_perplexity(docs, *model)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .persist()
     )
+    ppl = scored.select(
+        "doc_id", (F.col("ppl") <= F.lit(PPL_KN_KEEP_MAX)).alias("ppl_keep")
+    )
+    rates = mixture_rates(scored).select("source", "keep_rate_pmy")
     canon = dd.exact_dedup(docs).select("doc_id", "is_canonical")
     contam = decontaminate_eval_minhash(spark, sf_dir).select("doc_id")
-    rates = mixture_ppl_tilted(spark, sf_dir).select("source", "keep_rate_pmy")
     splits = split_leakage_safe(spark, sf_dir).select("doc_id", "split")
     kept = (
         docs.select("doc_id", "source", "text")
@@ -954,7 +980,12 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(splits, "doc_id")
     )
-    return split_manifest_tail(kept)
+    # Eagerly materialize the bounded (|splits×shards|-row) manifest so
+    # the scored frame's cache can be released before return
+    # (explain-mode no-op: see pin.py).
+    out = pin_result(split_manifest_tail(kept))
+    scored.unpersist()
+    return out
 
 
 def split_manifest_tail(kept: DataFrame) -> DataFrame:

@@ -132,11 +132,18 @@ def main() -> int:
         "broadcasts, partial aggregation and top-k tails is visible here.",
         "",
     ]
+    from query_processing_over_streaming_data_using_flink_spark.pin import unpinned_for_explain
+
     for name, headline, look_for in SELECTED:
-        df = queries[name](spark, SF_DIR)
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            df.explain("formatted")
+        # unpinned_for_explain: final-result localCheckpoints become
+        # no-ops, so checkpointed queries (mixture_ppl_tilted, the full
+        # curation pipeline) dump their real subtree instead of a
+        # single `Scan ExistingRDD` (round-11 verdict).
+        with unpinned_for_explain():
+            df = queries[name](spark, SF_DIR)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
         plan = buf.getvalue().rstrip()
         out += [
             f"## {name} — {headline}",
