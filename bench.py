@@ -544,6 +544,7 @@ def main() -> None:
                 ),
                 "dsir_importance_weights": r10.get("dsir_importance_weights"),
                 "sample_dsir_resample": r10.get("sample_dsir_resample"),
+                "curation_pipeline_full": r11.get("curation_pipeline_full"),
             }
             soak: dict[str, dict] = {}
             # BPE train vs apply broken out (round-10 verdict): the r10
@@ -567,6 +568,11 @@ def main() -> None:
                 ("tokenizer_fertility_report", llm.tokenizer_fertility_report),
                 ("dsir_importance_weights", qual.dsir_importance_weights),
                 ("sample_dsir_resample", qual.sample_dsir_resample),
+                # The flagship composed operator (round-12 verdict ask):
+                # the one real users run end-to-end, soaked at 10x like
+                # its component stages. Timed LAST so its persisted KN
+                # frame can't warm any other row.
+                ("curation_pipeline_full", qual.curation_pipeline_full),
             ):
                 spark.catalog.clearCache()
                 if vname == "bpe_train_merges":

@@ -290,6 +290,74 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.2)
 
 
+# Planted-pair variant (round 12): `dedup_embedding_cosine`'s sf0.01
+# CORRECTNESS row is vacuous — the random fixture has no pair above
+# threshold, so both engines return 0 rows and the green row proves
+# only that empty == empty. This variant derives a fixture WITH known
+# near-duplicates inside the query (the planted-pair pattern
+# tests/test_llm_ops.py uses): the first PLANT_N vectors are re-added
+# under offset ids, each dimension scaled by a positive deterministic
+# factor in {1.0, 1.1, 1.2}. Positive scaling preserves every sign
+# bit, so each plant lands in its original's LSH bucket, and the
+# per-dimension wobble keeps cosine non-trivial (≥ ~0.9959, above the
+# production 0.95 threshold) — the banding, pair join, norm
+# arithmetic, and threshold gate are all exercised with rows > 0.
+PLANT_N = 25
+PLANT_OFFSET = 1_000_000
+
+
+def _planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    plants = (
+        base.filter(F.col("vec_id") < PLANT_N)
+        # Two selects: the factor's vec_id must be the ORIGINAL id — in
+        # a single projection the lambda's F.col("vec_id") resolves to
+        # the offset output column (1e6 % 3 = 1 shifts the cycle).
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x
+                * (
+                    F.lit(1.0)
+                    + F.lit(0.1) * ((i + F.col("vec_id")) % 3).cast("double")
+                ),
+            ).alias("embedding"),
+        )
+        .select(
+            (F.col("vec_id") + F.lit(PLANT_OFFSET)).alias("vec_id"), "embedding"
+        )
+    )
+    return base.unionByName(plants)
+
+
+def dedup_embedding_cosine_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_dup_pairs(_planted_embeddings(spark, sf_dir), threshold=0.95)
+
+
+_COSINE_PLANTED_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+plants AS (
+  SELECT vec_id + {PLANT_OFFSET} AS vec_id,
+         [vec[i + 1] * (1.0 + 0.1 * CAST((i + vec_id) % 3 AS DOUBLE))
+          for i in range(len(vec))] AS vec
+  FROM base WHERE vec_id < {PLANT_N}
+),
+e AS (
+  SELECT vec_id, vec, {_sig_sql('vec')} AS sig
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM plants)
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_cosine_sql('a.vec', 'b.vec')}, 6) AS sim
+FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id
+WHERE {_cosine_sql('a.vec', 'b.vec')} >= 0.95
+"""
+
+
 def _cosine_pairs_sql(threshold: float) -> str:
     return f"""
 WITH e AS (
@@ -563,6 +631,11 @@ register("dedup_ngram_jaccard", dedup_ngram_jaccard, _NGRAM_JACCARD_SQL)
 register("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_sql())
 register("dedup_simhash", dedup_simhash, _simhash_pairs_sql())
 register("dedup_embedding_cosine", dedup_embedding_cosine, _cosine_pairs_sql(0.2))
+register(
+    "dedup_embedding_cosine_planted",
+    dedup_embedding_cosine_planted,
+    _COSINE_PLANTED_SQL,
+)
 register("ann_bruteforce", ann_bruteforce, _ANN_BF_SQL)
 register("ann_bruteforce_pandas", ann_bruteforce_pandas, _ANN_BF_SQL)
 register("ann_lsh", ann_lsh, _ANN_LSH_SQL)

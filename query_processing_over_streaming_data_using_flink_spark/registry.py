@@ -44,6 +44,9 @@ _PRIORITY_FIRST = [
     # New round-12 queries are inserted at the TOP as they land (never-
     # checked = infinitely stale = forced), each displacing the last
     # stale-3 filler into the front of the overflow queue in _PUSH_LAST.
+    # --- new in round 12 (never driver-checked), uncommented as each
+    # lands with its oracle + dual-scale sweep MATCH:
+    "dedup_embedding_cosine_planted",
     # --- stale-4 cohort (last driver-green round 8, all 39):
     "bpe_train_merges",
     "ann_ivf_filtered",
@@ -96,7 +99,6 @@ _PRIORITY_FIRST = [
     "merge_upsert_customer",
     "snapshot_diff_customer",
     "er_fuzzy_part_names",
-    "bloom_membership_audit",
 ]
 _PUSH_LAST = [
     # Position 51+: the OVERFLOW QUEUE, stalest-first. Head = the rest
@@ -104,7 +106,9 @@ _PUSH_LAST = [
     # for the round-13 prefix; all remain verified by the local
     # dual-scale sweep every round meanwhile. The queue rule requires
     # non-increasing staleness, so the r10-green (stale-2) and r11-green
-    # (stale-1) cohorts follow.
+    # (stale-1) cohorts follow. Head entries before the r9 comment are
+    # stale-3 fillers displaced by round-12 registrations.
+    "bloom_membership_audit",
     "ann_sq8",
     "ann_recall_sq8_vs_exact",
     "mine_hard_negatives",
