@@ -500,6 +500,7 @@ def main() -> None:
         from pyspark.sql import functions as F
 
         tmp = tempfile.mkdtemp(prefix="graft_sf1llm_")
+        tmpv = tempfile.mkdtemp(prefix="graft_sf1llm_verbatim_")
         try:
             scale, off = 10, 1 << 40
             rep = F.explode(F.array(*[F.lit(i) for i in range(scale)])).alias("_rep")
@@ -527,6 +528,23 @@ def main() -> None:
                 "vec_id", F.col("vec_id") + F.col("_rep").cast("long") * off
             )
             e_.drop("_rep").write.parquet(os.path.join(tmp, "embeddings.parquet"))
+            # Second, VERBATIM 10x documents fixture (text unchanged,
+            # ids offset) for the map-side BPE APPLY row: the suffixed
+            # replicas inflate per-word apply cost ~1.4x (bpe_piece is
+            # superlinear in word length; `_rN` also splits into 4
+            # pre-tokenizer pieces), so the round-10/11 fertility soak
+            # rows read 12-13x at 10x data — a fixture artifact, not
+            # engine superlinearity (measured: 4.18 -> 1.49 us/piece
+            # orig vs suffixed, see OPERATIONS.md). A tokenize pass
+            # needs no replica disjointness, so verbatim replication —
+            # which preserves per-doc cost exactly — is the honest
+            # scale-up fixture for it. Dedup/LM/train rows stay on the
+            # suffixed fixture, where disjointness is the point.
+            dv = load_table(spark, sf_dir, "documents").select("*", rep)
+            dv = dv.withColumn(
+                "doc_id", F.col("doc_id") + F.col("_rep").cast("long") * off
+            )
+            dv.drop("_rep").write.parquet(os.path.join(tmpv, "documents.parquet"))
             gen_sec = round(time.time() - t0, 3)
 
             sf01_ref = {
@@ -577,8 +595,11 @@ def main() -> None:
                 spark.catalog.clearCache()
                 if vname == "bpe_train_merges":
                     llm._TRAINED_MERGES.pop(tmp, None)  # time a true cold train
+                # The map-side BPE apply row runs on the VERBATIM
+                # replica fixture (see its generation comment above).
+                src = tmpv if vname == "tokenizer_fertility_report" else tmp
                 t0 = time.time()
-                _run(vfn(spark, tmp))
+                _run(vfn(spark, src))
                 sec = round(time.time() - t0, 3)
                 ref = sf01_ref.get(vname)
                 soak[vname] = {
@@ -587,9 +608,11 @@ def main() -> None:
                     "scaleup_x10": round(sec / ref, 2) if ref else None,
                 }
             soak["tokenizer_fertility_report"]["note"] = (
-                "apply-only (BPE memo warm; train broken out above — "
-                "the suffixed fixture inflates vocabulary 10x, so cold "
-                "train superlinearity is a fixture artifact)"
+                "apply-only, VERBATIM replica fixture (train broken out "
+                "above on the suffixed fixture; suffixed replicas "
+                "inflate per-word apply cost ~1.4x — bpe_piece is "
+                "superlinear in word length — which is why the r10/r11 "
+                "rows read 12-13x; see OPERATIONS.md bench section)"
             )
             extra["sf1_llm"] = {
                 "sf": 1,
@@ -605,6 +628,7 @@ def main() -> None:
             extra["sf1_llm_error"] = f"{type(e).__name__}: {e}"[:300]
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(tmpv, ignore_errors=True)
 
     # Headline value = the reference-comparable workload (BASELINE.md
     # measures exactly this: consume the full insert+delete changelog

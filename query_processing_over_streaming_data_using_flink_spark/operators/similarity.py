@@ -321,7 +321,12 @@ def _nearest_cells(vectors: DataFrame, cents: DataFrame, nprobe: int) -> DataFra
     total order instead of a row_number window, so the shuffle carries
     one pre-reduced row per (id, partition) rather than sorting the
     |corpus|×|cells| candidate blow-up (NaN sorts greatest in both
-    forms, identical tie-breaks — bit-equal output, cheaper exchange)."""
+    forms, identical tie-breaks — bit-equal output, cheaper exchange).
+    NULL caveat: if csim were NULL for ALL of an id's rows, max_by
+    skips NULL-ordered rows (NULL vec/cell) where the window form
+    still emits a real row — unreachable here because embeddings are
+    non-null by schema and cosine_norm of non-null doubles is never
+    NULL, but don't reuse this rewrite where the score can be NULL."""
     scored = (
         vectors.withColumn("vn", l2_norm(F.col("vec")))
         .crossJoin(F.broadcast(cents.withColumn("cn", l2_norm(F.col("cvec")))))

@@ -753,6 +753,7 @@ register("sample_stratified_lang", sample_stratified_lang, _SAMPLE_SQL)
 
 
 NGRAM_DECONTAM_K = 13  # the GPT-3/PaLM-standard collision window
+_SPAN_TOKENS_Q = 20  # fixture docs are 10-99 tokens; operator default is 50
 
 
 def decontaminate_eval_ngram13(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -893,6 +894,81 @@ FROM tot t LEFT JOIN hits h USING (doc_id)
 
 
 register("eval_burn_report", eval_burn_report, _eval_burn_sql())
+
+
+def decontaminate_eval_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level benchmark decontamination — the longest-contiguous-
+    overlap check the GPT-4/Llama eval-hygiene reports run (e.g. "drop
+    a training doc sharing any 50-token run with an eval item"),
+    completing the decontamination ladder: exact doc overlap →
+    MinHash near-dup → 13-gram collision → exact token SPANS. Reuses
+    `operators/dedup.py:cross_snapshot_substring` with the eval slice
+    (doc_id % 7 == 0 — the same slice the MinHash/13-gram passes gate
+    against) as the "history" side: per TRAIN doc, how many eval items
+    it shares a ≥ K-token exact run with, how many distinct maximal
+    runs, and the LONGEST run (the number the report quotes). K=20
+    like the other substring queries (fixture docs are 10-99 tokens;
+    production default 50). Scale shape unchanged from the certified
+    substring family: shingle hashes computed inside codegen (8-byte
+    keys), one hash equi-join against the benchmark-sized eval side
+    (broadcast at scale), per-(pair, diagonal) run merge."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = (F.col("doc_id") % 7) == 0
+    eval_docs = docs.filter(is_eval).select("doc_id", "text")
+    train = docs.filter(~is_eval).select("doc_id", "text")
+    out = dd.cross_snapshot_substring(eval_docs, train, span_tokens=_SPAN_TOKENS_Q)
+    return out.select(
+        "doc_id",
+        F.col("n_dup_sources").alias("n_eval_sources"),
+        "n_spans",
+        "max_span_len",
+        F.col("is_novel").alias("is_clean"),
+    )
+
+
+def _decontam_substring_sql(k: int = 20) -> str:
+    h = _H64.format(x=f"array_to_string(toks[i.i : i.i + {k} - 1], ' ')")
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, i.i AS pos, {h} AS h
+  FROM t, unnest(range(1, len(toks) - {k} + 2)) AS i(i)
+  WHERE len(toks) >= {k}
+),
+hist AS (SELECT doc_id AS doc_h, pos AS pos_h, h FROM sh WHERE doc_id % 7 = 0),
+new AS (SELECT doc_id AS doc_b, pos AS pos_b, h FROM sh WHERE doc_id % 7 <> 0),
+m AS (
+  SELECT n.doc_b, hi.doc_h, n.pos_b, n.pos_b - hi.pos_h AS diag
+  FROM new n JOIN hist hi ON n.h = hi.h
+),
+runs AS (
+  SELECT *, pos_b - row_number() OVER (PARTITION BY doc_b, doc_h, diag ORDER BY pos_b) AS isl
+  FROM m
+),
+spans AS (
+  SELECT doc_b, doc_h, max(pos_b) - min(pos_b) + {k} AS span_len
+  FROM runs GROUP BY doc_b, doc_h, diag, isl
+),
+per_doc AS (
+  SELECT doc_b, count(DISTINCT doc_h) AS n_eval_sources, count(*) AS n_spans,
+         max(span_len) AS max_span_len
+  FROM spans GROUP BY doc_b
+)
+SELECT d.doc_id,
+       coalesce(p.n_eval_sources, 0) AS n_eval_sources,
+       coalesce(p.n_spans, 0) AS n_spans,
+       coalesce(p.max_span_len, 0) AS max_span_len,
+       p.n_eval_sources IS NULL AS is_clean
+FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+LEFT JOIN per_doc p ON d.doc_id = p.doc_b
+"""
+
+
+register(
+    "decontaminate_eval_substring",
+    decontaminate_eval_substring,
+    _decontam_substring_sql(_SPAN_TOKENS_Q),
+)
 
 
 def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3366,8 +3442,8 @@ register(
 # ---------------------------------------------------------------------------
 # Exact-substring (span-level) dedup
 # ---------------------------------------------------------------------------
-
-_SPAN_TOKENS_Q = 20  # fixture docs are 10-99 tokens; operator default is 50
+# (_SPAN_TOKENS_Q is defined up with NGRAM_DECONTAM_K — the span-level
+# decontamination query registers before this section.)
 
 
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3862,6 +3938,75 @@ def _trained_count_sql(rounds: int = _BPE_TRAIN_ROUNDS) -> str:
 
 
 register("text_token_count_trained", text_token_count_trained, _trained_count_sql())
+
+
+def tokenizer_compression_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE compression audit under the TRAINED tokenizer — the
+    data-card companion to `tokenizer_fertility_report` (which audits
+    per-language under the fixed merge table): for each source, how
+    many characters one trained-BPE token buys. Sources whose
+    chars-per-token is far below the corpus norm are paying extra
+    compute per byte (code, tables, non-target languages) — the number
+    that drives per-source token-budget accounting when the mixture is
+    spent in tokens. One trained-table apply pass (Arrow-batched
+    mapInPandas, merge table rides the closure) with `source` and char
+    counts carried through the batches, then a per-source rollup; the
+    oracle replays the full 16-round training chain AND the counting
+    off the final framed state, so a MATCH certifies the trained
+    tokenizer's per-source accounting end to end."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_chars_txt", F.length("text").cast("long")
+    )
+    merges = _trained_merges(spark, sf_dir)
+    counts = bp.bpe_token_counts(docs, merges, carry=("source", "n_chars_txt"))
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars_txt").alias("total_chars"),
+            F.sum("n_tokens_bpe").alias("total_tokens_bpe"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "total_tokens_bpe",
+            F.expr("round(total_chars / nullif(total_tokens_bpe, 0), 6)").alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _compression_by_source_sql(rounds: int = _BPE_TRAIN_ROUNDS) -> str:
+    ctes = _bpe_train_ctes(rounds, final_state=True)
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+counts AS (
+  SELECT doc_id,
+         CAST(length(s) - length(replace(s, chr(1), '')) AS BIGINT) AS n_tok
+  FROM d{rounds}
+),
+j AS (
+  SELECT d.source, CAST(length(d.text) AS BIGINT) AS n_chars, c.n_tok
+  FROM documents d JOIN counts c USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens_bpe,
+       round(sum(n_chars) / nullif(sum(n_tok), 0), 6) AS chars_per_token
+FROM j GROUP BY source
+"""
+    )
+
+
+register(
+    "tokenizer_compression_by_source",
+    tokenizer_compression_by_source,
+    _compression_by_source_sql(),
+)
 
 
 # ---------------------------------------------------------------------------
@@ -4573,27 +4718,42 @@ register("tokenizer_fertility_report", tokenizer_fertility_report, _FERTILITY_SQ
 def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test split that cannot leak near-duplicates across the
     boundary: the salted-md5 draw is taken on the near-dup CLUSTER id
-    (the registered `dedup_clusters_ngram` components), not the doc id,
-    so every member of a template family lands on the same side — the
-    failure mode `split_train_val_test` (doc-level draw) permits is a
-    paraphrase of a training doc sitting in the eval split and
-    inflating eval scores. Same permille constants as the doc-level
-    split; singletons (cluster_id = own doc_id) behave exactly like the
-    doc-level split, so the two assignments differ only where near-dups
-    exist — which is the point.
+    (connected components over the banded MinHash-LSH pairs — the
+    registered `dedup_minhash_lsh` machinery at the same 0.35 verified
+    threshold), not the doc id, so every member of a template family
+    lands on the same side — the failure mode `split_train_val_test`
+    (doc-level draw) permits is a paraphrase of a training doc sitting
+    in the eval split and inflating eval scores. Same permille
+    constants as the doc-level split; singletons (cluster_id = own
+    doc_id) behave exactly like the doc-level split, so the two
+    assignments differ only where near-dups exist — which is the point.
 
-    Plan: the cluster labeling unchanged (pair graph + pointer-jumped
-    min-label propagation, work scales with candidate pairs), then a
-    zero-shuffle hash on the label. The oracle reuses the clusterer's
-    recursive transitive-closure CTEs verbatim."""
+    Plan: LSH candidate generation (linear — banded equi-join; the
+    pre-r12 `ngram_jaccard_pairs` generator was quadratic within its
+    lang blocks and dominated the full pipeline at the 10× soak), then
+    pointer-jumped min-label propagation (work scales with candidate
+    pairs), then a zero-shuffle hash on the label. The oracle embeds
+    the registered MinHash pair SQL verbatim inside the recursive
+    transitive-closure CTEs."""
     return leakage_safe_split_frame(load_table(spark, sf_dir, "documents"))
 
 
 def leakage_safe_split_frame(docs: DataFrame) -> DataFrame:
     """Frame-level `split_leakage_safe` body — shared with the
     streaming curation face's release step (the split is corpus-global
-    clustering, a release-time batch stage in both faces)."""
-    clusters = dd.dedup_clusters(docs, dd.ngram_jaccard_pairs(docs, threshold=0.35))
+    clustering, a release-time batch stage in both faces).
+
+    Round 12: the candidate pairs come from the banded MinHash-LSH
+    generator (the registered `dedup_minhash_lsh` machinery, same 0.35
+    verified-Jaccard threshold) instead of `ngram_jaccard_pairs` —
+    the all-pairs generator is quadratic WITHIN its lang blocks, and
+    at the 10× soak it was already the single most expensive stage of
+    the whole suite (~195 s of `curation_pipeline_full`'s 242 s; at
+    100 TB it would be the pipeline's scale-killer). The LSH pairs are
+    also corpus-global rather than lang-blocked, which is strictly
+    safer for a leakage split (cross-lang template families land on
+    one side too)."""
+    clusters = dd.dedup_clusters(docs, dd.minhash_lsh_pairs(docs, threshold=0.35))
     draw = tx.sample_hash(F.col("cluster_id"), salt="clsplit", modulus=1000)
     split = (
         F.when(draw < tx.SPLIT_VAL_PERMILLE, F.lit("val"))
@@ -4603,13 +4763,35 @@ def leakage_safe_split_frame(docs: DataFrame) -> DataFrame:
     return clusters.select("doc_id", "cluster_id", "cluster_size", split.alias("split"))
 
 
+# Transitive closure over the MINHASH-LSH pair relation (the split's
+# pair generator since round 12): the registered `dedup_minhash_lsh`
+# SQL verbatim as the pairs CTE, then the same edges/reach/labels/sizes
+# chain as `_CLUSTERS_CTES`.
+def _mh_clusters_ctes() -> str:
+    return f"""pairs_mh AS MATERIALIZED (
+{_minhash_sql()}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs_mh
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs_mh
+),
+reach AS (
+  SELECT doc_id, doc_id AS label FROM documents
+  UNION
+  SELECT e.src AS doc_id, r.label FROM edges e JOIN reach r ON e.dst = r.doc_id
+),
+labels AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id)"""
+
+
 def _leakage_safe_split_sql() -> str:
     from query_processing_over_streaming_data_using_flink_spark.functions.scalar import md5_hash64_sql
 
     h = md5_hash64_sql("'clsplit:' || CAST(cluster_id AS VARCHAR)")
     return f"""
 WITH RECURSIVE
-{_CLUSTERS_CTES}
+{_mh_clusters_ctes()}
 SELECT doc_id, cluster_id, cluster_size,
        CASE WHEN ({h}) % 1000 < {tx.SPLIT_VAL_PERMILLE} THEN 'val'
             WHEN ({h}) % 1000 < {tx.SPLIT_VAL_PERMILLE + tx.SPLIT_TEST_PERMILLE} THEN 'test'

@@ -421,6 +421,107 @@ register("text_gopher_rules", text_gopher_rules, _GOPHER_SQL)
 
 
 # --------------------------------------------------------------------------
+# Unigram-entropy quality gate (round 12)
+# --------------------------------------------------------------------------
+
+# Normalized-entropy floor, in permille of the ln(n) maximum: a doc
+# whose unigram distribution realizes < 80% of the entropy a
+# same-length all-distinct doc would have is template/boilerplate-
+# shaped (few types repeated many times). 800‰ drops the planted
+# repetitive docs while keeping ordinary prose at both fixture scales.
+ENTROPY_MIN_PERMILLE = 800
+
+
+def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram (Shannon) entropy — the model-free
+    redundancy gate between the Gopher rule battery and the LM
+    perplexity filters: low normalized entropy = few token types
+    repeated many times (templates, keyword stuffing, boilerplate),
+    which length- and ratio-based rules can miss. H = ln(n) −
+    (Σ c·ln c)/n over per-doc token counts c.
+
+    Determinism discipline (the `operators/lm.py` pattern): ln(c) is
+    floor-quantized to integer micro-nats BEFORE the per-doc sum, so
+    the aggregate is an associative integer sum and the only float
+    steps are the mirrored final ln(n)/division/round. The gate itself
+    is an exact integer cross-multiplication in permille of ln(n) — no
+    float threshold can flip between engines.
+
+    Scale: one explode + two hash aggregates keyed by doc — map-side
+    combinable, one narrow shuffle, no joins; runs with the rule
+    battery in the pre-model pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("n_hapax"),
+        F.sum(
+            F.col("c")
+            * F.floor(F.log(F.col("c").cast("double")) * lm.MICRO).cast("long")
+        )
+        .cast("long")
+        .alias("s_clnc_micro"),
+    )
+    ln_n = F.log(F.col("n_tokens").cast("double"))
+    ent = ln_n - F.col("s_clnc_micro").cast("double") / (
+        F.col("n_tokens").cast("double") * F.lit(float(lm.MICRO))
+    )
+    # Gate in exact integers: H ≥ 0.8·ln(n) ⟺ n·ln(n)·1e6 − 1000·... —
+    # cross-multiplied with the micro-nat sum so no float compare:
+    # (floor(ln(n)·1e6)·n − s_clnc_micro) · 1000 ≥ 800 · floor(ln(n)·1e6) · n
+    lnn_micro = F.floor(ln_n * lm.MICRO).cast("long")
+    keep = (
+        (lnn_micro * F.col("n_tokens") - F.col("s_clnc_micro"))
+        * F.lit(1000).cast("long")
+        >= F.lit(ENTROPY_MIN_PERMILLE).cast("long") * lnn_micro * F.col("n_tokens")
+    ) | (F.col("n_tokens") <= F.lit(1))
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "n_hapax",
+        "s_clnc_micro",
+        F.round(ent, 6).alias("entropy"),
+        keep.alias("keep"),
+    )
+
+
+_ENTROPY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+),
+cnt AS (
+  SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         CAST(sum(c * CAST(floor(ln(c) * {lm.MICRO}) AS BIGINT)) AS BIGINT)
+           AS s_clnc_micro
+  FROM cnt GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_distinct, n_hapax, s_clnc_micro,
+       round(ln(n_tokens) - s_clnc_micro / (n_tokens * {lm.MICRO}.0), 6)
+         AS entropy,
+       ((CAST(floor(ln(n_tokens) * {lm.MICRO}) AS BIGINT) * n_tokens
+         - s_clnc_micro) * 1000
+        >= {ENTROPY_MIN_PERMILLE}
+           * CAST(floor(ln(n_tokens) * {lm.MICRO}) AS BIGINT) * n_tokens)
+       OR n_tokens <= 1 AS keep
+FROM per_doc
+"""
+
+register("text_unigram_entropy", text_unigram_entropy, _ENTROPY_SQL)
+
+
+# --------------------------------------------------------------------------
 # Hard-negative mining (contrastive training pairs) and active-learning
 # margin sampling — the two selection loops a training pipeline runs on
 # top of the representation / classifier operators.

@@ -47,6 +47,9 @@ _PRIORITY_FIRST = [
     # --- new in round 12 (never driver-checked), uncommented as each
     # lands with its oracle + dual-scale sweep MATCH:
     "dedup_embedding_cosine_planted",
+    "decontaminate_eval_substring",
+    "text_unigram_entropy",
+    "tokenizer_compression_by_source",
     # --- stale-4 cohort (last driver-green round 8, all 39):
     "bpe_train_merges",
     "ann_ivf_filtered",
@@ -96,9 +99,6 @@ _PRIORITY_FIRST = [
     "text_perplexity_filter",
     "classify_naive_bayes_lang",
     "text_gopher_rules",
-    "merge_upsert_customer",
-    "snapshot_diff_customer",
-    "er_fuzzy_part_names",
 ]
 _PUSH_LAST = [
     # Position 51+: the OVERFLOW QUEUE, stalest-first. Head = the rest
@@ -108,6 +108,9 @@ _PUSH_LAST = [
     # non-increasing staleness, so the r10-green (stale-2) and r11-green
     # (stale-1) cohorts follow. Head entries before the r9 comment are
     # stale-3 fillers displaced by round-12 registrations.
+    "merge_upsert_customer",
+    "snapshot_diff_customer",
+    "er_fuzzy_part_names",
     "bloom_membership_audit",
     "ann_sq8",
     "ann_recall_sq8_vs_exact",

@@ -213,7 +213,12 @@ class IncrementalEvalMinhash:
         AND the verification join, so they are persisted (the
         `minhash_lsh_pairs` discipline); call `release_cache()` —
         or the owning pipeline's `release_gate_cache()` — after
-        materializing the result."""
+        materializing the result. A repeat call releases the previous
+        call's frames first (any prior result must be materialized by
+        then), so a long-lived session that polls `flag()`/`gate()`
+        holds at most one call's cached blocks even if the caller
+        forgets the release discipline."""
+        self.release_cache()
         t_sigs = dd.minhash_signatures(train_docs).persist()
         e_sigs = self.live().persist()
         self._cached += [t_sigs, e_sigs]
@@ -378,4 +383,22 @@ def run_streaming_curation(
         pipe.process_batch(batch, epoch_id)
 
     drain_file_source(spark, docs_dir, handle, files_per_trigger, checkpoint_dir)
+    if checkpoint_dir is not None and not bound:
+        # The replay-skip defense never engaged mid-stream (metadata
+        # unreadable on every micro-batch, or the source was empty and
+        # no batch fired). The drained query has written its metadata
+        # by now, so bind once more directly — and raise rather than
+        # silently return an unbound pipeline if even that fails: a
+        # caller who asked for a checkpoint is relying on check_run's
+        # duplicate-epoch skip across restarts.
+        try:
+            with open(_os.path.join(checkpoint_dir, "metadata")) as fh:
+                pipe.check_run(_json.load(fh)["id"])
+        except (FileNotFoundError, KeyError, ValueError) as exc:
+            raise RuntimeError(
+                f"run-id binding never engaged: {checkpoint_dir}/metadata "
+                "was unreadable for every micro-batch and after the drain; "
+                "the pipeline state has no replay-skip protection for this "
+                "run"
+            ) from exc
     return pipe

@@ -197,14 +197,15 @@ def stream_main() -> None:
 
     docs = load_table(spark, sf_dir, "documents")
     n_in = docs.count()
-    epochs: set[int] = set()
     with tempfile.TemporaryDirectory() as tmp:
         src = os.path.join(tmp, "docs_src")
         docs.repartition(4).write.parquet(src)
         pipe = run_streaming_curation(
             spark, src, os.path.join(tmp, "state"), files_per_trigger=1
         )
-        epochs.add(pipe.dedup.agg.epoch)
+        # epoch ids start at 0, so the final committed epoch + 1 is the
+        # micro-batch count.
+        n_batches = pipe.dedup.agg.epoch + 1
         live = sorted(tuple(r) for r in pipe.manifest(docs).collect())
         pipe.release_gate_cache()
     batch = sorted(
@@ -212,7 +213,7 @@ def stream_main() -> None:
     )
     n_docs = sum(r[2] for r in live)
     print(
-        f"streamed {n_in} docs through {max(epochs) + 1} micro-batches -> "
+        f"streamed {n_in} docs through {n_batches} micro-batches -> "
         f"live gate kept {n_docs} docs across {len(live)} (split, shard) "
         f"manifest rows; manifest equals batch curation_pipeline_full: "
         f"{live == batch}"

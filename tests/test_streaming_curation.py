@@ -259,3 +259,96 @@ def test_exact_index_canonical_promotion(spark, tmp_path):
         _docs_df(spark, [(12, "s", "en", other)])
     ).collect()
     assert [(r["doc_id"], r["is_canonical"]) for r in flags] == [(12, True)]
+
+
+def test_flag_repeat_calls_bound_cached_blocks(spark, tmp_path):
+    """A long-lived session polling flag() without the release
+    discipline must hold at most ONE call's persisted frames: each
+    flag() releases the previous call's ledger on entry (round-12
+    ADVICE fix), so the ledger never grows past 2 entries."""
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    train = _docs_df(spark, [(1, "src1", "en", text)])
+    emh = IncrementalEvalMinhash(spark, str(tmp_path / "emh"))
+    emh.process_batch(_docs_df(spark, [(7, "src2", "en", text)]), 1)
+
+    for _ in range(3):
+        got = [(r["doc_id"], r["max_jaccard"]) for r in emh.flag(train).collect()]
+        assert got == [(1, 1.0)]
+        assert len(emh._cached) == 2, "repeat flag() must not grow the ledger"
+    emh.release_cache()
+    assert emh._cached == []
+
+
+def test_run_binding_never_engaging_raises(spark, tmp_path, monkeypatch):
+    """If the checkpoint's metadata file is unreadable on every
+    micro-batch AND after the drain, run_streaming_curation must raise
+    instead of silently returning a pipeline whose replay-skip defense
+    never engaged (round-12 ADVICE fix). Simulated by denying Python
+    reads of this checkpoint's metadata file only — the JVM-side
+    stream still writes and reads its checkpoint normally."""
+    import builtins
+
+    import pytest
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    src = str(tmp_path / "src")
+    docs.repartition(1).write.parquet(src)
+
+    ckpt = str(tmp_path / "ckpt_denied")
+    real_open = builtins.open
+
+    def deny_metadata(path, *a, **k):
+        p = str(path)
+        if p.startswith(ckpt) and p.endswith("metadata"):
+            raise FileNotFoundError(p)
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr(builtins, "open", deny_metadata)
+    with pytest.raises(RuntimeError, match="run-id binding never engaged"):
+        run_streaming_curation(
+            spark, src, str(tmp_path / "state"),
+            files_per_trigger=1, checkpoint_dir=ckpt,
+        )
+
+
+def test_run_binding_engages_post_drain_when_missed_mid_stream(
+    spark, tmp_path, monkeypatch
+):
+    """If the metadata read misses during the drain but succeeds after
+    (e.g. the file appears late), the post-drain bind must attach the
+    checkpoint's real run id to all three state tables (in-memory: the
+    drained run commits nothing further, so the id reaches the pointer
+    on the NEXT commit — what matters is that subsequent batches in
+    this session are stamped)."""
+    import builtins
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    src = str(tmp_path / "src")
+    docs.repartition(1).write.parquet(src)
+
+    ckpt = str(tmp_path / "ckpt_late")
+    state = str(tmp_path / "state")
+    real_open = builtins.open
+    # Deny exactly the FIRST metadata read attempt (the mid-stream
+    # bind), so the post-drain (or later-batch) bind is what engages.
+    calls = {"n": 0}
+
+    def deny_first_only(path, *a, **k):
+        p = str(path)
+        if p.startswith(ckpt) and p.endswith("metadata"):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise FileNotFoundError(p)
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr(builtins, "open", deny_first_only)
+    pipe = run_streaming_curation(
+        spark, src, state, files_per_trigger=1, checkpoint_dir=ckpt
+    )
+    assert calls["n"] >= 2, "post-drain (or later-batch) bind never attempted"
+    import json
+
+    with real_open(os.path.join(ckpt, "metadata")) as fh:
+        real_id = json.load(fh)["id"]
+    for table in (pipe.kn.agg.state, pipe.dedup.agg.state, pipe.eval_mh.agg.state):
+        assert table._run_id == real_id, "post-drain bind did not engage"
