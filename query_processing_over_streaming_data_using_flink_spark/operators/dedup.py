@@ -441,7 +441,12 @@ def dedup_clusters(
     # iteration (the final round's labels included) can be released
     # here instead of leaking for the lifetime of the returned lazy
     # plan — the accumulation pattern the bench caught in round 6.
-    out = out.localCheckpoint(eager=True)
+    # pin_result (not a bare localCheckpoint) so plan-dump tooling can
+    # see the label-propagation tail instead of one Scan ExistingRDD;
+    # the loop-internal checkpoints above stay unconditional.
+    from query_processing_over_streaming_data_using_flink_spark.pin import pin_result
+
+    out = pin_result(out)
     labels.unpersist()
     edges.unpersist()
     return out

@@ -105,6 +105,15 @@ SELECTED = [
      "one corpus scan to per-source token masses; the closed-form "
      "water-fill is a |sources|-row window plus two 1-row broadcasts "
      "— no sequential driver loop at any source count"),
+    ("split_leakage_safe", "leakage-safe cluster split",
+     "banded MinHash candidate join (NO within-block all-pairs — the "
+     "r12 swap; the quadratic ngram generator is gone), pointer-jumped "
+     "label propagation joins, zero-shuffle split hash on the label"),
+    ("curation_pipeline_full", "composed full curation lineage",
+     "ONE KN train+score subtree feeding both the perplexity gate and "
+     "the mixture rates (r12 single-chain), banded decontamination and "
+     "LSH split stages, broadcast rate table, one manifest exchange "
+     "partitioned by the writer's own (split, shard) key"),
 ]
 
 
