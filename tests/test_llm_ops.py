@@ -1628,3 +1628,86 @@ def test_unimax_epochs_waterfill_properties(spark):
     assert us[-1] - us[0] <= 1
     # epochs cap in permille
     assert all(r["epochs_permille"] <= 1000 * UNIMAX_MAX_EPOCHS for r in rows)
+
+
+def test_unigram_entropy_drops_repetitive_docs(spark, tmp_path):
+    """A planted one-token-repeated doc must gate out (normalized
+    entropy 0 < the 80% floor); an all-distinct doc of the same length
+    realizes the ln(n) maximum and keeps; a half-repeated doc sits in
+    between, and the reported entropy matches the hand formula."""
+    import math
+
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_quality import text_unigram_entropy
+
+    rows = [
+        (1, " ".join(["spam"] * 40), "en", "src", 0),           # H = 0
+        (2, " ".join(f"w{j}" for j in range(40)), "en", "src", 0),  # H = ln 40
+        # 20 distinct + one token 20x: H = ln40 - (20*ln20)/40
+        (3, " ".join(f"u{j}" for j in range(20)) + " " + " ".join(["dup"] * 20),
+         "en", "src", 0),
+    ]
+    d = str(tmp_path / "ent_sf")
+    os.makedirs(d)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r for r in text_unigram_entropy(spark, d).collect()}
+    assert out[1]["entropy"] == 0.0 and not out[1]["keep"]
+    assert abs(out[2]["entropy"] - math.log(40)) < 1e-5 and out[2]["keep"]
+    want3 = math.log(40) - (20 * math.log(20)) / 40
+    assert abs(out[3]["entropy"] - want3) < 1e-5
+    # normalized: want3/ln(40) = 0.594 < 0.8 -> dropped
+    assert not out[3]["keep"]
+    assert out[3]["n_distinct"] == 21 and out[3]["n_hapax"] == 20
+
+
+def test_decontaminate_eval_substring_flags_shared_runs(spark, tmp_path):
+    """A train doc sharing a planted 25-token run with an eval-slice
+    doc (doc_id % 7 == 0) is flagged with max_span_len == 25; an
+    unrelated train doc comes back clean; the eval doc itself is not a
+    row (the report is per TRAIN doc)."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        decontaminate_eval_substring,
+    )
+
+    run = " ".join(f"leak{j}" for j in range(25))
+    pre = " ".join(f"a{j}" for j in range(10))
+    post = " ".join(f"b{j}" for j in range(10))
+    rows = [
+        (7, f"{pre} {run}", "en", "src", 0),            # eval (7 % 7 == 0)
+        (1, f"{run} {post}", "en", "src", 0),           # train, contaminated
+        (2, " ".join(f"c{j}" for j in range(40)), "en", "src", 0),  # train, clean
+    ]
+    d = str(tmp_path / "des_sf")
+    os.makedirs(d)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r for r in decontaminate_eval_substring(spark, d).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_eval_sources"] == 1 and out[1]["max_span_len"] == 25
+    assert not out[1]["is_clean"]
+    assert out[2]["is_clean"] and out[2]["max_span_len"] == 0
+
+
+def test_tokenizer_compression_consistent_with_trained_counts(spark):
+    """The per-source rollup must account for exactly the corpus the
+    trained per-doc counter sees: Σ total_tokens_bpe over sources ==
+    Σ n_tokens_bpe over docs, and chars_per_token replays from the
+    masses."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        text_token_count_trained,
+        tokenizer_compression_by_source,
+    )
+
+    per_src = tokenizer_compression_by_source(spark, SF_SMOKE).collect()
+    per_doc = text_token_count_trained(spark, SF_SMOKE).agg(
+        F.sum("n_tokens_bpe").alias("s")
+    ).collect()[0]["s"]
+    assert sum(r["total_tokens_bpe"] for r in per_src) == per_doc
+    docs = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r["n_docs"] for r in per_src) == docs.count()
+    for r in per_src:
+        assert r["chars_per_token"] == round(
+            r["total_chars"] / r["total_tokens_bpe"], 6
+        )
