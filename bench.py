@@ -354,14 +354,17 @@ def main() -> None:
             )
 
             nfiles = len([f for f in os.listdir(staged) if f.endswith(".parquet")])
-            # Two runs, report the min: the staging step just wrote
+            # Three runs, report the min: the staging step just wrote
             # ~1.5 GB, and on slow disks its dirty-page writeback can
             # stall the first timed run by 2-4x (measured). sync() first
-            # so the flush isn't billed to the IVM; the min of two
-            # fresh-state runs is the steady-state number, both runs
-            # recorded.
+            # so the flush isn't billed to the IVM; the min of the
+            # fresh-state runs is the steady-state number, all runs
+            # recorded. (Round 12: min-of-2 measured [35.9, 32.8] on a
+            # day whose true floor was 20.4 — a standalone min-of-3 hit
+            # it on run 3; the third run costs ~30 s and removes that
+            # failure mode.)
             ivm_runs = []
-            for attempt in range(2):
+            for attempt in range(3):
                 state_dir = os.path.join(tmp, f"state{attempt}")
                 try:
                     os.sync()
