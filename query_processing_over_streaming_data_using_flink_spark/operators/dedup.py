@@ -766,12 +766,23 @@ def cross_snapshot_substring(
     docs' shingles, never a history rescan. Returns one flat row per
     batch doc: (doc_id, n_dup_sources, n_spans, max_span_len,
     is_novel)."""
-    from pyspark.sql.window import Window
-
     k = span_tokens
     hist = _span_shingles(history, k).select(
         F.col("doc_id").alias("doc_h"), F.col("pos").alias("pos_h"), "h"
     )
+    return cross_snapshot_substring_from_shingles(hist, batch, k)
+
+
+def cross_snapshot_substring_from_shingles(
+    hist: DataFrame, batch: DataFrame, span_tokens: int = SPAN_TOKENS
+) -> DataFrame:
+    """`cross_snapshot_substring` with the HISTORY side already in
+    shingle-table form (doc_h, pos_h, h) — the maintained-table shape
+    its docstring promises for production, and what the streaming
+    decontamination face feeds from its live signed-weight state."""
+    from pyspark.sql.window import Window
+
+    k = span_tokens
     new = _span_shingles(batch, k).select(
         F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "h"
     )
