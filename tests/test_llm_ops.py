@@ -1711,3 +1711,53 @@ def test_tokenizer_compression_consistent_with_trained_counts(spark):
         assert r["chars_per_token"] == round(
             r["total_chars"] / r["total_tokens_bpe"], 6
         )
+
+
+def test_planted_cosine_pairs_all_found(spark):
+    """Every planted near-duplicate must surface as its original's
+    pair: the positive per-dimension scaling preserves the LSH sign
+    signature (same bucket) and keeps cosine >= ~0.996, so all
+    PLANT_N pairs appear with sim above the production 0.95 threshold
+    and ids (i, i + PLANT_OFFSET)."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        PLANT_N,
+        PLANT_OFFSET,
+        dedup_embedding_cosine_planted,
+    )
+
+    rows = dedup_embedding_cosine_planted(spark, SF_SMOKE).collect()
+    planted = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in rows
+        if r["id_b"] >= PLANT_OFFSET and r["id_a"] == r["id_b"] - PLANT_OFFSET
+    }
+    assert set(planted) == {(i, i + PLANT_OFFSET) for i in range(PLANT_N)}
+    assert all(0.95 <= s <= 1.0 for s in planted.values())
+
+
+def test_leakage_split_clusters_cross_lang_families(spark, tmp_path):
+    """The r12 LSH pair generator is corpus-global: a template family
+    whose copies carry DIFFERENT lang tags still lands on ONE side of
+    the split — the lang-blocked all-pairs generator could never see
+    that pair, which was a real leakage hole (same template, two
+    language labels)."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        split_leakage_safe,
+    )
+
+    text = " ".join(f"tmpl{j}" for j in range(30))
+    rows = [
+        (1, text, "en", "src", 0),
+        (2, text, "de", "src", 0),  # same template, different lang tag
+        (3, " ".join(f"other{j}" for j in range(30)), "en", "src", 0),
+    ]
+    d = str(tmp_path / "xlang_sf")
+    os.makedirs(d)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r for r in split_leakage_safe(spark, d).collect()}
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == 1
+    assert out[1]["cluster_size"] == 2
+    assert out[1]["split"] == out[2]["split"], "cross-lang family straddles"
+    assert out[3]["cluster_size"] == 1
