@@ -62,6 +62,15 @@ QUERIES = [
     "tokenizer_fertility_report",
     "mixture_ppl_tilted",
     "split_leakage_safe",
+    # round-12 additions: the entropy gate folds integer micro-nat
+    # sums; the span decontamination and planted-cosine pair sets are
+    # equi-join + run-merge shapes whose outputs must not move a row
+    # under re-partitioning; the compression rollup inherits the
+    # trained-BPE determinism
+    "text_unigram_entropy",
+    "decontaminate_eval_substring",
+    "dedup_embedding_cosine_planted",
+    "tokenizer_compression_by_source",
 ]
 
 
