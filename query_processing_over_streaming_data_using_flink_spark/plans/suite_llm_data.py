@@ -4785,6 +4785,21 @@ labels AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
 sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id)"""
 
 
+def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering over the banded MinHash-LSH pair graph —
+    the component structure `split_leakage_safe` draws on since round
+    12, certified DIRECTLY (not only through the split's hash of it):
+    connected components (pointer-jumped min-label propagation) over
+    `dedup_minhash_lsh`'s verified pairs. The linear-candidate sibling
+    of `dedup_clusters_ngram` (whose all-pairs generator is the exact
+    baseline, quadratic within lang blocks) — at 100 TB this is the
+    clustering production dedup actually runs. Oracle = the registered
+    MinHash pair SQL verbatim inside a recursive transitive closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.35)
+    return dd.dedup_clusters(docs, pairs)
+
+
 def _leakage_safe_split_sql() -> str:
     from query_processing_over_streaming_data_using_flink_spark.functions.scalar import md5_hash64_sql
 
@@ -4801,3 +4816,11 @@ FROM labels JOIN sizes USING (cluster_id)
 
 
 register("split_leakage_safe", split_leakage_safe, _leakage_safe_split_sql())
+
+_MH_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+{_mh_clusters_ctes()}
+SELECT doc_id, cluster_id, cluster_size FROM labels JOIN sizes USING (cluster_id)
+"""
+
+register("dedup_clusters_minhash", dedup_clusters_minhash, _MH_CLUSTERS_SQL)

@@ -50,6 +50,7 @@ _PRIORITY_FIRST = [
     "decontaminate_eval_substring",
     "text_unigram_entropy",
     "tokenizer_compression_by_source",
+    "dedup_clusters_minhash",
     # --- stale-4 cohort (last driver-green round 8, all 39):
     "bpe_train_merges",
     "ann_ivf_filtered",
@@ -98,7 +99,6 @@ _PRIORITY_FIRST = [
     "text_token_count_trained",
     "text_perplexity_filter",
     "classify_naive_bayes_lang",
-    "text_gopher_rules",
 ]
 _PUSH_LAST = [
     # Position 51+: the OVERFLOW QUEUE, stalest-first. Head = the rest
@@ -108,6 +108,7 @@ _PUSH_LAST = [
     # non-increasing staleness, so the r10-green (stale-2) and r11-green
     # (stale-1) cohorts follow. Head entries before the r9 comment are
     # stale-3 fillers displaced by round-12 registrations.
+    "text_gopher_rules",
     "merge_upsert_customer",
     "snapshot_diff_customer",
     "er_fuzzy_part_names",

@@ -123,3 +123,24 @@ def test_streamed_span_gate_through_drain_harness(spark, tmp_path):
     got = _rows(pipe.flag(docs.filter(F.col("doc_id") % 7 != 0)))
     want = _rows(decontaminate_eval_substring(spark, SF_SMOKE))
     assert got == want
+
+
+def test_streamed_span_gate_restart_from_state(spark, tmp_path):
+    """A new instance attached to the same state dirs reproduces the
+    gate exactly (crash/restart recovery), and a redelivered epoch is
+    a no-op after the restart (exactly-once across processes)."""
+    run = " ".join(f"leak{j}" for j in range(25))
+    eval_doc = _docs_df(spark, [(7, "src2", "en", f"intro words {run}")])
+    train = _docs_df(spark, [(1, "src1", "en", f"{run} trailing words here")])
+
+    state = str(tmp_path / "state")
+    pipe = IncrementalSubstringDecontam(spark, state)
+    pipe.process_batch(eval_doc, 1)
+    want = _rows(pipe.flag(train))
+    assert want == [(1, 1, 1, 25, False)]
+
+    pipe2 = IncrementalSubstringDecontam(spark, state)  # restart
+    assert _rows(pipe2.flag(train)) == want
+    pipe2.process_batch(eval_doc, 1)  # redelivery after restart: no-op
+    assert _rows(pipe2.flag(train)) == want
+    assert pipe2.live_shingles().count() == pipe.live_shingles().count()
