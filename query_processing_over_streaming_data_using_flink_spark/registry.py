@@ -32,82 +32,19 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # fully verified by scripts/verify_contract.py every round). Names not
 # listed keep registration order after the priority block.
 _PRIORITY_FIRST = [
-    # Round-12 prefix (positions 1-50). Policy: staleness counted in
-    # LANDED CORRECTNESS files (on disk: r1-r6, r8-r11), dynamic bound
-    # ceil(189/50)+1 = 5; see
+    # Round-13 prefix (positions 1-50). Policy: staleness counted in
+    # LANDED CORRECTNESS files (on disk: r1-r6, r8-r12), dynamic bound
+    # ceil(194/50)+1 = 5; see
     # tests/test_entry_contract.py::test_registry_rotation_covers_stalest_queries.
-    # With CORRECTNESS_r11 landed the histogram is {stale-4: 39,
+    # With CORRECTNESS_r12 landed the histogram is {stale-4: 44,
     # stale-3: 50, stale-2: 50, stale-1: 50} and nothing is forced
-    # (bound 5), so the fill rule alone decides: the whole 39-query
-    # stale-4 cohort (last green r8 -- round 11's overflow queue) plus
-    # the 11 stalest stale-3 entries (last green r9), queue-order-first.
-    # New round-12 queries are inserted at the TOP as they land (never-
+    # (bound 5), so the fill rule alone decides: the whole 44-query
+    # stale-4 cohort (last green r9 -- round 12's overflow queue) plus
+    # the 6 stalest stale-3 entries (last green r10), queue-order-first.
+    # New round-13 queries are inserted at the TOP as they land (never-
     # checked = infinitely stale = forced), each displacing the last
     # stale-3 filler into the front of the overflow queue in _PUSH_LAST.
-    # --- new in round 12 (never driver-checked), uncommented as each
-    # lands with its oracle + dual-scale sweep MATCH:
-    "dedup_embedding_cosine_planted",
-    "decontaminate_eval_substring",
-    "text_unigram_entropy",
-    "tokenizer_compression_by_source",
-    "dedup_clusters_minhash",
-    # --- stale-4 cohort (last driver-green round 8, all 39):
-    "bpe_train_merges",
-    "ann_ivf_filtered",
-    "image_cross_format_near_dup",
-    "q3_sql_stream",
-    "events_tumbling_hourly",
-    "events_sliding_30m_15m",
-    "events_session_window",
-    "attr_interval_join_pairs",
-    "attr_last_touch",
-    "enrich_segment_activity",
-    "join_salted_user_nation",
-    "rollup_hourly_daily",
-    "events_retention_cohorts",
-    "text_token_count",
-    "dedup_keep_best",
-    "sample_weighted_sources",
-    "chunk_documents_overlap",
-    "ann_recall_ivf_vs_exact",
-    "agg_events_by_type",
-    "agg_events_daily",
-    "sessionize_events",
-    "agg_grouping_sets_events",
-    "events_json_extract",
-    "events_to_json",
-    "pivot_event_counts",
-    "join_asof_purchase",
-    "resample_gap_fill",
-    "funnel_click_to_purchase",
-    "cdc_latest_per_key",
-    "dq_referential_integrity",
-    "dq_profile_orders",
-    "clean_winsorize_values",
-    "unpivot_lineitem_amounts",
-    "agg_filtered_counts",
-    "basket_part_pairs",
-    "orders_backlog_curve",
-    "approx_distinct_users",
-    "hll_union_daily_users",
-    "approx_quantiles_event_value",
-    # --- stale-3 fill (last driver-green round 9, 11 names -- the head
-    # of round 11's r9-green queue, taken in queue order):
-    "text_perplexity_filter_kn",
-    "text_perplexity_buckets_kn",
-    "sample_cluster_balanced",
-    "text_token_count_trained",
-    "text_perplexity_filter",
-    "classify_naive_bayes_lang",
-]
-_PUSH_LAST = [
-    # Position 51+: the OVERFLOW QUEUE, stalest-first. Head = the rest
-    # of the stale-3 (r9-green) cohort, contiguous and first in line
-    # for the round-13 prefix; all remain verified by the local
-    # dual-scale sweep every round meanwhile. The queue rule requires
-    # non-increasing staleness, so the r10-green (stale-2) and r11-green
-    # (stale-1) cohorts follow. Head entries before the r9 comment are
-    # stale-3 fillers displaced by round-12 registrations.
+    # --- stale-4 cohort (last driver-green round 9, all 44):
     "text_gopher_rules",
     "merge_upsert_customer",
     "snapshot_diff_customer",
@@ -152,13 +89,22 @@ _PUSH_LAST = [
     "multimodal_real_roundtrip",
     "events_moving_7d_avg",
     "mixture_token_budget",
-    # Driver-green in round 10 (staleness 2):
+    # --- stale-3 fill (last driver-green round 10, 6 names -- the
+    # head of round 12's r10-green queue, taken in queue order):
     "dsir_importance_weights",
     "sample_dsir_resample",
     "dedup_keep_best_quality",
     "decontaminate_eval_minhash",
     "export_shard_manifest",
     "tokenizer_fertility_report",
+]
+_PUSH_LAST = [
+    # Position 51+: the OVERFLOW QUEUE, stalest-first. Head = the rest
+    # of the stale-3 (r10-green) cohort, contiguous and first in line
+    # for the round-14 prefix; all remain verified by the local
+    # dual-scale sweep every round meanwhile. The queue rule requires
+    # non-increasing staleness, so the r11-green (stale-2) and r12-green
+    # (stale-1) cohorts follow.
     "mixture_ppl_tilted",
     "split_leakage_safe",
     "embedding_covariance",
@@ -203,8 +149,7 @@ _PUSH_LAST = [
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q8_national_market_share",
-    # Driver-green in round 11 (the full r11 prefix came back 50/50 --
-    # freshest cohort, staleness 1, so it sits at the very tail):
+    # Driver-green in round 11 (staleness 2):
     "curation_pipeline_full",
     "decontaminate_eval_ngram13",
     "doc_length_histogram",
@@ -255,6 +200,58 @@ _PUSH_LAST = [
     "ann_recall_ivfpq_rerank_vs_exact",
     "ann_recall_ivf_nprobe_curve",
     "agg_corr_regression",
+    # Driver-green in round 12 (the full r12 prefix came back 50/50 --
+    # freshest cohort, staleness 1, so it sits at the very tail):
+    "dedup_embedding_cosine_planted",
+    "decontaminate_eval_substring",
+    "text_unigram_entropy",
+    "tokenizer_compression_by_source",
+    "dedup_clusters_minhash",
+    "bpe_train_merges",
+    "ann_ivf_filtered",
+    "image_cross_format_near_dup",
+    "q3_sql_stream",
+    "events_tumbling_hourly",
+    "events_sliding_30m_15m",
+    "events_session_window",
+    "attr_interval_join_pairs",
+    "attr_last_touch",
+    "enrich_segment_activity",
+    "join_salted_user_nation",
+    "rollup_hourly_daily",
+    "events_retention_cohorts",
+    "text_token_count",
+    "dedup_keep_best",
+    "sample_weighted_sources",
+    "chunk_documents_overlap",
+    "ann_recall_ivf_vs_exact",
+    "agg_events_by_type",
+    "agg_events_daily",
+    "sessionize_events",
+    "agg_grouping_sets_events",
+    "events_json_extract",
+    "events_to_json",
+    "pivot_event_counts",
+    "join_asof_purchase",
+    "resample_gap_fill",
+    "funnel_click_to_purchase",
+    "cdc_latest_per_key",
+    "dq_referential_integrity",
+    "dq_profile_orders",
+    "clean_winsorize_values",
+    "unpivot_lineitem_amounts",
+    "agg_filtered_counts",
+    "basket_part_pairs",
+    "orders_backlog_curve",
+    "approx_distinct_users",
+    "hll_union_daily_users",
+    "approx_quantiles_event_value",
+    "text_perplexity_filter_kn",
+    "text_perplexity_buckets_kn",
+    "sample_cluster_balanced",
+    "text_token_count_trained",
+    "text_perplexity_filter",
+    "classify_naive_bayes_lang",
 ]
 
 
