@@ -262,6 +262,30 @@ WHERE len(list_intersect(a.sh, b.sh))
 """
 
 
+# Transitive closure over the MINHASH-LSH pair relation — the cluster
+# CTE chain every LSH-backed production dedup oracle shares (the r12
+# leakage split, `dedup_clusters_minhash`, and since r13 the two
+# quality-aware canonical selections): the registered `dedup_minhash_lsh`
+# SQL verbatim as the pairs CTE, then the same edges/reach/labels/sizes
+# chain as `_CLUSTERS_CTES`.
+def _mh_clusters_ctes() -> str:
+    return f"""pairs_mh AS MATERIALIZED (
+{_minhash_sql()}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs_mh
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs_mh
+),
+reach AS (
+  SELECT doc_id, doc_id AS label FROM documents
+  UNION
+  SELECT e.src AS doc_id, r.label FROM edges e JOIN reach r ON e.dst = r.doc_id
+),
+labels AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id)"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
@@ -467,10 +491,15 @@ FROM documents
 
 
 def dedup_clusters_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering: connected components (min-label
-    propagation) over the n-gram-Jaccard pair graph — an iterative
-    DataFrame algorithm, oracle-checked against a DuckDB recursive-CTE
-    transitive closure."""
+    """Near-dup clustering over the EXACT all-pairs n-gram-Jaccard
+    graph — the explicitly-named exact baseline (quadratic within lang
+    blocks, like `dedup_ngram_jaccard` itself): connected components
+    (min-label propagation) oracle-checked against a DuckDB
+    recursive-CTE transitive closure. Production clustering — and
+    every production-semantic consumer (`dedup_keep_best`,
+    `dedup_keep_best_quality`, `split_leakage_safe`) — uses the
+    linear banded-LSH sibling `dedup_clusters_minhash`; keep this form
+    for recall ground-truth at small scale only."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.ngram_jaccard_pairs(docs, threshold=0.35)
     return dd.dedup_clusters(docs, pairs)
@@ -1661,15 +1690,28 @@ FROM documents
 
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical selection over near-dup clusters: the
-    n-gram-Jaccard connected components (`dedup_clusters_ngram`) with
-    the LONGEST member kept per cluster (tie → min doc_id) —
-    `operators/dedup.py:keep_best_dedup`."""
+    banded MinHash-LSH connected components (the registered
+    `dedup_clusters_minhash` structure) with the LONGEST member kept
+    per cluster (tie → min doc_id) — `operators/dedup.py:
+    keep_best_dedup`.
+
+    Round 13: candidate pairs come from `minhash_lsh_pairs` (linear —
+    banded equi-join, verified Jaccard ≥ 0.35 on candidates only)
+    instead of the all-pairs `ngram_jaccard_pairs` generator, which is
+    quadratic within its lang blocks and at 100 TB would dominate the
+    job (the r12 soak measured it at ~80% of the full pipeline's
+    wall-clock at only 10×). Same swap pattern as r12's
+    `split_leakage_safe`; `dedup_ngram_jaccard`/`dedup_clusters_ngram`
+    stay registered as the explicitly-named exact baselines."""
     docs = load_table(spark, sf_dir, "documents")
-    clusters = dd.dedup_clusters(docs, dd.ngram_jaccard_pairs(docs, threshold=0.35))
+    clusters = dd.dedup_clusters(docs, dd.minhash_lsh_pairs(docs, threshold=0.35))
     return dd.keep_best_dedup(docs, clusters)
 
 
 _KEEP_BEST_SQL = f"""
+WITH RECURSIVE
+{_mh_clusters_ctes()},
+lab AS (SELECT doc_id, cluster_id, cluster_size FROM labels JOIN sizes USING (cluster_id))
 SELECT doc_id, cluster_id, cluster_size,
        first_value(doc_id) OVER (
            PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
@@ -1677,7 +1719,7 @@ SELECT doc_id, cluster_id, cluster_size,
        doc_id = first_value(doc_id) OVER (
            PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keep
-FROM ({_CLUSTERS_SQL}) labels JOIN documents USING (doc_id)
+FROM lab JOIN documents USING (doc_id)
 """
 
 
@@ -3259,23 +3301,26 @@ register("corpus_quality_report", corpus_quality_report, _CORPUS_REPORT_SQL)
 
 
 def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-aware near-dup canonical selection: each n-gram-Jaccard
-    cluster (the registered `dedup_clusters_ngram` components) keeps
+    """Quality-aware near-dup canonical selection: each MinHash-LSH
+    cluster (the registered `dedup_clusters_minhash` components) keeps
     its HIGHEST-QUALITY member instead of the first-seen doc_id —
     what production dedup actually does (you keep the cleanest copy of
     a template, not whichever crawled first). Quality is the integer
     micro-quantized composite score (`tx.quality_score`), tie-broken by
     doc_id so the choice is total.
 
-    Plan: the cluster labeling unchanged (pair graph + min-label
-    propagation, work scales with candidate pairs), then one window
-    partitioned by cluster_id — a single extra shuffle on the cluster
-    key. The oracle reuses the clusterer's recursive transitive-closure
-    CTEs verbatim and ranks inside SQL."""
+    Plan: cluster labeling over the LINEAR banded-LSH candidate pairs
+    (since r13 — the all-pairs `ngram_jaccard_pairs` generator it used
+    before is quadratic within lang blocks and would dominate at
+    100 TB; `dedup_clusters_ngram` remains registered as the exact
+    baseline), then one window partitioned by cluster_id — a single
+    extra shuffle on the cluster key. The oracle reuses the MinHash
+    clusterer's recursive transitive-closure CTEs verbatim and ranks
+    inside SQL."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    clusters = dd.dedup_clusters(docs, dd.ngram_jaccard_pairs(docs, threshold=0.35))
+    clusters = dd.dedup_clusters(docs, dd.minhash_lsh_pairs(docs, threshold=0.35))
     scored = docs.select(
         "doc_id",
         F.floor(tx.quality_score(F.col("text")) * 1_000_000).cast("long").alias("q_micro"),
@@ -3290,7 +3335,7 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KEEP_BEST_SQL = f"""
 WITH RECURSIVE
-{_CLUSTERS_CTES},
+{_mh_clusters_ctes()},
 scored_q AS (
   SELECT doc_id, CAST(floor(({_QUALITY_EXPR}) * 1000000) AS BIGINT) AS q_micro
   FROM (SELECT *, {_TOKENS} AS toks FROM documents)
@@ -4761,28 +4806,6 @@ def leakage_safe_split_frame(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit("train"))
     )
     return clusters.select("doc_id", "cluster_id", "cluster_size", split.alias("split"))
-
-
-# Transitive closure over the MINHASH-LSH pair relation (the split's
-# pair generator since round 12): the registered `dedup_minhash_lsh`
-# SQL verbatim as the pairs CTE, then the same edges/reach/labels/sizes
-# chain as `_CLUSTERS_CTES`.
-def _mh_clusters_ctes() -> str:
-    return f"""pairs_mh AS MATERIALIZED (
-{_minhash_sql()}
-),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs_mh
-  UNION
-  SELECT doc_b AS src, doc_a AS dst FROM pairs_mh
-),
-reach AS (
-  SELECT doc_id, doc_id AS label FROM documents
-  UNION
-  SELECT e.src AS doc_id, r.label FROM edges e JOIN reach r ON e.dst = r.doc_id
-),
-labels AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
-sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id)"""
 
 
 def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
