@@ -295,6 +295,23 @@ def main() -> None:
         _timed_extra(r11, vname, lambda vfn=vfn: _run(vfn(spark, sf_dir)))
     extra["pipeline_extras"] = r11
 
+    # Round-12/13 additions: span-level eval decontamination (the
+    # expensive one — train×eval substring shingles), the LSH-backed
+    # near-dup clustering, unigram entropy, per-source tokenizer
+    # compression, the planted cosine-pair certification, and the
+    # quality-aware canonical selection (LSH candidate pairs since r13).
+    r12: dict[str, float] = {}
+    for vname, vfn in (
+        ("decontaminate_eval_substring", llm.decontaminate_eval_substring),
+        ("dedup_clusters_minhash", llm.dedup_clusters_minhash),
+        ("text_unigram_entropy", qual.text_unigram_entropy),
+        ("tokenizer_compression_by_source", llm.tokenizer_compression_by_source),
+        ("dedup_embedding_cosine_planted", llm.dedup_embedding_cosine_planted),
+        ("dedup_keep_best_quality", llm.dedup_keep_best_quality),
+    ):
+        _timed_extra(r12, vname, lambda vfn=vfn: _run(vfn(spark, sf_dir)))
+    extra["curation_extras"] = r12
+
     # SF-1 parity datapoint: BASELINE.md measures the reference at SF-1
     # (15.3M events, ~71s best). No sf1 testdata directory exists, so
     # replicate the sf0.1 changelog tables 10× with disjoint key ranges
@@ -565,6 +582,10 @@ def main() -> None:
                 ),
                 "dsir_importance_weights": r10.get("dsir_importance_weights"),
                 "sample_dsir_resample": r10.get("sample_dsir_resample"),
+                "decontaminate_eval_substring": r12.get(
+                    "decontaminate_eval_substring"
+                ),
+                "dedup_keep_best_quality": r12.get("dedup_keep_best_quality"),
                 "curation_pipeline_full": r11.get("curation_pipeline_full"),
             }
             soak: dict[str, dict] = {}
@@ -589,6 +610,15 @@ def main() -> None:
                 ("tokenizer_fertility_report", llm.tokenizer_fertility_report),
                 ("dsir_importance_weights", qual.dsir_importance_weights),
                 ("sample_dsir_resample", qual.sample_dsir_resample),
+                # Round-13 soak additions: the only substring-machinery
+                # consumer with an eval-side join (train×eval shingle
+                # equi-join — replicas are shingle-disjoint so the
+                # cross-side candidate volume stays per-replica), and
+                # the re-pointed quality-aware canonical selection
+                # (banded-LSH candidate pairs — the row that certifies
+                # the r13 swap killed the quadratic generator).
+                ("decontaminate_eval_substring", llm.decontaminate_eval_substring),
+                ("dedup_keep_best_quality", llm.dedup_keep_best_quality),
                 # The flagship composed operator (round-12 verdict ask):
                 # the one real users run end-to-end, soaked at 10x like
                 # its component stages. Timed LAST so its persisted KN
