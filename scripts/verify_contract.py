@@ -40,6 +40,63 @@ def norm(v):
     return v
 
 
+def _shared_oracle_rewrites(
+    oracles: dict[str, str], selected: list[str]
+) -> tuple[dict[str, str], list[tuple[str, str]]]:
+    """Sweep-local speedup (round-12 verdict ask #7): the MinHash pair
+    relation and the transitive closure over it appear VERBATIM inside
+    several oracles (the sf0.1 sweep was ~42 min, dominated by DuckDB
+    recomputing those recursive-CTE blocks once per consumer query).
+    Factor each shared block into a TEMP TABLE computed once per sweep
+    and rewrite the consumers to read it. Purely textual on the exact
+    helper output — if a plan module changes its SQL the substitution
+    simply stops applying and the original oracle runs unmodified, so
+    MATCH semantics cannot drift. The round driver itself still runs
+    the self-contained oracle_sql() text; this path is sweep-only.
+
+    Returns (rewritten_sql_by_name, [(temp_table_name, create_sql)])."""
+    try:
+        from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+            _mh_clusters_ctes,
+            _minhash_sql,
+        )
+    except ImportError:
+        return {}, []
+    pairs_blk = _minhash_sql()
+    clusters_blk = _mh_clusters_ctes()
+    pairs_ref = "SELECT doc_a, doc_b, jaccard FROM _sweep_mh_pairs"
+    clusters_repl = (
+        "labels AS (SELECT doc_id, cluster_id FROM _sweep_mh_clusters),\n"
+        "sizes AS (SELECT DISTINCT cluster_id, cluster_size FROM _sweep_mh_clusters)"
+    )
+    sel = {n: oracles[n] for n in selected if n in oracles}
+    pair_users = [n for n, s in sel.items() if pairs_blk in s]
+    if len(pair_users) < 2:
+        return {}, []
+    setup = [("_sweep_mh_pairs", f"CREATE TEMP TABLE _sweep_mh_pairs AS {pairs_blk}")]
+    cluster_users = [n for n, s in sel.items() if clusters_blk in s]
+    if len(cluster_users) >= 2:
+        setup.append(
+            (
+                "_sweep_mh_clusters",
+                "CREATE TEMP TABLE _sweep_mh_clusters AS\nWITH RECURSIVE\n"
+                + clusters_blk.replace(pairs_blk, pairs_ref)
+                + "\nSELECT doc_id, cluster_id, cluster_size "
+                "FROM labels JOIN sizes USING (cluster_id)",
+            )
+        )
+    rewrites = {}
+    for n, s in sel.items():
+        # Closure first (it embeds the pair block), then any remaining
+        # standalone pair occurrences.
+        if len(cluster_users) >= 2 and clusters_blk in s:
+            s = s.replace(clusters_blk, clusters_repl)
+        s = s.replace(pairs_blk, pairs_ref)
+        if s != sel[n]:
+            rewrites[n] = s
+    return rewrites, setup
+
+
 def main() -> int:
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
@@ -67,6 +124,14 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     qs, oracles = mod.queries(), mod.oracle_sql()
+    selected = [n for n in qs if ONLY is None or n in ONLY]
+    rewrites, setup = _shared_oracle_rewrites(oracles, selected)
+    for tname, create_sql in setup:
+        t0 = time.time()
+        con.execute(create_sql)
+        print(f"  [sweep] materialized {tname} in {time.time()-t0:.1f}s "
+              f"(shared by {sum(1 for s in rewrites.values() if tname in s)} oracles)")
+    oracles = {**oracles, **rewrites}
     failures = []
     for name, fn in sorted(qs.items()):
         if ONLY is not None and name not in ONLY:
