@@ -690,38 +690,24 @@ def exact_substring_spans(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> Da
     )
 
 
-def exact_substring_rewrite(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataFrame:
-    """The rewrite half of span-level dedup (keep-first-occurrence):
-    every token position covered by a span shared with a LOWER doc_id
-    (the `doc_b` side of `exact_substring_spans`) is stripped; the doc
-    reassembles from surviving tokens in order. Returns (doc_id,
-    n_tokens, n_dup_tokens, dup_ratio, cleaned_md5) — the md5
-    value-checks the rewrite itself, the `boilerplate_strip` pattern.
-
-    Scale: spans explode to covered (doc_id, pos) rows — bounded by
-    total corpus tokens, usually far below — and the strip is one
-    left-anti join against the token table; no interval-merge pass is
-    needed because positions dedupe directly."""
+def _strip_covered_positions(
+    docs: DataFrame, covered: DataFrame, ratio_col: str, count_col: str
+) -> DataFrame:
+    """Shared rewrite tail for span-level strips: drop every (doc_id,
+    pos) in `covered` from the token table, reassemble the survivors
+    in order, and md5-verify the result. Returns (doc_id, n_tokens,
+    <count_col>, <ratio_col>, cleaned_md5). Scale: `covered` is
+    bounded by total corpus tokens — usually far below — and the strip
+    is one left-anti join; no interval-merge pass is needed because
+    positions dedupe directly."""
     from query_processing_over_streaming_data_using_flink_spark.operators.text import TOKEN_SPLIT_RE
 
-    spans = exact_substring_spans(docs, span_tokens)
-    covered = (
-        spans.select(
-            F.col("doc_b").alias("doc_id"),
-            F.explode(
-                F.sequence(
-                    F.col("b_start"), F.col("b_start") + F.col("span_len") - 1
-                )
-            ).alias("pos"),
-        )
-        .distinct()
-    )
     toks = docs.select(
         "doc_id",
         F.posexplode(F.split(F.col("text"), TOKEN_SPLIT_RE)).alias("p0", "tok"),
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
     kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
-    n_dup = covered.groupBy("doc_id").agg(F.count("*").alias("n_dup_tokens"))
+    n_dup = covered.groupBy("doc_id").agg(F.count("*").alias(count_col))
     totals = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
     cleaned = kept.groupBy("doc_id").agg(
         F.md5(
@@ -740,15 +726,90 @@ def exact_substring_rewrite(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> 
         .select(
             "doc_id",
             "n_tokens",
-            F.coalesce(F.col("n_dup_tokens"), F.lit(0)).alias("n_dup_tokens"),
+            F.coalesce(F.col(count_col), F.lit(0)).alias(count_col),
             F.round(
-                F.coalesce(F.col("n_dup_tokens"), F.lit(0)) / F.col("n_tokens"), 6
-            ).alias("dup_ratio"),
+                F.coalesce(F.col(count_col), F.lit(0)) / F.col("n_tokens"), 6
+            ).alias(ratio_col),
             # a fully-duplicated doc keeps no tokens: md5 of the empty
             # string, same as the oracle's string_agg over zero rows
             F.coalesce(F.col("cleaned_md5"), F.md5(F.lit(""))).alias("cleaned_md5"),
         )
     )
+
+
+def exact_substring_rewrite(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataFrame:
+    """The rewrite half of span-level dedup (keep-first-occurrence):
+    every token position covered by a span shared with a LOWER doc_id
+    (the `doc_b` side of `exact_substring_spans`) is stripped; the doc
+    reassembles from surviving tokens in order. Returns (doc_id,
+    n_tokens, n_dup_tokens, dup_ratio, cleaned_md5) — the md5
+    value-checks the rewrite itself, the `boilerplate_strip` pattern."""
+    spans = exact_substring_spans(docs, span_tokens)
+    covered = (
+        spans.select(
+            F.col("doc_b").alias("doc_id"),
+            F.explode(
+                F.sequence(
+                    F.col("b_start"), F.col("b_start") + F.col("span_len") - 1
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    return _strip_covered_positions(docs, covered, "dup_ratio", "n_dup_tokens")
+
+
+def cross_substring_burn(
+    history: DataFrame, batch: DataFrame, span_tokens: int = SPAN_TOKENS
+) -> DataFrame:
+    """Span-BURN decontamination rewrite — remove the contaminated
+    spans instead of dropping the document: every batch-doc token
+    position covered by an exact ≥ `span_tokens`-token run shared with
+    the HISTORY side (an eval benchmark, a blocklist corpus) is
+    stripped, and the doc reassembles from the survivors. The
+    document-retention dual of `cross_snapshot_substring` (which only
+    FLAGS): eval-hygiene pipelines burn the leaked span and keep the
+    doc, dropping only when the burn ratio is too high. Returns
+    (doc_id, n_tokens, n_burned_tokens, burn_ratio, cleaned_md5) for
+    every batch doc — the md5 value-checks the rewrite itself.
+
+    Scale shape: identical to the certified substring family — shingle
+    hashes computed inside codegen (8-byte keys), one hash equi-join
+    against the benchmark-sized history side (broadcast at scale),
+    per-(pair, diagonal) run merge, then the shared strip tail."""
+    from pyspark.sql.window import Window
+
+    k = span_tokens
+    hist = _span_shingles(history, k).select(
+        F.col("doc_id").alias("doc_h"), F.col("pos").alias("pos_h"), "h"
+    )
+    new = _span_shingles(batch, k).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "h"
+    )
+    m = new.join(hist, "h").select(
+        "doc_b", "doc_h", "pos_b", (F.col("pos_b") - F.col("pos_h")).alias("diag")
+    )
+    w = Window.partitionBy("doc_b", "doc_h", "diag").orderBy("pos_b")
+    spans = (
+        m.withColumn("isl", F.col("pos_b") - F.row_number().over(w))
+        .groupBy("doc_b", "doc_h", "diag", "isl")
+        .agg(
+            F.min("pos_b").alias("b_start"),
+            (F.max("pos_b") - F.min("pos_b") + k).alias("span_len"),
+        )
+    )
+    covered = (
+        spans.select(
+            F.col("doc_b").alias("doc_id"),
+            F.explode(
+                F.sequence(
+                    F.col("b_start"), F.col("b_start") + F.col("span_len") - 1
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    return _strip_covered_positions(batch, covered, "burn_ratio", "n_burned_tokens")
 
 
 def cross_snapshot_substring(

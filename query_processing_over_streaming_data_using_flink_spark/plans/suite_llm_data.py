@@ -4847,3 +4847,223 @@ SELECT doc_id, cluster_id, cluster_size FROM labels JOIN sizes USING (cluster_id
 """
 
 register("dedup_clusters_minhash", dedup_clusters_minhash, _MH_CLUSTERS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Round 13: LSH recall certification, span-burn rewrite, per-source
+# dedup telemetry
+# ---------------------------------------------------------------------------
+
+
+def dedup_lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level recall certification of the production candidate
+    generator: the banded MinHash-LSH pairs (`dedup_minhash_lsh`, the
+    generator every production-semantic dedup query clusters over since
+    r12/r13) audited against the EXACT all-pairs n-gram-Jaccard
+    baseline (`dedup_ngram_jaccard`) at the same 0.35 threshold. One
+    summary row: how many exact pairs exist, how many the LSH bands
+    recalled, the recall ratio, and the HIGHEST-Jaccard pair the bands
+    missed (LSH misses concentrate just above threshold — a high
+    max_missed_jaccard would mean the band layout is wrong, not just
+    probabilistically lossy). Precision needs no audit: candidates are
+    verified with exact Jaccard before emission. n_lsh_pairs can exceed
+    n_recalled because the LSH generator is corpus-global while the
+    exact baseline blocks within lang (cross-lang template pairs are
+    found ONLY by LSH — strictly safer for dedup).
+
+    Scale: the exact side is the quadratic baseline — this cert runs at
+    test scale as ground truth; at 100 TB you certify on a sampled
+    stratum, the LSH side itself stays linear."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = dd.ngram_jaccard_pairs(docs, threshold=0.35)
+    lsh = dd.minhash_lsh_pairs(docs, threshold=0.35)
+    marked = exact.join(
+        lsh.select("doc_a", "doc_b", F.lit(1).alias("found")),
+        ["doc_a", "doc_b"],
+        "left",
+    )
+    per = marked.agg(
+        F.count(F.lit(1)).alias("n_exact_pairs"),
+        F.coalesce(F.sum(F.coalesce(F.col("found"), F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_recalled"),
+        F.max(F.when(F.col("found").isNull(), F.col("jaccard"))).alias(
+            "max_missed_jaccard"
+        ),
+    )
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh_pairs"))
+    return per.crossJoin(F.broadcast(n_lsh)).select(
+        "n_exact_pairs",
+        "n_lsh_pairs",
+        "n_recalled",
+        F.round(
+            F.when(
+                F.col("n_exact_pairs") > 0,
+                F.col("n_recalled") / F.col("n_exact_pairs"),
+            ),
+            6,
+        ).alias("recall"),
+        "max_missed_jaccard",
+    )
+
+
+_LSH_RECALL_SQL = f"""
+WITH ex AS ({_NGRAM_JACCARD_SQL}),
+mh AS ({_minhash_sql()}),
+j AS (
+  SELECT e.jaccard, m.doc_a AS hit
+  FROM ex e LEFT JOIN mh m ON e.doc_a = m.doc_a AND e.doc_b = m.doc_b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM mh) AS n_lsh_pairs,
+       CAST(coalesce(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_recalled,
+       round(coalesce(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END), 0)
+             / nullif(count(*), 0), 6) AS recall,
+       max(CASE WHEN hit IS NULL THEN jaccard END) AS max_missed_jaccard
+FROM j
+"""
+
+register("dedup_lsh_recall_vs_exact", dedup_lsh_recall_vs_exact, _LSH_RECALL_SQL)
+
+
+def decontaminate_eval_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-BURN decontamination — the document-retention dual of
+    `decontaminate_eval_substring` (which only flags): instead of
+    dropping a training document that shares a ≥ K-token exact run with
+    the eval slice (doc_id % 7 == 0), burn the leaked span out of the
+    text and keep the rest — what eval-hygiene pipelines actually do
+    when the contamination is a quoted benchmark item inside an
+    otherwise-novel document. Emits one row per TRAIN doc: token count,
+    burned-token count, burn ratio, and the md5 of the reassembled text
+    (the oracle value-checks the rewrite itself, the
+    `dedup_substring_rewrite` certification pattern).
+    `operators/dedup.py:cross_substring_burn`; K=20 like the other
+    substring queries."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = (F.col("doc_id") % 7) == 0
+    eval_docs = docs.filter(is_eval).select("doc_id", "text")
+    train = docs.filter(~is_eval).select("doc_id", "text")
+    return dd.cross_substring_burn(eval_docs, train, span_tokens=_SPAN_TOKENS_Q)
+
+
+def _decontam_burn_sql(k: int = _SPAN_TOKENS_Q) -> str:
+    h = _H64.format(x=f"array_to_string(toks[i.i : i.i + {k} - 1], ' ')")
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, i.i AS pos, {h} AS h
+  FROM t, unnest(range(1, len(toks) - {k} + 2)) AS i(i)
+  WHERE len(toks) >= {k}
+),
+hist AS (SELECT doc_id AS doc_h, pos AS pos_h, h FROM sh WHERE doc_id % 7 = 0),
+new AS (SELECT doc_id AS doc_b, pos AS pos_b, h FROM sh WHERE doc_id % 7 <> 0),
+m AS (
+  SELECT n.doc_b, hi.doc_h, n.pos_b, n.pos_b - hi.pos_h AS diag
+  FROM new n JOIN hist hi ON n.h = hi.h
+),
+runs AS (
+  SELECT *, pos_b - row_number() OVER (PARTITION BY doc_b, doc_h, diag ORDER BY pos_b) AS isl
+  FROM m
+),
+spans AS (
+  SELECT doc_b, min(pos_b) AS b_start, max(pos_b) - min(pos_b) + {k} AS span_len
+  FROM runs GROUP BY doc_b, doc_h, diag, isl
+),
+covered AS (
+  SELECT DISTINCT doc_b AS doc_id, i.i AS pos
+  FROM spans, unnest(range(b_start, b_start + span_len)) AS i(i)
+),
+toks AS (
+  SELECT doc_id, t2.i AS pos, toks[t2.i] AS tok
+  FROM t, unnest(range(1, len(toks) + 1)) AS t2(i)
+  WHERE doc_id % 7 <> 0
+),
+totals AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),
+nburn AS (SELECT doc_id, count(*) AS n_burned_tokens FROM covered GROUP BY doc_id),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM toks t
+  ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+),
+cleaned AS (
+  SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       coalesce(n.n_burned_tokens, 0) AS n_burned_tokens,
+       round(coalesce(n.n_burned_tokens, 0) / t.n_tokens, 6) AS burn_ratio,
+       coalesce(c.cleaned_md5, md5('')) AS cleaned_md5
+FROM totals t
+LEFT JOIN nburn n ON t.doc_id = n.doc_id
+LEFT JOIN cleaned c ON t.doc_id = c.doc_id
+"""
+
+
+register(
+    "decontaminate_eval_substring_rewrite",
+    decontaminate_eval_substring_rewrite,
+    _decontam_burn_sql(),
+)
+
+
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source near-dup telemetry over the production MinHash-LSH
+    clusters — the data-card number every corpus release quotes and the
+    ops dashboard for crawl health (a source whose dup rate jumps is
+    re-crawling itself): per source, the doc count, how many docs sit
+    in a multi-member near-dup cluster, that ratio, how many docs ARE a
+    cluster canonical (the min-id member — what min-id dedup keeps),
+    and how many a canonical-only pass would drop. Canonicals are
+    counted where their cluster label lives, so a cluster spanning two
+    sources charges the drop to the non-canonical source — the
+    attribution a cross-source syndication audit wants.
+
+    Plan: the certified LSH clustering (linear candidate generation)
+    plus ONE extra aggregate on source — no new corpus-scale shuffle
+    beyond the clusterer's own."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dd.dedup_clusters(docs, dd.minhash_lsh_pairs(docs, threshold=0.35))
+    j = clusters.join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("cluster_size") > 1).cast("long")).alias(
+                "n_in_dup_clusters"
+            ),
+            F.sum((F.col("doc_id") == F.col("cluster_id")).cast("long")).alias(
+                "n_canonicals"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_in_dup_clusters",
+            F.round(F.col("n_in_dup_clusters") / F.col("n_docs"), 6).alias(
+                "dup_doc_ratio"
+            ),
+            "n_canonicals",
+            (F.col("n_docs") - F.col("n_canonicals")).alias("n_would_drop"),
+        )
+    )
+
+
+_DEDUP_RATE_SQL = f"""
+WITH RECURSIVE
+{_mh_clusters_ctes()},
+lab AS (SELECT doc_id, cluster_id, cluster_size FROM labels JOIN sizes USING (cluster_id))
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN l.cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_in_dup_clusters,
+       round(sum(CASE WHEN l.cluster_size > 1 THEN 1 ELSE 0 END) / count(*), 6)
+           AS dup_doc_ratio,
+       CAST(sum(CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_canonicals,
+       CAST(count(*) - sum(CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_would_drop
+FROM lab l JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+register("dedup_rate_by_source", dedup_rate_by_source, _DEDUP_RATE_SQL)

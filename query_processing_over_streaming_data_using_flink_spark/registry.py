@@ -44,6 +44,11 @@ _PRIORITY_FIRST = [
     # New round-13 queries are inserted at the TOP as they land (never-
     # checked = infinitely stale = forced), each displacing the last
     # stale-3 filler into the front of the overflow queue in _PUSH_LAST.
+    # --- new in round 13 (never driver-checked), uncommented as each
+    # lands with its oracle + dual-scale sweep MATCH:
+    "dedup_lsh_recall_vs_exact",
+    "decontaminate_eval_substring_rewrite",
+    "dedup_rate_by_source",
     # --- stale-4 cohort (last driver-green round 9, all 44):
     "text_gopher_rules",
     "merge_upsert_customer",
@@ -94,17 +99,18 @@ _PRIORITY_FIRST = [
     "dsir_importance_weights",
     "sample_dsir_resample",
     "dedup_keep_best_quality",
+]
+_PUSH_LAST = [
+    # Position 51+: the OVERFLOW QUEUE, stalest-first. Head = the three
+    # stale-3 fillers the round-13 registrations displaced from the
+    # prefix, then the rest of the stale-3 (r10-green) cohort —
+    # contiguous and first in line for the round-14 prefix; all remain
+    # verified by the local dual-scale sweep every round meanwhile. The
+    # queue rule requires non-increasing staleness, so the r11-green
+    # (stale-2) and r12-green (stale-1) cohorts follow.
     "decontaminate_eval_minhash",
     "export_shard_manifest",
     "tokenizer_fertility_report",
-]
-_PUSH_LAST = [
-    # Position 51+: the OVERFLOW QUEUE, stalest-first. Head = the rest
-    # of the stale-3 (r10-green) cohort, contiguous and first in line
-    # for the round-14 prefix; all remain verified by the local
-    # dual-scale sweep every round meanwhile. The queue rule requires
-    # non-increasing staleness, so the r11-green (stale-2) and r12-green
-    # (stale-1) cohorts follow.
     "mixture_ppl_tilted",
     "split_leakage_safe",
     "embedding_covariance",

@@ -1761,3 +1761,99 @@ def test_leakage_split_clusters_cross_lang_families(spark, tmp_path):
     assert out[1]["cluster_size"] == 2
     assert out[1]["split"] == out[2]["split"], "cross-lang family straddles"
     assert out[3]["cluster_size"] == 1
+
+
+def test_decontaminate_eval_substring_rewrite_burns_leaked_span(spark, tmp_path):
+    """Span-burn semantics: a train doc quoting a planted 25-token run
+    from an eval-slice doc keeps its surroundings with exactly the run
+    stripped (md5-verified against the hand-built expected text); an
+    unrelated train doc is untouched; eval docs emit no row."""
+    import hashlib
+
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        decontaminate_eval_substring_rewrite,
+    )
+
+    run = " ".join(f"leak{j}" for j in range(25))
+    pre = " ".join(f"a{j}" for j in range(10))
+    post = " ".join(f"b{j}" for j in range(10))
+    clean = " ".join(f"c{j}" for j in range(40))
+    rows = [
+        (7, f"{pre} {run}", "en", "src", 0),   # eval (7 % 7 == 0)
+        (1, f"{run} {post}", "en", "src", 0),  # train, contaminated
+        (2, clean, "en", "src", 0),            # train, clean
+    ]
+    d = str(tmp_path / "burn_sf")
+    os.makedirs(d)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate_eval_substring_rewrite(spark, d).collect()
+    }
+    assert set(out) == {1, 2}, "one row per TRAIN doc only"
+    assert out[1]["n_tokens"] == 35
+    assert out[1]["n_burned_tokens"] == 25
+    assert out[1]["burn_ratio"] == round(25 / 35, 6)
+    assert out[1]["cleaned_md5"] == hashlib.md5(post.encode()).hexdigest()
+    assert out[2]["n_burned_tokens"] == 0
+    assert out[2]["cleaned_md5"] == hashlib.md5(clean.encode()).hexdigest()
+
+
+def test_dedup_lsh_recall_cert_planted(spark, tmp_path):
+    """The recall certification on a planted corpus: one exact
+    near-dup pair (same lang, Jaccard well above 0.35) must be
+    recalled by the LSH bands — n_exact_pairs == n_recalled == 1,
+    recall == 1.0, nothing missed."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        dedup_lsh_recall_vs_exact,
+    )
+
+    base = "the cat sat on the mat and looked at the dog in the warm sun today"
+    rows = [
+        (1, base, "en", "src", 0),
+        (2, base + " extra tail", "en", "src", 0),  # near-dup of 1
+        (3, "a completely different document about query plans", "en", "src", 0),
+    ]
+    d = str(tmp_path / "recall_sf")
+    os.makedirs(d)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    row = dedup_lsh_recall_vs_exact(spark, d).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["n_exact_pairs"] == 1 and r["n_recalled"] == 1
+    assert r["recall"] == 1.0
+    assert r["max_missed_jaccard"] is None
+    assert r["n_lsh_pairs"] >= 1
+
+
+def test_dedup_rate_by_source_attributes_drops(spark, tmp_path):
+    """Per-source telemetry: a near-dup cluster spanning two sources
+    charges the would-drop to the NON-canonical member's source; the
+    canonical's source keeps it; singletons are their own canonicals."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        dedup_rate_by_source,
+    )
+
+    base = "the cat sat on the mat and looked at the dog in the warm sun today"
+    rows = [
+        (1, base, "en", "srcA", 0),                 # canonical (min id)
+        (2, base + " extra tail", "en", "srcB", 0), # near-dup, dropped
+        (3, "a completely different document about query plans", "en", "srcB", 0),
+    ]
+    d = str(tmp_path / "rate_sf")
+    os.makedirs(d)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    out = {r["source"]: r for r in dedup_rate_by_source(spark, d).collect()}
+    a, b = out["srcA"], out["srcB"]
+    assert a["n_docs"] == 1 and a["n_in_dup_clusters"] == 1
+    assert a["dup_doc_ratio"] == 1.0
+    assert a["n_canonicals"] == 1 and a["n_would_drop"] == 0
+    assert b["n_docs"] == 2 and b["n_in_dup_clusters"] == 1
+    assert b["dup_doc_ratio"] == 0.5
+    assert b["n_canonicals"] == 1 and b["n_would_drop"] == 1
