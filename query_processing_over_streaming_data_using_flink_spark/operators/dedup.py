@@ -777,12 +777,24 @@ def cross_substring_burn(
     hashes computed inside codegen (8-byte keys), one hash equi-join
     against the benchmark-sized history side (broadcast at scale),
     per-(pair, diagonal) run merge, then the shared strip tail."""
-    from pyspark.sql.window import Window
-
     k = span_tokens
     hist = _span_shingles(history, k).select(
         F.col("doc_id").alias("doc_h"), F.col("pos").alias("pos_h"), "h"
     )
+    return cross_substring_burn_from_shingles(hist, batch, k)
+
+
+def cross_substring_burn_from_shingles(
+    hist: DataFrame, batch: DataFrame, span_tokens: int = SPAN_TOKENS
+) -> DataFrame:
+    """`cross_substring_burn` with the HISTORY side already in shingle-
+    table form (doc_h, pos_h, h) — the maintained-table shape, and what
+    the streaming decontamination face feeds from its live signed-
+    weight state (stream==batch equality is structural, the
+    `cross_snapshot_substring_from_shingles` pattern)."""
+    from pyspark.sql.window import Window
+
+    k = span_tokens
     new = _span_shingles(batch, k).select(
         F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "h"
     )

@@ -126,6 +126,20 @@ class IncrementalSubstringDecontam:
             F.col("is_novel").alias("is_clean"),
         )
 
+    def burn(self, docs: DataFrame) -> DataFrame:
+        """Span-BURN rewrite against the LIVE eval state — the batch
+        `decontaminate_eval_substring_rewrite` output shape (doc_id,
+        n_tokens, n_burned_tokens, burn_ratio, cleaned_md5): every
+        training-doc token position covered by a ≥ K-token run shared
+        with the maintained eval corpus is stripped and the text
+        reassembled, md5-verified. Same from-shingles core as the
+        batch query (`operators/dedup.py:
+        cross_substring_burn_from_shingles`), so stream==batch
+        equality is structural."""
+        return dd.cross_substring_burn_from_shingles(
+            self.live_shingles(), docs, self.k
+        )
+
 
 def run_streaming_substring_decontam(
     spark: SparkSession,

@@ -144,3 +144,59 @@ def test_streamed_span_gate_restart_from_state(spark, tmp_path):
     pipe2.process_batch(eval_doc, 1)  # redelivery after restart: no-op
     assert _rows(pipe2.flag(train)) == want
     assert pipe2.live_shingles().count() == pipe.live_shingles().count()
+
+
+def _burn_rows(df):
+    return sorted(
+        (
+            r["doc_id"],
+            r["n_tokens"],
+            r["n_burned_tokens"],
+            r["burn_ratio"],
+            r["cleaned_md5"],
+        )
+        for r in df.collect()
+    )
+
+
+def test_streamed_span_burn_equals_batch_rewrite(spark, tmp_path):
+    """burn() over the training side from micro-batched eval state ==
+    the registered batch `decontaminate_eval_substring_rewrite` query
+    bit-for-bit — including the md5 of every reassembled text."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        decontaminate_eval_substring_rewrite,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 7 == 0)
+    train_docs = docs.filter(F.col("doc_id") % 7 != 0)
+
+    pipe = IncrementalSubstringDecontam(spark, str(tmp_path / "state"))
+    for e in range(3):
+        pipe.process_batch(eval_docs.filter(F.col("doc_id") % 3 == e), e + 1)
+    got = _burn_rows(pipe.burn(train_docs))
+    want = _burn_rows(decontaminate_eval_substring_rewrite(spark, SF_SMOKE))
+    assert got == want
+    assert any(r[2] > 0 for r in got), "fixture should contain burned spans"
+
+
+def test_streamed_span_burn_retraction_restores_text(spark, tmp_path):
+    """After retracting the leaking benchmark, burn() must return the
+    training doc UNTOUCHED — md5 of the original text, zero burned."""
+    import hashlib
+
+    run = " ".join(f"leak{j}" for j in range(25))
+    train_text = f"{run} trailing words here"
+    eval_doc = _docs_df(spark, [(7, "src2", "en", f"intro words {run}")])
+    train = _docs_df(spark, [(1, "src1", "en", train_text)])
+
+    pipe = IncrementalSubstringDecontam(spark, str(tmp_path / "state"))
+    pipe.process_batch(eval_doc, 1)
+    burned = _burn_rows(pipe.burn(train))
+    assert burned[0][0] == 1 and burned[0][2] == 25
+
+    pipe.process_batch(eval_doc.withColumn("op", F.lit(-1)), 2)
+    restored = _burn_rows(pipe.burn(train))
+    assert restored == [
+        (1, 28, 0, 0.0, hashlib.md5(train_text.encode()).hexdigest())
+    ]
