@@ -114,6 +114,18 @@ SELECTED = [
      "the mixture rates (r12 single-chain), banded decontamination and "
      "LSH split stages, broadcast rate table, one manifest exchange "
      "partitioned by the writer's own (split, shard) key"),
+    ("dedup_keep_best_quality", "quality-aware canonical selection",
+     "banded MinHash candidate join since r13 (the quadratic "
+     "within-block all-pairs generator is gone), pointer-jumped label "
+     "propagation, one window on cluster_id"),
+    ("decontaminate_eval_substring_rewrite", "span-burn decontamination",
+     "codegen'd shingle hashes (8-byte keys), one hash equi-join "
+     "against the eval side, per-(pair,diagonal) run merge, covered "
+     "positions exploded then ONE left-anti join to strip — no "
+     "per-row UDF in the rewrite"),
+    ("dedup_rate_by_source", "per-source dedup telemetry",
+     "the LSH clustering subtree unchanged, then a single map-side-"
+     "combinable aggregate on source — no extra corpus-scale shuffle"),
 ]
 
 
