@@ -111,6 +111,13 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # The default 1g local heap dies mid-sweep: several dedup/ANN
+        # queries persist signature frames and the clusterers
+        # localCheckpoint (checkpoint blocks are NOT evictable), so
+        # block-manager memory accumulates across ~200 queries until
+        # localCheckpoint/collect calls start failing (first seen when
+        # round 13 added three more persist-heavy queries).
+        .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -146,6 +153,17 @@ def main() -> int:
             failures.append(name)
             msg = str(exc).splitlines()[0][:200] if str(exc) else type(exc).__name__
             print(f"  {name}: ERROR — {msg}")
+        finally:
+            # Queries persist intermediates (minhash signatures, PQ
+            # codebooks) and localCheckpoint clusterer rounds; without
+            # a per-query release the block manager fills with blocks
+            # no later query reuses — checkpoint blocks can't even be
+            # evicted. gc.collect() drops the Python-side py4j refs so
+            # the ContextCleaner can actually free the checkpoint RDDs.
+            import gc
+
+            spark.catalog.clearCache()
+            gc.collect()
     print(f"{'FAIL: ' + ','.join(failures) if failures else 'ALL MATCH'} "
           f"({len(qs)} queries, {len(oracles)} with oracles)")
     return 1 if failures else 0
