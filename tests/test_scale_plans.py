@@ -211,6 +211,7 @@ _BNLJ_ALLOWED = {
     "embedding_pca_power_iter",  # 1-row broadcast max|m| normalizer per iteration
     "embedding_top_pc_projection",  # composes the above + 1-row eigvec-array broadcast
     "dedup_cross_snapshot",  # 1-row broadcast snapshot-cutoff scalar
+    "dedup_lsh_recall_vs_exact",  # 1-row broadcast lsh-pair-count scalar
     "dedup_cross_snapshot_minhash",  # same 1-row cutoff scalar tagging the sides
     "ann_recall_pq_vs_exact",  # exact-baseline side is the allowed brute force
     "ann_ivfpq_rerank",  # composes the allowed IVF-PQ candidate stage
