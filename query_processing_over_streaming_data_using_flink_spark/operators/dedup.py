@@ -368,15 +368,35 @@ def dedup_clusters(
     iterates *rounds*, not rows; every round is join+aggregate work on
     the cluster.
 
+    The iteration frame is GRAPH-sized, not corpus-sized (r13): only
+    docs that appear as a candidate-pair endpoint ride the propagation
+    rounds — a doc with no edges can never change labels, so dragging
+    the whole corpus through O(log diameter) rounds of joins was pure
+    dead weight (at 100 TB, ~10 corpus-scale shuffles of it; near-dup
+    graphs are sparse, |endpoints| ≈ 2·|pairs| ≪ |docs|). Singletons
+    rejoin at the end via ONE anti-join against the (small) endpoint
+    set and never shuffle at all — their row is (doc_id, doc_id, 1)
+    by construction. Output is bit-identical to the corpus-wide form.
+
     Returns (doc_id, cluster_id, cluster_size).
     """
-    edges = (
+    from query_processing_over_streaming_data_using_flink_spark.pin import pin_result
+
+    # edges/nodes are PINNED (graph-sized eager checkpoint), not merely
+    # persisted: a persisted frame's lineage still renders into every
+    # consumer's plan STRING, and the candidate generator's plan (md5
+    # band expressions x perms x bands) is large enough that the final
+    # result's eager checkpoint OOMed the driver building explainString
+    # once `singles` referenced it — severing the lineage here keeps
+    # every round's and the final plan's rendering O(rounds), and the
+    # rounds read the same materialized blocks they did under persist.
+    edges = pin_result(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
-        .persist()
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
+    nodes = pin_result(edges.select(F.col("src").alias("doc_id")).distinct())
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).persist()
     for rnd in range(1, max_rounds + 1):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
@@ -434,9 +454,19 @@ def dedup_clusters(
             "should; inspect the pair relation"
         )
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    out = labels.join(sizes, "label").select(
+    touched = labels.join(sizes, "label").select(
         "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
     )
+    # Singletons (no candidate-pair edge) never entered the loop: one
+    # anti-join against the small endpoint set reattaches them as
+    # their own size-1 clusters — the corpus streams through map-side,
+    # no shuffle.
+    singles = docs.select("doc_id").join(nodes, "doc_id", "left_anti").select(
+        "doc_id",
+        F.col("doc_id").alias("cluster_id"),
+        F.lit(1).cast("long").alias("cluster_size"),
+    )
+    out = touched.unionByName(singles)
     # Materialize the result once so every block cached during the
     # iteration (the final round's labels included) can be released
     # here instead of leaking for the lifetime of the returned lazy
@@ -444,10 +474,9 @@ def dedup_clusters(
     # pin_result (not a bare localCheckpoint) so plan-dump tooling can
     # see the label-propagation tail instead of one Scan ExistingRDD;
     # the loop-internal checkpoints above stay unconditional.
-    from query_processing_over_streaming_data_using_flink_spark.pin import pin_result
-
     out = pin_result(out)
     labels.unpersist()
+    nodes.unpersist()
     edges.unpersist()
     return out
 
