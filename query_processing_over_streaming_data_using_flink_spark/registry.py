@@ -32,82 +32,22 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # fully verified by scripts/verify_contract.py every round). Names not
 # listed keep registration order after the priority block.
 _PRIORITY_FIRST = [
-    # Round-13 prefix (positions 1-50). Policy: staleness counted in
-    # LANDED CORRECTNESS files (on disk: r1-r6, r8-r12), dynamic bound
-    # ceil(194/50)+1 = 5; see
+    # Round-14 prefix (positions 1-50). Policy: staleness counted in
+    # LANDED CORRECTNESS files (on disk: r1-r6, r8-r13), dynamic bound
+    # ceil(197/50)+1 = 5; see
     # tests/test_entry_contract.py::test_registry_rotation_covers_stalest_queries.
-    # With CORRECTNESS_r12 landed the histogram is {stale-4: 44,
+    # With CORRECTNESS_r13 landed the histogram is {stale-4: 47,
     # stale-3: 50, stale-2: 50, stale-1: 50} and nothing is forced
-    # (bound 5), so the fill rule alone decides: the whole 44-query
-    # stale-4 cohort (last green r9 -- round 12's overflow queue) plus
-    # the 6 stalest stale-3 entries (last green r10), queue-order-first.
-    # New round-13 queries are inserted at the TOP as they land (never-
+    # (bound 5), so the fill rule alone decides: the whole 47-query
+    # stale-4 cohort (last green r10 -- round 13's overflow queue) plus
+    # the 3 stalest stale-3 entries (last green r11), queue-order-first.
+    # New round-14 queries are inserted at the TOP as they land (never-
     # checked = infinitely stale = forced), each displacing the last
     # stale-3 filler into the front of the overflow queue in _PUSH_LAST.
-    # --- new in round 13 (never driver-checked), uncommented as each
+    # --- new in round 14 (never driver-checked), uncommented as each
     # lands with its oracle + dual-scale sweep MATCH:
-    "dedup_lsh_recall_vs_exact",
-    "decontaminate_eval_substring_rewrite",
-    "dedup_rate_by_source",
-    # --- stale-4 cohort (last driver-green round 9, all 44):
-    "text_gopher_rules",
-    "merge_upsert_customer",
-    "snapshot_diff_customer",
-    "er_fuzzy_part_names",
-    "bloom_membership_audit",
-    "ann_sq8",
-    "ann_recall_sq8_vs_exact",
-    "mine_hard_negatives",
-    "sample_uncertain_margin",
-    "curation_pipeline_model_gated",
-    "text_perplexity_buckets",
-    "split_train_val_test",
-    "er_resolve_part_names",
-    "dedup_semantic_ivf",
-    "embedding_outliers",
-    "source_overlap_matrix",
-    "ann_mmr_diversified",
-    "q3_shipping_priority",
-    "ann_bruteforce",
-    "ann_lsh",
-    "ann_ivf",
-    "filter_project_customer",
-    "filter_dates_orders",
-    "join_orders_lineitem_revenue",
-    "agg_lineitem_pricing_summary",
-    "window_running_totals",
-    "scalar_expressions",
-    "changelog_build",
-    "changelog_state_counts",
-    "embedding_label_centroids",
-    "ann_recall_lsh_vs_exact",
-    "tfidf_top_terms",
-    "bm25_search",
-    "doc_ngram_novelty",
-    "hybrid_search_rrf",
-    "embedding_quantize_int8",
-    "events_twa_daily",
-    "events_daily_anomalies",
-    "cm_sketch_heavy_hitters",
-    "graph_pagerank_parts",
-    "minhash_estimate_quality",
-    "multimodal_real_roundtrip",
-    "events_moving_7d_avg",
-    "mixture_token_budget",
-    # --- stale-3 fill (last driver-green round 10, 6 names -- the
-    # head of round 12's r10-green queue, taken in queue order):
-    "dsir_importance_weights",
-    "sample_dsir_resample",
-    "dedup_keep_best_quality",
-]
-_PUSH_LAST = [
-    # Position 51+: the OVERFLOW QUEUE, stalest-first. Head = the three
-    # stale-3 fillers the round-13 registrations displaced from the
-    # prefix, then the rest of the stale-3 (r10-green) cohort —
-    # contiguous and first in line for the round-14 prefix; all remain
-    # verified by the local dual-scale sweep every round meanwhile. The
-    # queue rule requires non-increasing staleness, so the r11-green
-    # (stale-2) and r12-green (stale-1) cohorts follow.
+    "decontaminate_eval_semantic",
+    # --- stale-4 cohort (last driver-green round 10, all 47):
     "decontaminate_eval_minhash",
     "export_shard_manifest",
     "tokenizer_fertility_report",
@@ -155,9 +95,19 @@ _PUSH_LAST = [
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q8_national_market_share",
-    # Driver-green in round 11 (staleness 2):
+    # --- stale-3 fill (last driver-green round 11; 3 names, the head
+    # of round 13's r11-green queue, taken in queue order):
     "curation_pipeline_full",
     "decontaminate_eval_ngram13",
+]
+_PUSH_LAST = [
+    # Position 51+: the OVERFLOW QUEUE, stalest-first. Head = the
+    # stale-3 filler the round-14 registration displaced from the
+    # prefix, then the rest of the stale-3 (r11-green) cohort —
+    # contiguous and first in line for the round-15 prefix; all remain
+    # verified by the local dual-scale sweep every round meanwhile. The
+    # queue rule requires non-increasing staleness, so the r12-green
+    # (stale-2) and r13-green (stale-1) cohorts follow.
     "doc_length_histogram",
     "sample_moore_lewis",
     "classifier_calibration_bins",
@@ -206,8 +156,7 @@ _PUSH_LAST = [
     "ann_recall_ivfpq_rerank_vs_exact",
     "ann_recall_ivf_nprobe_curve",
     "agg_corr_regression",
-    # Driver-green in round 12 (the full r12 prefix came back 50/50 --
-    # freshest cohort, staleness 1, so it sits at the very tail):
+    # Driver-green in round 12 (staleness 2):
     "dedup_embedding_cosine_planted",
     "decontaminate_eval_substring",
     "text_unigram_entropy",
@@ -258,6 +207,58 @@ _PUSH_LAST = [
     "text_token_count_trained",
     "text_perplexity_filter",
     "classify_naive_bayes_lang",
+    # Driver-green in round 13 (the full r13 prefix came back 50/50 --
+    # freshest cohort, staleness 1, so it sits at the very tail):
+    "dedup_lsh_recall_vs_exact",
+    "decontaminate_eval_substring_rewrite",
+    "dedup_rate_by_source",
+    "text_gopher_rules",
+    "merge_upsert_customer",
+    "snapshot_diff_customer",
+    "er_fuzzy_part_names",
+    "bloom_membership_audit",
+    "ann_sq8",
+    "ann_recall_sq8_vs_exact",
+    "mine_hard_negatives",
+    "sample_uncertain_margin",
+    "curation_pipeline_model_gated",
+    "text_perplexity_buckets",
+    "split_train_val_test",
+    "er_resolve_part_names",
+    "dedup_semantic_ivf",
+    "embedding_outliers",
+    "source_overlap_matrix",
+    "ann_mmr_diversified",
+    "q3_shipping_priority",
+    "ann_bruteforce",
+    "ann_lsh",
+    "ann_ivf",
+    "filter_project_customer",
+    "filter_dates_orders",
+    "join_orders_lineitem_revenue",
+    "agg_lineitem_pricing_summary",
+    "window_running_totals",
+    "scalar_expressions",
+    "changelog_build",
+    "changelog_state_counts",
+    "embedding_label_centroids",
+    "ann_recall_lsh_vs_exact",
+    "tfidf_top_terms",
+    "bm25_search",
+    "doc_ngram_novelty",
+    "hybrid_search_rrf",
+    "embedding_quantize_int8",
+    "events_twa_daily",
+    "events_daily_anomalies",
+    "cm_sketch_heavy_hitters",
+    "graph_pagerank_parts",
+    "minhash_estimate_quality",
+    "multimodal_real_roundtrip",
+    "events_moving_7d_avg",
+    "mixture_token_budget",
+    "dsir_importance_weights",
+    "sample_dsir_resample",
+    "dedup_keep_best_quality",
 ]
 
 
