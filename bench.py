@@ -19,6 +19,7 @@ submitted (`TPCHQuery3_StreamProcessor.java` timer placement).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -625,18 +626,35 @@ def main() -> None:
                 # frame can't warm any other row.
                 ("curation_pipeline_full", qual.curation_pipeline_full),
             ):
-                spark.catalog.clearCache()
-                if vname == "bpe_train_merges":
-                    llm._TRAINED_MERGES.pop(tmp, None)  # time a true cold train
-                # The map-side BPE apply row runs on the VERBATIM
-                # replica fixture (see its generation comment above).
-                src = tmpv if vname == "tokenizer_fertility_report" else tmp
-                t0 = time.time()
-                _run(vfn(spark, src))
-                sec = round(time.time() - t0, 3)
+                # Min-of-2 per soak row (round-13 verdict ask #2): the
+                # single-run rows sat at the tail of a long JVM and
+                # jittered up to ~6x vs standalone re-measures (driver
+                # r13 dedup_exact_substring 8.89x vs 6.06x standalone;
+                # dedup_keep_best_quality 10.11x in-bench vs 1.56x
+                # fresh-JVM min-of-2) — the one number in BENCH_rN that
+                # manufactured phantom regressions. Same rule the sf0.1
+                # extras (_timed_extra) and the SF-1 IVM already use;
+                # gc.collect() between runs releases py4j refs so
+                # ContextCleaner can actually drop checkpoint/shuffle
+                # blocks before the second measurement.
+                rs = []
+                for _ in range(2):
+                    spark.catalog.clearCache()
+                    gc.collect()
+                    if vname == "bpe_train_merges":
+                        # pop before EACH run: both must be cold trains
+                        llm._TRAINED_MERGES.pop(tmp, None)
+                    # The map-side BPE apply row runs on the VERBATIM
+                    # replica fixture (see its generation comment above).
+                    src = tmpv if vname == "tokenizer_fertility_report" else tmp
+                    t0 = time.time()
+                    _run(vfn(spark, src))
+                    rs.append(round(time.time() - t0, 3))
+                sec = min(rs)
                 ref = sf01_ref.get(vname)
                 soak[vname] = {
                     "sec": sec,
+                    "runs": rs,
                     "sf01_sec": ref,
                     "scaleup_x10": round(sec / ref, 2) if ref else None,
                 }
