@@ -264,6 +264,54 @@ def cosine_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFram
     )
 
 
+def cross_cosine_pairs(
+    a_embeddings: DataFrame,
+    b_embeddings: DataFrame,
+    threshold: float = 0.95,
+    broadcast_b: bool = True,
+) -> DataFrame:
+    """Cross-side embedding-cosine pairs — the semantic analogue of
+    `dedup.cross_side_minhash_pairs`: side A vectors are scored against
+    side B vectors ONLY where the 32-sign-bit LSH signatures collide
+    (near-identical vectors agree on sign bits with overwhelming
+    probability, so a semantic near-copy of a B vector lands in its
+    bucket), candidates verified with exact cosine. Both inputs are
+    (vec_id, embedding) frames; returns one row per verified cross
+    pair (id_a from A, id_b from B, sim).
+
+    Scale: in the decontamination use the B side is the EVAL/benchmark
+    suite — tiny by construction — so it broadcasts (default) and the
+    corpus-sized A side streams map-side: zero shuffle of the big
+    side, candidate volume bounded by bucket collisions. Pass
+    ``broadcast_b=False`` for two corpus-scale sides, where the sig
+    equi-join becomes the one (narrow, 8-byte-key) shuffle."""
+    a = (
+        a_embeddings.select(
+            F.col("vec_id").alias("id_a"),
+            _as_double(F.col("embedding")).alias("vec_a"),
+        )
+        .withColumn("sig", sign_signature(F.col("vec_a")))
+        .withColumn("n_a", l2_norm(F.col("vec_a")))
+    )
+    b = (
+        b_embeddings.select(
+            F.col("vec_id").alias("id_b"),
+            _as_double(F.col("embedding")).alias("vec_b"),
+        )
+        .withColumn("sig", sign_signature(F.col("vec_b")))
+        .withColumn("n_b", l2_norm(F.col("vec_b")))
+    )
+    return (
+        a.join(F.broadcast(b) if broadcast_b else b, ["sig"])
+        .withColumn(
+            "sim",
+            cosine_norm(F.col("vec_a"), F.col("vec_b"), F.col("n_a"), F.col("n_b")),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
+
+
 # IVF-flat coarse quantizer: cells seeded by vec_id % IVF_CELLS, then
 # IVF_REFINE Lloyd rounds (re-assign to nearest centroid, re-aggregate
 # — the same single aggregate repeated, no driver loop over data).

@@ -490,26 +490,46 @@ FROM documents
 """
 
 
+# The exact baseline's evaluation stratum (round 14, r13 verdict ask
+# #6): a FIXED doc_id bound, not a fraction — vacuous at sf0.01 (500
+# docs, so the baseline stays exact-FULL where the driver certifies
+# it, output bit-identical to pre-stratum rounds) and a bounded
+# 1000-doc stratum at sf0.1+ where the quadratic generator made this
+# the sweep's single most expensive query (~279 s under load). This is
+# also the honest 100 TB shape for an intentionally-quadratic audit:
+# ground truth on a fixed-size stratum, never the full corpus (the
+# same discipline `dedup_lsh_recall_vs_exact` documents).
+NGRAM_BASELINE_STRATUM = 1000
+
+
 def dedup_clusters_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering over the EXACT all-pairs n-gram-Jaccard
     graph — the explicitly-named exact baseline (quadratic within lang
-    blocks, like `dedup_ngram_jaccard` itself): connected components
-    (min-label propagation) oracle-checked against a DuckDB
-    recursive-CTE transitive closure. Production clustering — and
-    every production-semantic consumer (`dedup_keep_best`,
+    blocks, like `dedup_ngram_jaccard` itself), evaluated on the fixed
+    `doc_id < NGRAM_BASELINE_STRATUM` stratum (full corpus at sf0.01;
+    see the constant's comment): connected components (min-label
+    propagation) oracle-checked against a DuckDB recursive-CTE
+    transitive closure. Production clustering — and every
+    production-semantic consumer (`dedup_keep_best`,
     `dedup_keep_best_quality`, `split_leakage_safe`) — uses the
     linear banded-LSH sibling `dedup_clusters_minhash`; keep this form
     for recall ground-truth at small scale only."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < NGRAM_BASELINE_STRATUM
+    )
     pairs = dd.ngram_jaccard_pairs(docs, threshold=0.35)
     return dd.dedup_clusters(docs, pairs)
 
 
-# The recursive transitive-closure CTE chain, shared by the cluster
-# query and the quality-aware canonical selection built on it.
-_CLUSTERS_CTES = f"""sh AS (
+# The recursive transitive-closure CTE chain over the exact n-gram
+# pair graph (sole consumer: `dedup_clusters_ngram` — the keep-best
+# oracles re-based onto the MinHash closure CTEs in round 13).
+_CLUSTERS_CTES = f"""docs_s AS (
+  SELECT * FROM documents WHERE doc_id < {NGRAM_BASELINE_STRATUM}
+),
+sh AS (
   SELECT lang AS blk, doc_id, {_shingle_hashes_sql()} AS sh
-  FROM (SELECT *, {_TOKENS} AS toks FROM documents)
+  FROM (SELECT *, {_TOKENS} AS toks FROM docs_s)
   WHERE len({_shingles_sql('toks')}) > 0
 ),
 pairs AS (
@@ -524,7 +544,7 @@ edges AS (
   SELECT doc_b AS src, doc_a AS dst FROM pairs
 ),
 reach AS (
-  SELECT doc_id, doc_id AS label FROM documents
+  SELECT doc_id, doc_id AS label FROM docs_s
   UNION
   SELECT e.src AS doc_id, r.label FROM edges e JOIN reach r ON e.dst = r.doc_id
 ),
@@ -5067,3 +5087,119 @@ GROUP BY d.source
 """
 
 register("dedup_rate_by_source", dedup_rate_by_source, _DEDUP_RATE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-based) eval decontamination — round 14. Closes
+# the one modality the decontam family was missing: exact-shingle
+# (`decontaminate_eval_overlap`), MinHash-fuzzy (`_minhash`), 13-gram
+# (`_ngram13`), and span-level (`_substring`/`_rewrite`) are all
+# TOKEN-based, so a PARAPHRASED eval item (reworded benchmark question
+# — different tokens, same meaning, near-identical embedding) passes
+# every one of them. This pass catches it in embedding space.
+#
+# The random fixture has no natural cross-side cosine >= 0.95, so —
+# exactly like `dedup_embedding_cosine_planted` — the query derives a
+# fixture WITH known paraphrase leaks inside the query: the first
+# SEM_PLANT_N eval-slice vectors (vec_id % 7 == 0, the slice every
+# decontam query audits) are re-added under offset ids on the TRAIN
+# side (offset % 7 == 2), each dimension scaled by a positive
+# deterministic factor in {1.0, 1.1, 1.2}. Positive scaling preserves
+# every sign bit, so each planted "paraphrase" lands in its eval
+# original's LSH bucket with cosine >= ~0.9959; the banding, the
+# cross-side broadcast join, the norm arithmetic, and the threshold
+# gate are all exercised with rows > 0 at every test scale.
+SEM_DECONTAM_THRESHOLD = 0.95
+SEM_PLANT_N = 20
+SEM_PLANT_OFFSET = 2_000_000  # % 7 == 2 → plants land TRAIN-side
+
+
+def _semantic_leak_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    plants = (
+        base.filter(
+            ((F.col("vec_id") % 7) == 0)
+            & (F.col("vec_id") < 7 * SEM_PLANT_N)
+        )
+        # Two selects: the factor's vec_id must be the ORIGINAL id — in
+        # a single projection the lambda's F.col("vec_id") resolves to
+        # the offset output column (the dedup_embedding_cosine_planted
+        # gotcha).
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x
+                * (
+                    F.lit(1.0)
+                    + F.lit(0.1) * ((i + F.col("vec_id")) % 3).cast("double")
+                ),
+            ).alias("embedding"),
+        )
+        .select(
+            (F.col("vec_id") + F.lit(SEM_PLANT_OFFSET)).alias("vec_id"),
+            "embedding",
+        )
+    )
+    return base.unionByName(plants)
+
+
+def decontaminate_eval_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-space pass
+    that catches paraphrased eval leakage the token-based family
+    provably misses (see tests/test_llm_ops.py's planted-paraphrase
+    test: different tokens, no shared 13-gram, no shared >=20-token
+    span, near-identical embedding — flagged here, invisible to
+    `decontaminate_eval_ngram13` and `decontaminate_eval_substring`).
+
+    Engine: `operators/similarity.py:cross_cosine_pairs` — train-side
+    vectors scored against the eval slice's vectors only where the
+    32-sign-bit LSH signatures collide, verified with exact cosine at
+    >= 0.95. Per flagged training doc: how many eval items it
+    semantically duplicates and the worst cosine.
+
+    100 TB shape: the eval side is a benchmark suite — thousands of
+    rows, not corpus-scale — so it BROADCASTS and the corpus streams
+    through the bucket probe map-side; no corpus shuffle at all."""
+    e = _semantic_leak_embeddings(spark, sf_dir)
+    train = e.filter((F.col("vec_id") % 7) != 0)
+    eval_side = e.filter((F.col("vec_id") % 7) == 0)
+    pairs = sim.cross_cosine_pairs(
+        train, eval_side, threshold=SEM_DECONTAM_THRESHOLD, broadcast_b=True
+    )
+    return pairs.groupBy(F.col("id_a").alias("doc_id")).agg(
+        F.count("*").alias("n_eval_matches"),
+        F.max("sim").alias("max_cosine"),
+    )
+
+
+_SEM_DECONTAM_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+plants AS (
+  SELECT vec_id + {SEM_PLANT_OFFSET} AS vec_id,
+         [vec[i + 1] * (1.0 + 0.1 * CAST((i + vec_id) % 3 AS DOUBLE))
+          for i in range(len(vec))] AS vec
+  FROM base WHERE vec_id % 7 = 0 AND vec_id < {7 * SEM_PLANT_N}
+),
+e AS (
+  SELECT vec_id, vec, {{sig}} AS sig
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM plants)
+),
+x AS (
+  SELECT t.vec_id AS doc_id, round({{cos}}, 6) AS sim
+  FROM e t JOIN e v ON t.sig = v.sig
+  WHERE t.vec_id % 7 <> 0 AND v.vec_id % 7 = 0
+    AND {{cos}} >= {SEM_DECONTAM_THRESHOLD}
+)
+SELECT doc_id, count(*) AS n_eval_matches, max(sim) AS max_cosine
+FROM x GROUP BY doc_id
+""".format(sig=_sig_sql("vec"), cos=_cosine_sql("t.vec", "v.vec"))
+
+
+register(
+    "decontaminate_eval_semantic", decontaminate_eval_semantic, _SEM_DECONTAM_SQL
+)

@@ -1857,3 +1857,71 @@ def test_dedup_rate_by_source_attributes_drops(spark, tmp_path):
     assert b["n_docs"] == 2 and b["n_in_dup_clusters"] == 1
     assert b["dup_doc_ratio"] == 0.5
     assert b["n_canonicals"] == 1 and b["n_would_drop"] == 1
+
+
+def test_decontaminate_eval_semantic_catches_paraphrase_token_gates_miss(
+    spark, tmp_path
+):
+    """The round-14 modality-closure proof: a planted PARAPHRASE leak —
+    a training doc sharing NO token 13-gram and NO >=20-token span with
+    the eval item (completely disjoint wording) but carrying a
+    near-identical embedding (same meaning) — is invisible to the
+    token-based gates (`decontaminate_eval_ngram13` says clean,
+    `decontaminate_eval_substring` says clean) and flagged by the
+    embedding-space pass (`decontaminate_eval_semantic`), which is the
+    entire reason that pass exists."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        SEM_PLANT_OFFSET,
+        decontaminate_eval_ngram13,
+        decontaminate_eval_semantic,
+        decontaminate_eval_substring,
+    )
+
+    eval_text = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "at noon while several birds watch quietly from tall oak branches"
+    )
+    # Same meaning, zero shared tokens beyond nothing — no 13-gram, no
+    # 20-token span can collide.
+    para_text = (
+        "a speedy russet vulpine leaps across one sleepy canine beside "
+        "that stream edge around midday as sparrows observe silently "
+        "atop high poplar limbs nearby"
+    )
+    other_text = (
+        "totally unrelated prose about query planning shuffle exchanges "
+        "broadcast joins and adaptive execution inside a distributed "
+        "analytics engine running on many executor threads"
+    )
+    rows = [
+        (0, eval_text, "en", "srcX", len(eval_text)),  # eval: 0 % 7 == 0
+        (1, para_text, "en", "srcX", len(para_text)),  # train paraphrase leak
+        (2, other_text, "en", "srcX", len(other_text)),  # clean train doc
+    ]
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    v0 = [((-1.0) ** i) * (0.5 + i / 100.0) for i in range(64)]
+    v1 = [1.1 * x for x in v0]  # same direction: cosine 1.0, same sign bits
+    # Flip the sign of every odd dimension: different LSH signature AND
+    # near-orthogonal, so doc 2 can never be a candidate.
+    v2 = [x if i % 2 == 0 else -x for i, x in enumerate(v0)]
+    spark.createDataFrame(
+        [(0, v0, 0), (1, v1, 0), (2, v2, 0)],
+        "vec_id long, embedding array<double>, label int",
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+
+    sem = {r["doc_id"]: r for r in decontaminate_eval_semantic(spark, d).collect()}
+    # Flagged: the paraphrase (doc 1) and the query's own in-fixture
+    # plant of eval vec 0 (vec_id 0 < 140, % 7 == 0). Nothing else.
+    assert set(sem) == {1, SEM_PLANT_OFFSET}
+    assert sem[1]["n_eval_matches"] == 1
+    assert sem[1]["max_cosine"] >= 0.95
+
+    ng = {r["doc_id"]: r for r in decontaminate_eval_ngram13(spark, d).collect()}
+    assert not ng[1]["contaminated"]  # 13-gram gate provably misses it
+    sub = {
+        r["doc_id"]: r for r in decontaminate_eval_substring(spark, d).collect()
+    }
+    assert 1 not in sub or sub[1]["is_clean"]  # span gate misses it too
