@@ -140,16 +140,25 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 
     Signature: 12 perms → 4 bands × 3 rows. Docs sharing any band key
     become candidates; candidates are verified with true shingle-set
-    Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard).
+    Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard)."""
+    return lsh_pairs_from_signatures(minhash_signatures(docs), threshold)
+
+
+def lsh_pairs_from_signatures(
+    signatures: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """The signature-free tail of `minhash_lsh_pairs`: banded candidate
+    join + exact shingle-Jaccard verification over a PRECOMPUTED
+    (doc_id, sh, sig) signature table. Split out (round 14) so the
+    streaming telemetry face — which maintains signatures as live
+    state, each doc signed once at ingest — can generate pairs without
+    ever re-reading document text; `minhash_lsh_pairs` is exactly
+    `minhash_signatures` piped through this (bit-equal refactor).
 
     The signature table is cached: it feeds the band explode AND both
     sides of the verification join, and recomputing shingle hashing
     three times would dominate the runtime."""
-    sigs = (
-        minhash_signatures(docs)
-        .withColumnRenamed("sh", "shingles")
-        .persist()
-    )
+    sigs = signatures.withColumnRenamed("sh", "shingles").persist()
 
     bands = band_keys(sigs)
 
@@ -376,7 +385,12 @@ def dedup_clusters(
     graphs are sparse, |endpoints| ≈ 2·|pairs| ≪ |docs|). Singletons
     rejoin at the end via ONE anti-join against the (small) endpoint
     set and never shuffle at all — their row is (doc_id, doc_id, 1)
-    by construction. Output is bit-identical to the corpus-wide form.
+    by construction. Output is bit-identical to the corpus-wide form
+    PROVIDED pair endpoints ⊆ docs (every in-repo caller satisfies
+    this — pairs always derive from docs): an endpoint absent from
+    `docs` would ride the loop and could donate its id as a real
+    cluster's label, where the pre-r13 corpus-seeded form silently
+    ignored it.
 
     Returns (doc_id, cluster_id, cluster_size).
     """
@@ -476,8 +490,10 @@ def dedup_clusters(
     # the loop-internal checkpoints above stay unconditional.
     out = pin_result(out)
     labels.unpersist()
-    nodes.unpersist()
-    edges.unpersist()
+    # edges/nodes are checkpointed (pin_result), not persisted, so
+    # there is no unpersist() to call: their blocks are released when
+    # the Python refs drop and ContextCleaner collects the checkpoint
+    # RDDs (sweeps force this with gc.collect() between queries).
     return out
 
 

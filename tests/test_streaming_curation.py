@@ -352,3 +352,104 @@ def test_run_binding_engages_post_drain_when_missed_mid_stream(
         real_id = json.load(fh)["id"]
     for table in (pipe.kn.agg.state, pipe.dedup.agg.state, pipe.eval_mh.agg.state):
         assert table._run_id == real_id, "post-drain bind did not engage"
+
+
+def test_streamed_dedup_telemetry_equals_batch(spark, tmp_path):
+    """Corpus signatures folded across arbitrary micro-batches, then
+    report() == the registered batch dedup_rate_by_source query
+    exactly — per-source doc counts, dup-cluster membership, canonical
+    attribution, ratios; compaction preserves the report. No document
+    text is re-read at report time (signatures come from state)."""
+    from query_processing_over_streaming_data_using_flink_spark.plans.suite_llm_data import (
+        dedup_rate_by_source,
+    )
+    from query_processing_over_streaming_data_using_flink_spark.streaming.curation import (
+        IncrementalDedupTelemetry,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    tel = IncrementalDedupTelemetry(spark, str(tmp_path / "tel"))
+    for e in range(3):
+        tel.process_batch(docs.filter(F.col("doc_id") % 3 == e), e + 1)
+
+    def rows(df):
+        return sorted(
+            (
+                r["source"],
+                r["n_docs"],
+                r["n_in_dup_clusters"],
+                round(r["dup_doc_ratio"], 6),
+                r["n_canonicals"],
+                r["n_would_drop"],
+            )
+            for r in df.collect()
+        )
+
+    want = rows(dedup_rate_by_source(spark, SF_SMOKE))
+    got = rows(tel.report())
+    tel.release_cache()
+    assert got == want
+    assert any(r[2] > 0 for r in want), "fixture should contain dup clusters"
+    tel.compact()
+    got2 = rows(tel.report())
+    tel.release_cache()
+    assert got2 == want
+
+
+def test_dedup_telemetry_retraction_moves_ratio(spark, tmp_path):
+    """A retracted re-crawl drops out of its cluster: two near-dup
+    docs in one source read as a dup cluster (ratio 1.0); retracting
+    one leaves a singleton corpus (ratio 0.0) — the crawl-health
+    number moves the way the dashboard expects."""
+    from query_processing_over_streaming_data_using_flink_spark.streaming.curation import (
+        IncrementalDedupTelemetry,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog near the river bank today"
+    tel = IncrementalDedupTelemetry(spark, str(tmp_path / "tel"))
+    ins = spark.createDataFrame(
+        [(1, text, "srcA"), (2, text + " extra", "srcA")],
+        "doc_id long, text string, source string",
+    )
+    tel.process_batch(ins, 1)
+    r1 = {r["source"]: r for r in tel.report().collect()}
+    tel.release_cache()
+    assert r1["srcA"]["n_docs"] == 2
+    assert r1["srcA"]["n_in_dup_clusters"] == 2
+    assert r1["srcA"]["n_canonicals"] == 1  # min-id doc 1 is canonical
+    assert r1["srcA"]["n_would_drop"] == 1
+
+    retract = spark.createDataFrame(
+        [(2, text + " extra", "srcA", -1)],
+        "doc_id long, text string, source string, op int",
+    )
+    tel.process_batch(retract, 2)
+    r2 = {r["source"]: r for r in tel.report().collect()}
+    tel.release_cache()
+    assert r2["srcA"]["n_docs"] == 1
+    assert r2["srcA"]["n_in_dup_clusters"] == 0
+    assert r2["srcA"]["n_canonicals"] == 1
+    assert r2["srcA"]["n_would_drop"] == 0
+
+
+def test_dedup_telemetry_counts_unshingleable_docs(spark, tmp_path):
+    """A doc too short to shingle still counts in the telemetry (the
+    batch query counts every document row): it lands as a singleton
+    with an empty signature and can never produce a candidate pair."""
+    from query_processing_over_streaming_data_using_flink_spark.streaming.curation import (
+        IncrementalDedupTelemetry,
+    )
+
+    tel = IncrementalDedupTelemetry(spark, str(tmp_path / "tel"))
+    tel.process_batch(
+        spark.createDataFrame(
+            [(1, "hi", "srcA"), (2, "ok", "srcA")],
+            "doc_id long, text string, source string",
+        ),
+        1,
+    )
+    r = {x["source"]: x for x in tel.report().collect()}
+    tel.release_cache()
+    assert r["srcA"]["n_docs"] == 2
+    assert r["srcA"]["n_in_dup_clusters"] == 0
+    assert r["srcA"]["n_canonicals"] == 2
