@@ -14,11 +14,21 @@ process-local switch: inside ``unpinned_for_explain()`` it becomes a
 no-op, so ``scripts/dump_plans.py`` sees the real subtree while every
 production/benchmark call path keeps the eager materialization.
 
-Only FINAL-RESULT checkpoints route through here. Iteration-internal
-checkpoints (power iteration, BPE merge rounds, connected-components
-label propagation, MMR selection) stay direct ``localCheckpoint``
-calls: skipping those would make the explain plan itself exponential
-in the round count, which is the opposite of a readable artifact.
+FINAL-RESULT checkpoints route through here, and — since round 13 —
+so do SHARED-INPUT pins: ``connected_components_clusters`` pins its
+edges/nodes inputs via ``pin_result`` (operators/dedup.py) because a
+merely *persisted* input's full lineage still renders into every
+consumer's plan string, and the un-truncated LSH-pair subtree OOMed
+the driver inside ``QueryExecution.explainString`` when the final
+result was checkpointed eagerly. Pinning the shared inputs severs
+that lineage in production while ``unpinned_for_explain()`` still
+recovers the real subtree for the PLANS.md artifact.
+
+Iteration-internal checkpoints (power iteration, BPE merge rounds,
+connected-components label propagation, MMR selection) stay direct
+``localCheckpoint`` calls: skipping those would make the explain plan
+itself exponential in the round count, which is the opposite of a
+readable artifact.
 """
 
 from __future__ import annotations
