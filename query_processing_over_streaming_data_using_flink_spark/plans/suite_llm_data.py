@@ -5203,3 +5203,184 @@ FROM x GROUP BY doc_id
 register(
     "decontaminate_eval_semantic", decontaminate_eval_semantic, _SEM_DECONTAM_SQL
 )
+
+
+SEM_PLANT_OFFSET2 = 3_000_000  # % 7 == 3 → adversarial plants land TRAIN-side
+
+
+def _semantic_cert_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-cert fixture: the registered query's wobble plants
+    PLUS adversarial near-miss plants — same positive wobble, but the
+    lowest-|x| dimension among the 32 signature dims sign-flipped, so
+    the vector provably leaves its eval original's LSH bucket while
+    losing only ~2× that dim's mass share of cosine. Whether each
+    lands above or below the 0.95 threshold is data-determined — that
+    is the point: the cert MEASURES what single-table sign-LSH misses
+    instead of assuming it."""
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    ev = base.filter(
+        ((F.col("vec_id") % 7) == 0) & (F.col("vec_id") < 7 * SEM_PLANT_N)
+    )
+    absf = F.transform(
+        F.slice(F.col("embedding"), 1, sim.SIG_BITS), lambda x: F.abs(x)
+    )
+    with_pos = ev.select(
+        "vec_id",
+        "embedding",
+        F.array_position(absf, F.array_min(absf)).alias("fpos"),
+    )
+    plants2 = with_pos.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: (
+                x
+                * (
+                    F.lit(1.0)
+                    + F.lit(0.1) * ((i + F.col("vec_id")) % 3).cast("double")
+                )
+            )
+            * F.when(i + F.lit(1) == F.col("fpos"), F.lit(-1.0)).otherwise(
+                F.lit(1.0)
+            ),
+        ).alias("embedding"),
+    ).select(
+        (F.col("vec_id") + F.lit(SEM_PLANT_OFFSET2)).alias("vec_id"), "embedding"
+    )
+    return _semantic_leak_embeddings(spark, sf_dir).unionByName(plants2)
+
+
+def decontaminate_semantic_recall_vs_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pair-level recall certification of the semantic decontamination
+    pass: `cross_cosine_pairs`' sign-bit bucketing audited against the
+    EXACT brute-force cross-side cosine baseline at the same 0.95
+    threshold, on a fixture that contains both in-bucket paraphrase
+    plants (the registered query's) and adversarial sign-flipped
+    near-misses (`_semantic_cert_embeddings`). One summary row: how
+    many true cross-side pairs exist, how many the buckets found, the
+    recall, and the HIGHEST-cosine pair the buckets missed — the
+    honest quantification of the single-table sign-LSH tradeoff (the
+    multi-table mitigation is `knn_lsh`'s 10-table layout). Precision
+    needs no audit: bucket collisions are verified with exact cosine
+    before emission, so bucketed ⊆ exact.
+
+    Scale: the exact side is a |train|×|eval| brute force — this cert
+    runs at test scale as ground truth (the eval side broadcasts); at
+    100 TB you certify on a sampled train stratum, the bucketed side
+    itself stays linear."""
+    e = _semantic_cert_embeddings(spark, sf_dir)
+    train = e.filter((F.col("vec_id") % 7) != 0)
+    eval_side = e.filter((F.col("vec_id") % 7) == 0)
+    bucketed = sim.cross_cosine_pairs(
+        train, eval_side, threshold=SEM_DECONTAM_THRESHOLD, broadcast_b=True
+    )
+    t = train.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a")
+    ).withColumn("n_a", sim.l2_norm(F.col("vec_a")))
+    v = eval_side.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b")
+    ).withColumn("n_b", sim.l2_norm(F.col("vec_b")))
+    exact = (
+        t.crossJoin(F.broadcast(v))
+        .withColumn(
+            "sim",
+            sim.cosine_norm(
+                F.col("vec_a"), F.col("vec_b"), F.col("n_a"), F.col("n_b")
+            ),
+        )
+        .filter(F.col("sim") >= SEM_DECONTAM_THRESHOLD)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
+    marked = exact.join(
+        bucketed.select("id_a", "id_b", F.lit(1).alias("found")),
+        ["id_a", "id_b"],
+        "left",
+    )
+    per = marked.agg(
+        F.count(F.lit(1)).alias("n_exact_pairs"),
+        F.coalesce(F.sum(F.coalesce(F.col("found"), F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_recalled"),
+        F.max(F.when(F.col("found").isNull(), F.col("sim"))).alias(
+            "max_missed_cosine"
+        ),
+    )
+    n_b = bucketed.agg(F.count(F.lit(1)).alias("n_bucketed_pairs"))
+    return per.crossJoin(F.broadcast(n_b)).select(
+        "n_exact_pairs",
+        "n_bucketed_pairs",
+        "n_recalled",
+        F.round(
+            F.when(
+                F.col("n_exact_pairs") > 0,
+                F.col("n_recalled") / F.col("n_exact_pairs"),
+            ),
+            6,
+        ).alias("recall"),
+        "max_missed_cosine",
+    )
+
+
+_SEM_RECALL_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+plants AS (
+  SELECT vec_id + {SEM_PLANT_OFFSET} AS vec_id,
+         [vec[i + 1] * (1.0 + 0.1 * CAST((i + vec_id) % 3 AS DOUBLE))
+          for i in range(len(vec))] AS vec
+  FROM base WHERE vec_id % 7 = 0 AND vec_id < {7 * SEM_PLANT_N}
+),
+plants2 AS (
+  SELECT vec_id + {SEM_PLANT_OFFSET2} AS vec_id,
+         [(vec[i + 1] * (1.0 + 0.1 * CAST((i + vec_id) % 3 AS DOUBLE)))
+          * (CASE WHEN i + 1 = fpos THEN -1.0 ELSE 1.0 END)
+          for i in range(len(vec))] AS vec
+  FROM (
+    SELECT vec_id, vec, list_indexof(la, list_min(la)) AS fpos
+    FROM (
+      SELECT vec_id, vec, list_transform(vec[1:{sim.SIG_BITS}], x -> abs(x)) AS la
+      FROM base WHERE vec_id % 7 = 0 AND vec_id < {7 * SEM_PLANT_N}
+    )
+  )
+),
+e AS (
+  SELECT vec_id, vec, {{sig}} AS sig
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM plants
+        UNION ALL SELECT * FROM plants2)
+),
+ex AS (
+  SELECT t.vec_id AS id_a, v.vec_id AS id_b, round({{cos}}, 6) AS sim
+  FROM e t JOIN e v ON t.vec_id % 7 <> 0 AND v.vec_id % 7 = 0
+  WHERE {{cos}} >= {SEM_DECONTAM_THRESHOLD}
+),
+bk AS (
+  SELECT t.vec_id AS id_a, v.vec_id AS id_b
+  FROM e t JOIN e v
+    ON t.sig = v.sig AND t.vec_id % 7 <> 0 AND v.vec_id % 7 = 0
+  WHERE {{cos}} >= {SEM_DECONTAM_THRESHOLD}
+),
+j AS (
+  SELECT ex.sim, bk.id_a AS hit
+  FROM ex LEFT JOIN bk ON ex.id_a = bk.id_a AND ex.id_b = bk.id_b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM bk) AS n_bucketed_pairs,
+       CAST(coalesce(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_recalled,
+       round(coalesce(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END), 0)
+             / nullif(count(*), 0), 6) AS recall,
+       max(CASE WHEN hit IS NULL THEN sim END) AS max_missed_cosine
+FROM j
+""".format(sig=_sig_sql("vec"), cos=_cosine_sql("t.vec", "v.vec"))
+
+
+register(
+    "decontaminate_semantic_recall_vs_exact",
+    decontaminate_semantic_recall_vs_exact,
+    _SEM_RECALL_SQL,
+)

@@ -47,6 +47,7 @@ _PRIORITY_FIRST = [
     # --- new in round 14 (never driver-checked), uncommented as each
     # lands with its oracle + dual-scale sweep MATCH:
     "decontaminate_eval_semantic",
+    "decontaminate_semantic_recall_vs_exact",
     # --- stale-4 cohort (last driver-green round 10, all 47):
     "decontaminate_eval_minhash",
     "export_shard_manifest",
@@ -98,16 +99,16 @@ _PRIORITY_FIRST = [
     # --- stale-3 fill (last driver-green round 11; 3 names, the head
     # of round 13's r11-green queue, taken in queue order):
     "curation_pipeline_full",
-    "decontaminate_eval_ngram13",
 ]
 _PUSH_LAST = [
-    # Position 51+: the OVERFLOW QUEUE, stalest-first. Head = the
-    # stale-3 filler the round-14 registration displaced from the
+    # Position 51+: the OVERFLOW QUEUE, stalest-first. Head = the two
+    # stale-3 fillers the round-14 registrations displaced from the
     # prefix, then the rest of the stale-3 (r11-green) cohort —
     # contiguous and first in line for the round-15 prefix; all remain
     # verified by the local dual-scale sweep every round meanwhile. The
     # queue rule requires non-increasing staleness, so the r12-green
     # (stale-2) and r13-green (stale-1) cohorts follow.
+    "decontaminate_eval_ngram13",
     "doc_length_histogram",
     "sample_moore_lewis",
     "classifier_calibration_bins",

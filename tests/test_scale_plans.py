@@ -245,6 +245,8 @@ _BNLJ_ALLOWED = {
     "classifier_calibration_bins",  # the NB scoring chain (class dim + stats broadcast)
     "mixture_unimax_epochs",  # 1-row corpus-totals + 1-row saturated-set broadcasts (mixture-sibling shape)
     "export_curriculum_manifest",  # the KN scoring chain's 1-row stats scalar broadcast
+    # --- round 14:
+    "decontaminate_semantic_recall_vs_exact",  # exact-baseline side is the allowed brute force + 1-row pair-count scalar
 }
 
 
