@@ -312,6 +312,65 @@ def cross_cosine_pairs(
     )
 
 
+def cross_cosine_pairs_multi(
+    a_embeddings: DataFrame,
+    b_embeddings: DataFrame,
+    threshold: float = 0.95,
+    broadcast_b: bool = True,
+) -> DataFrame:
+    """Multi-table (OR-amplified) cross-side cosine pairs — the
+    production-recall form of `cross_cosine_pairs`: a candidate is any
+    A vector sharing ≥1 of the 10 5-bit sign-signature tables with a
+    B vector (`_lsh_tables` — knn_lsh's layout), verified with exact
+    cosine. The single-table 32-bit form misses REAL near-duplicates
+    badly at production thresholds: per-bit sign agreement at cosine
+    0.95 is ~0.91, so all 32 bits agree with probability ~0.05, and
+    the registered recall cert measures even the adversarial
+    single-bit-flip case at 0.5 — OR-amplification over 10 narrow
+    tables takes the all-tables-miss probability to
+    (1 − 0.91⁵)^10 ≈ 1e-4 while candidates stay an equi-join.
+    A pair colliding in several tables is folded by a pair-level
+    distinct before emission (`sim` is the same arithmetic in every
+    copy, so the distinct is exact). Same scale shape as the
+    single-table form: the B side broadcasts (benchmark-sized in the
+    decontamination use), the A side streams its 10 (table, sig) keys
+    map-side, and the only shuffle is the pair-level distinct."""
+    a = (
+        a_embeddings.select(
+            F.col("vec_id").alias("id_a"),
+            _as_double(F.col("embedding")).alias("vec_a"),
+        )
+        .withColumn("n_a", l2_norm(F.col("vec_a")))
+        .select(
+            "id_a", "vec_a", "n_a",
+            F.explode(_lsh_tables(F.col("vec_a"))).alias("t"),
+        )
+        .select("id_a", "vec_a", "n_a", "t.tbl", "t.sig")
+    )
+    b = (
+        b_embeddings.select(
+            F.col("vec_id").alias("id_b"),
+            _as_double(F.col("embedding")).alias("vec_b"),
+        )
+        .withColumn("n_b", l2_norm(F.col("vec_b")))
+        .select(
+            "id_b", "vec_b", "n_b",
+            F.explode(_lsh_tables(F.col("vec_b"))).alias("t"),
+        )
+        .select("id_b", "vec_b", "n_b", "t.tbl", "t.sig")
+    )
+    return (
+        a.join(F.broadcast(b) if broadcast_b else b, ["tbl", "sig"])
+        .withColumn(
+            "sim",
+            cosine_norm(F.col("vec_a"), F.col("vec_b"), F.col("n_a"), F.col("n_b")),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+        .distinct()
+    )
+
+
 # IVF-flat coarse quantizer: cells seeded by vec_id % IVF_CELLS, then
 # IVF_REFINE Lloyd rounds (re-assign to nearest centroid, re-aggregate
 # — the same single aggregate repeated, no driver loop over data).

@@ -5154,19 +5154,24 @@ def decontaminate_eval_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     span, near-identical embedding — flagged here, invisible to
     `decontaminate_eval_ngram13` and `decontaminate_eval_substring`).
 
-    Engine: `operators/similarity.py:cross_cosine_pairs` — train-side
-    vectors scored against the eval slice's vectors only where the
-    32-sign-bit LSH signatures collide, verified with exact cosine at
-    >= 0.95. Per flagged training doc: how many eval items it
-    semantically duplicates and the worst cosine.
+    Engine: `operators/similarity.py:cross_cosine_pairs_multi` —
+    train-side vectors scored against the eval slice's vectors where
+    ANY of the 10 5-bit sign-signature LSH tables collide
+    (OR-amplification, knn_lsh's layout: at cosine 0.95 a single
+    32-bit table keeps only ~5% of real near-dups, 10 narrow tables
+    ~99.99% — measured by `decontaminate_semantic_recall_vs_exact`),
+    verified with exact cosine at >= 0.95. Per flagged training doc:
+    how many eval items it semantically duplicates and the worst
+    cosine.
 
     100 TB shape: the eval side is a benchmark suite — thousands of
     rows, not corpus-scale — so it BROADCASTS and the corpus streams
-    through the bucket probe map-side; no corpus shuffle at all."""
+    its 10 table keys through the bucket probe map-side; the only
+    shuffle is the pair-level distinct."""
     e = _semantic_leak_embeddings(spark, sf_dir)
     train = e.filter((F.col("vec_id") % 7) != 0)
     eval_side = e.filter((F.col("vec_id") % 7) == 0)
-    pairs = sim.cross_cosine_pairs(
+    pairs = sim.cross_cosine_pairs_multi(
         train, eval_side, threshold=SEM_DECONTAM_THRESHOLD, broadcast_b=True
     )
     return pairs.groupBy(F.col("id_a").alias("doc_id")).agg(
@@ -5185,19 +5190,19 @@ plants AS (
           for i in range(len(vec))] AS vec
   FROM base WHERE vec_id % 7 = 0 AND vec_id < {7 * SEM_PLANT_N}
 ),
-e AS (
-  SELECT vec_id, vec, {{sig}} AS sig
-  FROM (SELECT * FROM base UNION ALL SELECT * FROM plants)
-),
+e AS (SELECT * FROM base UNION ALL SELECT * FROM plants),
+tr AS (SELECT * FROM e WHERE vec_id % 7 <> 0),
+ev AS (SELECT * FROM e WHERE vec_id % 7 = 0),
+ta AS ({_lsh_tables_sql('tr', 'id_a')}),
+tb AS ({_lsh_tables_sql('ev', 'id_b')}),
 x AS (
-  SELECT t.vec_id AS doc_id, round({{cos}}, 6) AS sim
-  FROM e t JOIN e v ON t.sig = v.sig
-  WHERE t.vec_id % 7 <> 0 AND v.vec_id % 7 = 0
-    AND {{cos}} >= {SEM_DECONTAM_THRESHOLD}
+  SELECT DISTINCT t.id_a AS doc_id, v.id_b, round({{cos}}, 6) AS sim
+  FROM ta t JOIN tb v ON t.tbl = v.tbl AND t.sig = v.sig
+  WHERE {{cos}} >= {SEM_DECONTAM_THRESHOLD}
 )
 SELECT doc_id, count(*) AS n_eval_matches, max(sim) AS max_cosine
 FROM x GROUP BY doc_id
-""".format(sig=_sig_sql("vec"), cos=_cosine_sql("t.vec", "v.vec"))
+""".format(cos=_cosine_sql("t.vec", "v.vec"))
 
 
 register(
@@ -5256,26 +5261,31 @@ def decontaminate_semantic_recall_vs_exact(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Pair-level recall certification of the semantic decontamination
-    pass: `cross_cosine_pairs`' sign-bit bucketing audited against the
-    EXACT brute-force cross-side cosine baseline at the same 0.95
-    threshold, on a fixture that contains both in-bucket paraphrase
-    plants (the registered query's) and adversarial sign-flipped
-    near-misses (`_semantic_cert_embeddings`). One summary row: how
-    many true cross-side pairs exist, how many the buckets found, the
-    recall, and the HIGHEST-cosine pair the buckets missed — the
-    honest quantification of the single-table sign-LSH tradeoff (the
-    multi-table mitigation is `knn_lsh`'s 10-table layout). Precision
-    needs no audit: bucket collisions are verified with exact cosine
-    before emission, so bucketed ⊆ exact.
+    pass, BOTH bucketing designs audited against the EXACT brute-force
+    cross-side cosine baseline at the same 0.95 threshold, on a
+    fixture that contains in-bucket paraphrase plants (the registered
+    query's) and adversarial sign-flipped near-misses
+    (`_semantic_cert_embeddings`). One summary row: how many true
+    cross-side pairs exist; the single-table 32-bit pass's recall and
+    its highest-cosine miss (~0.5 / ~0.998 — every adversarial flip
+    leaves its bucket); and the production multi-table pass's recall
+    (`cross_cosine_pairs_multi`, the one `decontaminate_eval_semantic`
+    runs — a flip kills exactly 1 of the 10 tables, the other 9 still
+    collide, so recall is 1.0 here). Precision needs no audit: bucket
+    collisions are verified with exact cosine before emission, so both
+    bucketed sets ⊆ exact.
 
     Scale: the exact side is a |train|×|eval| brute force — this cert
     runs at test scale as ground truth (the eval side broadcasts); at
-    100 TB you certify on a sampled train stratum, the bucketed side
-    itself stays linear."""
+    100 TB you certify on a sampled train stratum, the bucketed
+    passes themselves stay linear."""
     e = _semantic_cert_embeddings(spark, sf_dir)
     train = e.filter((F.col("vec_id") % 7) != 0)
     eval_side = e.filter((F.col("vec_id") % 7) == 0)
-    bucketed = sim.cross_cosine_pairs(
+    single = sim.cross_cosine_pairs(
+        train, eval_side, threshold=SEM_DECONTAM_THRESHOLD, broadcast_b=True
+    )
+    multi = sim.cross_cosine_pairs_multi(
         train, eval_side, threshold=SEM_DECONTAM_THRESHOLD, broadcast_b=True
     )
     t = train.select(
@@ -5296,32 +5306,33 @@ def decontaminate_semantic_recall_vs_exact(
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )
     marked = exact.join(
-        bucketed.select("id_a", "id_b", F.lit(1).alias("found")),
+        single.select("id_a", "id_b", F.lit(1).alias("f_s")),
+        ["id_a", "id_b"],
+        "left",
+    ).join(
+        multi.select("id_a", "id_b", F.lit(1).alias("f_m")),
         ["id_a", "id_b"],
         "left",
     )
+    hit = lambda c: F.coalesce(F.sum(F.coalesce(F.col(c), F.lit(0))), F.lit(0)).cast("long")  # noqa: E731
     per = marked.agg(
         F.count(F.lit(1)).alias("n_exact_pairs"),
-        F.coalesce(F.sum(F.coalesce(F.col("found"), F.lit(0))), F.lit(0))
-        .cast("long")
-        .alias("n_recalled"),
-        F.max(F.when(F.col("found").isNull(), F.col("sim"))).alias(
-            "max_missed_cosine"
+        hit("f_s").alias("n_recalled_single"),
+        F.max(F.when(F.col("f_s").isNull(), F.col("sim"))).alias(
+            "max_missed_single"
         ),
+        hit("f_m").alias("n_recalled_multi"),
     )
-    n_b = bucketed.agg(F.count(F.lit(1)).alias("n_bucketed_pairs"))
-    return per.crossJoin(F.broadcast(n_b)).select(
+    ratio = lambda c: F.round(  # noqa: E731
+        F.when(F.col("n_exact_pairs") > 0, F.col(c) / F.col("n_exact_pairs")), 6
+    )
+    return per.select(
         "n_exact_pairs",
-        "n_bucketed_pairs",
-        "n_recalled",
-        F.round(
-            F.when(
-                F.col("n_exact_pairs") > 0,
-                F.col("n_recalled") / F.col("n_exact_pairs"),
-            ),
-            6,
-        ).alias("recall"),
-        "max_missed_cosine",
+        "n_recalled_single",
+        ratio("n_recalled_single").alias("recall_single"),
+        "max_missed_single",
+        "n_recalled_multi",
+        ratio("n_recalled_multi").alias("recall_multi"),
     )
 
 
@@ -5353,28 +5364,40 @@ e AS (
   FROM (SELECT * FROM base UNION ALL SELECT * FROM plants
         UNION ALL SELECT * FROM plants2)
 ),
+tr AS (SELECT * FROM e WHERE vec_id % 7 <> 0),
+ev AS (SELECT * FROM e WHERE vec_id % 7 = 0),
 ex AS (
   SELECT t.vec_id AS id_a, v.vec_id AS id_b, round({{cos}}, 6) AS sim
-  FROM e t JOIN e v ON t.vec_id % 7 <> 0 AND v.vec_id % 7 = 0
+  FROM tr t JOIN ev v ON {{cos}} >= {SEM_DECONTAM_THRESHOLD}
+),
+bk_s AS (
+  SELECT t.vec_id AS id_a, v.vec_id AS id_b
+  FROM tr t JOIN ev v ON t.sig = v.sig
   WHERE {{cos}} >= {SEM_DECONTAM_THRESHOLD}
 ),
-bk AS (
-  SELECT t.vec_id AS id_a, v.vec_id AS id_b
-  FROM e t JOIN e v
-    ON t.sig = v.sig AND t.vec_id % 7 <> 0 AND v.vec_id % 7 = 0
+ta AS ({_lsh_tables_sql('tr', 'id_a')}),
+tb AS ({_lsh_tables_sql('ev', 'id_b')}),
+bk_m AS (
+  SELECT DISTINCT t.id_a, v.id_b
+  FROM ta t JOIN tb v ON t.tbl = v.tbl AND t.sig = v.sig
   WHERE {{cos}} >= {SEM_DECONTAM_THRESHOLD}
 ),
 j AS (
-  SELECT ex.sim, bk.id_a AS hit
-  FROM ex LEFT JOIN bk ON ex.id_a = bk.id_a AND ex.id_b = bk.id_b
+  SELECT ex.sim, s.id_a AS hit_s, m.id_a AS hit_m
+  FROM ex
+  LEFT JOIN bk_s s ON ex.id_a = s.id_a AND ex.id_b = s.id_b
+  LEFT JOIN bk_m m ON ex.id_a = m.id_a AND ex.id_b = m.id_b
 )
 SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
-       (SELECT CAST(count(*) AS BIGINT) FROM bk) AS n_bucketed_pairs,
-       CAST(coalesce(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
-           AS n_recalled,
-       round(coalesce(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END), 0)
-             / nullif(count(*), 0), 6) AS recall,
-       max(CASE WHEN hit IS NULL THEN sim END) AS max_missed_cosine
+       CAST(coalesce(sum(CASE WHEN hit_s IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_recalled_single,
+       round(coalesce(sum(CASE WHEN hit_s IS NOT NULL THEN 1 ELSE 0 END), 0)
+             / nullif(count(*), 0), 6) AS recall_single,
+       max(CASE WHEN hit_s IS NULL THEN sim END) AS max_missed_single,
+       CAST(coalesce(sum(CASE WHEN hit_m IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_recalled_multi,
+       round(coalesce(sum(CASE WHEN hit_m IS NOT NULL THEN 1 ELSE 0 END), 0)
+             / nullif(count(*), 0), 6) AS recall_multi
 FROM j
 """.format(sig=_sig_sql("vec"), cos=_cosine_sql("t.vec", "v.vec"))
 

@@ -127,10 +127,10 @@ SELECTED = [
      "the LSH clustering subtree unchanged, then a single map-side-"
      "combinable aggregate on source — no extra corpus-scale shuffle"),
     ("decontaminate_eval_semantic", "semantic eval decontamination",
-     "32-sign-bit LSH bucket equi-join with the eval side BROADCAST "
+     "10-table sign-LSH bucket equi-join with the eval side BROADCAST "
      "(benchmark-sized at scale), exact-cosine verification on bucket "
-     "collisions only, one per-doc aggregate — the corpus side never "
-     "shuffles"),
+     "collisions only, pair-level distinct then one per-doc aggregate "
+     "— the corpus side streams its table keys map-side"),
 ]
 
 
