@@ -525,6 +525,16 @@ def main() -> None:
         try:
             scale, off = 10, 1 << 40
             rep = F.explode(F.array(*[F.lit(i) for i in range(scale)])).alias("_rep")
+            # r14: write the fixtures at session parallelism. The source
+            # scan is one task (single small file), so the explode chain
+            # used to emit ONE single-row-group file — and every soak op
+            # then scanned it as ONE task on 32 cores, which is what made
+            # the r10-r13 soak ratios read superlinear (8-13x for linear
+            # ops). A real 10x corpus is many files; this is the honest
+            # layout (guide §6), not a workload change — op timings below
+            # are unchanged in methodology and the fixture rows are
+            # identical.
+            n_files = spark.sparkContext.defaultParallelism
             t0 = time.time()
             d = load_table(spark, sf_dir, "documents").select("*", rep)
             d = (
@@ -543,12 +553,16 @@ def main() -> None:
                 )
                 .withColumn("n_chars", F.length("text"))
             )
-            d.drop("_rep").write.parquet(os.path.join(tmp, "documents.parquet"))
+            d.drop("_rep").repartition(n_files).write.parquet(
+                os.path.join(tmp, "documents.parquet")
+            )
             e_ = load_table(spark, sf_dir, "embeddings").select("*", rep)
             e_ = e_.withColumn(
                 "vec_id", F.col("vec_id") + F.col("_rep").cast("long") * off
             )
-            e_.drop("_rep").write.parquet(os.path.join(tmp, "embeddings.parquet"))
+            e_.drop("_rep").repartition(n_files).write.parquet(
+                os.path.join(tmp, "embeddings.parquet")
+            )
             # Second, VERBATIM 10x documents fixture (text unchanged,
             # ids offset) for the map-side BPE APPLY row: the suffixed
             # replicas inflate per-word apply cost ~1.4x (bpe_piece is
@@ -565,7 +579,9 @@ def main() -> None:
             dv = dv.withColumn(
                 "doc_id", F.col("doc_id") + F.col("_rep").cast("long") * off
             )
-            dv.drop("_rep").write.parquet(os.path.join(tmpv, "documents.parquet"))
+            dv.drop("_rep").repartition(n_files).write.parquet(
+                os.path.join(tmpv, "documents.parquet")
+            )
             gen_sec = round(time.time() - t0, 3)
 
             sf01_ref = {

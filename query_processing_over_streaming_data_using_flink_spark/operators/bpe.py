@@ -165,6 +165,7 @@ def bpe_token_counts(
     docs: DataFrame,
     merges: tuple[tuple[str, str], ...] = DEFAULT_MERGES,
     carry: tuple[str, ...] = (),
+    spread: bool = True,
 ) -> DataFrame:
     """(doc_id, n_pieces, n_tokens_bpe) per document — the production
     path: Arrow-batched pure-Python BPE via `mapInPandas` (no
@@ -173,8 +174,17 @@ def bpe_token_counts(
     the input schema — e.g. `lang` for per-language rollups, bigint
     `n_chars` for fertility) so downstream aggregates never need a
     corpus-scale self-join back onto `documents`."""
+    from query_processing_over_streaming_data_using_flink_spark.operators.layout import fanout
+
     validate_merges(merges)
     ranks = {m: i for i, m in enumerate(merges)}
+    # Greedy BPE is the most CPU-expensive per-row op in the repo; an
+    # under-parallel input would run every Arrow batch on one core.
+    # `spread=False` opts a caller out — for plans that re-evaluate the
+    # count subtree under a join where the extra exchange measured as a
+    # net loss (interleaved A/B: mixture_bpe_token_budget 1.67->2.14s).
+    if spread:
+        docs = fanout(docs)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pat = re.compile(BPE_PRETOKEN_RE)

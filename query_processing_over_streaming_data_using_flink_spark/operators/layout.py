@@ -13,11 +13,41 @@ layout decisions explicit and testable.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TARGET_FILE_BYTES = 128 << 20  # parquet row-group sweet spot
+
+
+def fanout(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Spread an under-parallel frame across the session's cores before
+    CPU-heavy per-row work (shingle hashing, BPE, n-gram explodes).
+
+    Parquet splitting is row-group-bounded: a single-row-group file
+    scans as ONE task no matter how many cores the session has, and
+    every expression computed map-side above that scan runs on one
+    core. This helper repartitions to the session's default parallelism
+    — but ONLY when the frame is narrower than that, so it is
+    scale-adaptive rather than tuned for local mode: a production scan
+    arrives thousands of splits wide and the repartition never fires
+    (the partition-count probe is plan-only, no job). Column pruning
+    pushes through the exchange, so only the columns the caller selects
+    ride the shuffle.
+
+    No-op for streaming frames (micro-batch planning re-splits on its
+    own, and the probe needs an RDD) and under SPARK_GRAFT_FANOUT=0
+    (measurement A/B switch).
+    """
+    if df.isStreaming or os.environ.get("SPARK_GRAFT_FANOUT", "1") == "0":
+        return df
+    spark = df.sparkSession
+    if target is None:
+        target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 # Z-order quantization width. 16 bits per dimension → 32-bit keys:
 # plenty of resolution for file-level clustering (even a 100 TB table

@@ -168,6 +168,10 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "content": contents, "media_type": types}
             )
 
+    # NOT fanned out (r14): WAV synthesis is numpy-cheap per row; the
+    # interleaved A/B measured the extra exchange as a net loss on the
+    # audio/mixed consumers (e.g. audio_ahash_near_dup 1.39->1.85s).
+    # The image corpus below IS fanned out - PPM raster work is heavy.
     return docs.select("doc_id").mapInPandas(
         op, schema="doc_id long, content binary, media_type string"
     )
@@ -253,7 +257,11 @@ def synthesize_image_corpus(
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    from query_processing_over_streaming_data_using_flink_spark.operators.layout import fanout
+
+    # Pure-Python codec work per row: fan an under-parallel input out
+    # so the Arrow batches use every core (no-op at production widths).
+    return fanout(docs.select("doc_id")).mapInPandas(
         op, schema="doc_id long, content binary, media_type string"
     )
 
@@ -305,6 +313,10 @@ def synthesize_audio_corpus(docs: DataFrame, repeat: int = 101) -> DataFrame:
                 }
             )
 
+    # NOT fanned out (r14): WAV synthesis is numpy-cheap per row; the
+    # interleaved A/B measured the extra exchange as a net loss on the
+    # audio/mixed consumers (e.g. audio_ahash_near_dup 1.39->1.85s).
+    # The image corpus below IS fanned out - PPM raster work is heavy.
     return docs.select("doc_id").mapInPandas(
         op, schema="doc_id long, content binary, media_type string"
     )

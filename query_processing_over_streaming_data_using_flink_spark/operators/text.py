@@ -161,6 +161,12 @@ def shingle_hash_rows(docs, k: int = 3):
     re-evaluation (see `shingle_hashes`)."""
     from pyspark.sql.window import Window
 
+    # NOT fanned out (r14): only tokenize+posexplode run map-side here —
+    # the md5 hashing happens after the window's doc_id shuffle, which
+    # already parallelizes it. An interleaved A/B over all 11 minhash-
+    # family consumers measured the extra exchange as net-negative
+    # (e.g. minhash_estimate_quality 1.39->1.72s); contrast
+    # `dedup._span_shingles`, which hashes map-side and gains 2.5x.
     toks = docs.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
     )

@@ -113,7 +113,12 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text metrics: token counts (whitespace + BPE-ish
     estimate), punctuation ratio, stopword ratio, composite quality
     score. One scan, zero shuffles."""
-    docs = load_table(spark, sf_dir, "documents")
+    from query_processing_over_streaming_data_using_flink_spark.operators.layout import fanout
+
+    # All five metrics are map-side regex/array work over `text`; on
+    # an under-parallel input they run on one core (fanout is a no-op
+    # once the scan arrives wider than the session's parallelism).
+    docs = fanout(load_table(spark, sf_dir, "documents"))
     text = F.col("text")
     return docs.select(
         "doc_id",
@@ -141,7 +146,11 @@ FROM (SELECT *, {_TOKENS} AS toks FROM documents)
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID (stopword argmax) vs the labeled lang."""
-    docs = load_table(spark, sf_dir, "documents")
+    from query_processing_over_streaming_data_using_flink_spark.operators.layout import fanout
+
+    # The stopword-count argmax is a large map-side expression tree
+    # (|langs| list_filters per row) — fan an under-parallel scan out.
+    docs = fanout(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         "lang",
@@ -3746,7 +3755,11 @@ def mixture_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle replays the counts through the replace-chain rendering
     and the identical rate/draw arithmetic."""
     docs = load_table(spark, sf_dir, "documents")
-    counts = bp.bpe_token_counts(docs).select(
+    # spread=False: this plan re-evaluates the count subtree under the
+    # rate join, where the fanout exchange measured as a net loss
+    # (1.67 -> 2.14 s interleaved A/B) — unlike every standalone
+    # tokenizer query, which gains ~2x from it.
+    counts = bp.bpe_token_counts(docs, spread=False).select(
         "doc_id", F.col("n_tokens_bpe").alias("toks")
     )
     per_doc = docs.select("doc_id", "source").join(counts, "doc_id")

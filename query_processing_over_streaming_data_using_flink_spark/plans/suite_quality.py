@@ -1612,7 +1612,11 @@ def _dsir_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     float interpolation."""
     docs = load_table(spark, sf_dir, "documents")
     from query_processing_over_streaming_data_using_flink_spark.functions.scalar import md5_hash64
+    from query_processing_over_streaming_data_using_flink_spark.operators.layout import fanout
 
+    # Gram explode + md5 bucketing are map-side in the scan task —
+    # fan an under-parallel input out so they parallelize.
+    docs = fanout(docs)
     feats = (
         docs.withColumn("tk", tx.tokens(F.col("text")))
         .select(

@@ -351,7 +351,14 @@ def test_image_dhash_plan_stays_partition_local(spark):
     dh = mm.image_dhash(mm.synthesize_image_corpus(docs, repeat=101))
     plan = _plan(dh)
     assert plan.count("MapInPandas") == 2, plan
-    assert "Exchange" not in plan, plan
+    # Rasters must never shuffle. The r14 fanout MAY repartition the
+    # bare doc_id rows BELOW the synthesize stage (that exchange
+    # carries 8-byte ids, not content); above it — from synthesis
+    # through hashing — the plan stays exchange-free. The plan string
+    # prints root-first, so "above synthesize" is everything before
+    # the LAST MapInPandas line.
+    above_synth = plan[: plan.rindex("MapInPandas")]
+    assert "Exchange" not in above_synth, plan
 
 
 def test_covariance_gram_partial_plan(spark):
