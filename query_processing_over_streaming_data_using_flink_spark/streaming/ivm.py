@@ -323,6 +323,21 @@ class IncrementalQ3:
             # and checkpoint ack): its delta is already in the committed
             # version — applying it again would double the weights.
             return
+        # Phase wall-clock per epoch, exported through last_stats (the
+        # r14 optimization rounds size their work from these numbers).
+        import time as _time
+
+        _phase_t0 = _time.time()
+        _phases: dict[str, float] = {}
+
+        def _mark(name: str) -> None:
+            nonlocal _phase_t0
+            now = _time.time()
+            _phases[name] = _phases.get(name, 0.0) + round(now - _phase_t0, 3)
+            _phase_t0 = now
+
+        sc = self.spark.sparkContext
+        sc.setJobDescription(f"ivm epoch {epoch_id}: delta spill")
         # The three relation splits each scan the micro-batch; cache it
         # once so the concurrent spill jobs share one source read.
         batch.persist()
@@ -330,6 +345,7 @@ class IncrementalQ3:
             dc, do, dl = self._spill_deltas(*self._split(batch))
         finally:
             batch.unpersist()
+        _mark("spill")
         # Emptiness probes on the spilled deltas: the bucket-partitioned
         # write creates bucket= subdirectories only for rows that exist,
         # so a directory listing answers "any rows?" with zero Spark
@@ -422,6 +438,7 @@ class IncrementalQ3:
             )
 
         if co_parts:
+            sc.setJobDescription(f"ivm epoch {epoch_id}: delta-CO join+spill")
             dco_all = co_parts[0]
             for part in co_parts[1:]:
                 dco_all = dco_all.unionByName(part)
@@ -433,6 +450,7 @@ class IncrementalQ3:
             )
         else:
             shutil.rmtree(self._tmp("co"), ignore_errors=True)
+        _mark("co")
         have_co = has_rows("co")
         # Guarded: with no C/O events this epoch the co tmp dir does
         # not exist, and spark.read.parquet fails EAGERLY on a missing
@@ -496,6 +514,7 @@ class IncrementalQ3:
             )
 
         if terms:
+            sc.setJobDescription(f"ivm epoch {epoch_id}: delta-R join+spill")
             delta_r = terms[0]
             for t in terms[1:]:
                 delta_r = delta_r.unionByName(t)
@@ -510,6 +529,7 @@ class IncrementalQ3:
             )
         else:
             shutil.rmtree(self._tmp("r"), ignore_errors=True)
+        _mark("r")
 
         # Per-epoch pipeline telemetry (dashboard DAG view): delta rows
         # per stage, read from the spilled files' parquet FOOTERS —
@@ -520,6 +540,15 @@ class IncrementalQ3:
         # would cost an extra action to know.
         drc, dro, drl = (dir_rows(self._tmp(n)) for n in ("c", "o", "l"))
         drco, drr = dir_rows(self._tmp("co")), dir_rows(self._tmp("r"))
+        _mark("telemetry")
+
+        # All spills are complete — the append-mode commit hard-links
+        # every previous state file and moves the delta files in next to
+        # them (pure filesystem metadata; no further Spark jobs), then
+        # atomically publishes the epoch.
+        self._commit_epoch(epoch_id)
+        _mark("commit")
+        sc.setJobDescription(None)
         self.last_stats = {
             "epoch": epoch_id,
             "events": drc + dro + drl,
@@ -529,13 +558,8 @@ class IncrementalQ3:
             "delta_co": drco,
             "delta_r": drr,
             "state_rows_appended": drc + dro + drl + drco + drr,
+            "phase_sec": _phases,
         }
-
-        # All spills are complete — the append-mode commit hard-links
-        # every previous state file and moves the delta files in next to
-        # them (pure filesystem metadata; no further Spark jobs), then
-        # atomically publishes the epoch.
-        self._commit_epoch(epoch_id)
 
     # -- result --------------------------------------------------------------
 
