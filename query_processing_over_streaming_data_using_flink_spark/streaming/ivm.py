@@ -221,39 +221,66 @@ class IncrementalQ3:
 
     # -- delta extraction ----------------------------------------------------
 
-    def _split(self, batch: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
-        """Project + filter each relation's delta as signed-weight ROWS
-        — filters are weight-preserving (SURVEY §7). Deliberately NOT
-        netted per batch: state tables are weight multisets and every
-        delta join is linear in each side, so duplicate keys are exactly
-        correct — and in a sliding-window changelog an insert and its
-        delete are `window` positions apart (≫ one micro-batch), so a
-        per-batch groupBy would cancel nothing while costing a full
-        extra shuffle per relation (measured ~30% of SF-1 epoch time).
-        Netting happens where it actually reclaims rows:
-        `compact_state`."""
+    def _spill_deltas(
+        self, batch: DataFrame
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """Single-pass unified delta spill: ONE scan of the micro-batch,
+        ONE shuffle, ONE write, then pure-metadata moves into the state
+        tables' tmp names (so the append-mode commit publishes these
+        exact files as the epoch's state write). Replaces the round-5
+        three-writes shape (persist + three per-relation shuffles) —
+        every event rides exactly one relation's filter, so the unified
+        write shuffles the same bytes once in one job (r14: SF-1 spill
+        phase 7.8 → ~4 s).
+
+        Filters are weight-preserving (SURVEY §7) and the deltas are
+        deliberately NOT netted per batch: state tables are weight
+        multisets and every delta join is linear in each side, so
+        duplicate keys are exactly correct — and in a sliding-window
+        changelog an insert and its delete are `window` positions apart
+        (≫ one micro-batch), so a per-batch groupBy would cancel
+        nothing while costing an extra shuffle per relation (measured
+        ~30% of SF-1 epoch time). Netting happens where it reclaims
+        rows: `compact_state`.
+
+        The shuffle key is the per-relation JOIN KEY, not the derived
+        bucket column: Spark's HashPartitioning assigns partition id
+        pmod(murmur3(key), n) — exactly `_bucket` — so each task holds
+        exactly one bucket and the dynamic-partition write emits one
+        file per (relation, bucket). Repartitioning on the 32-valued
+        bucket column instead would hash 32 values into 32 partitions
+        (collisions: some tasks own 2-3 buckets, some none — the guide
+        §2.5 synthetic-key skew), measured as a ~2× straggler tail on
+        the spill stage.
+
+        Read back behind a selective predicate: the shape that
+        deterministically arms dynamic partition pruning on every
+        downstream state join."""
         cut = ts_lit(self.cutoff)
-        dc = (
-            batch.filter((F.col("relation") == "customer") & (F.col("mktsegment") == self.segment))
+        keep = (
+            ((F.col("relation") == "customer") & (F.col("mktsegment") == self.segment))
+            | ((F.col("relation") == "orders") & (F.col("orderdate") < cut))
+            | ((F.col("relation") == "lineitem") & (F.col("shipdate") > cut))
+        )
+        key = (
+            F.when(F.col("relation") == "customer", F.col("custkey"))
+            .when(F.col("relation") == "orders", F.col("o_custkey"))
+            .otherwise(F.col("orderkey"))
+        )
+        unified = (
+            batch.filter(keep)
+            .repartition(NUM_BUCKETS, key)
             .select(
+                # rel = first letter of the relation — exactly the
+                # state-table names, so the partition dirs move 1:1.
+                F.col("relation").substr(1, 1).alias("rel"),
+                _bucket(key).alias("bucket"),
                 F.col("custkey").alias("c_custkey"),
                 F.col("op").cast("long").alias("w_c"),
-                _bucket(F.col("custkey")).alias("bucket"),
-            )
-        )
-        do = (
-            batch.filter((F.col("relation") == "orders") & (F.col("orderdate") < cut))
-            .select(
                 F.col("orderkey").alias("o_orderkey"),
                 F.col("o_custkey"),
                 F.col("orderdate").alias("o_orderdate"),
                 F.col("op").cast("long").alias("w_o"),
-                _bucket(F.col("o_custkey")).alias("bucket"),
-            )
-        )
-        dl = (
-            batch.filter((F.col("relation") == "lineitem") & (F.col("shipdate") > cut))
-            .select(
                 F.col("orderkey").alias("l_orderkey"),
                 F.col("linenumber"),
                 (
@@ -262,52 +289,34 @@ class IncrementalQ3:
                         F.col("extendedprice") * (F.lit(1.0) - F.col("discount")) * 10000, 0
                     ).cast("long")
                 ).alias("w_cents"),
-                _bucket(F.col("orderkey")).alias("bucket"),
             )
         )
-        return dc, do, dl
+        # Columns not belonging to a row's relation are NULL in the
+        # changelog wire schema, so each rel=X file carries real values
+        # only for X's columns; the state-table read schemas project
+        # the rest away (state_table.read's documented contract).
+        stage = self._tmp("batchspill")
+        unified.write.partitionBy("rel", "bucket").mode("overwrite").parquet(stage)
+        import os as _os
 
-    def _spill_deltas(
-        self, dc: DataFrame, do: DataFrame, dl: DataFrame
-    ) -> tuple[DataFrame, DataFrame, DataFrame]:
-        """Materialize the (small) deltas as bucket-partitioned parquet
-        — staged DIRECTLY under the state tables' tmp names, so the
-        append-mode commit publishes these exact files as the epoch's
-        state write — and read them back behind a selective predicate:
-        the shape that deterministically arms dynamic partition pruning
-        on every downstream state join, and evaluates the micro-batch
-        exactly once for all seven terms."""
+        for t in ("c", "o", "l"):
+            dst = self._tmp(t)
+            shutil.rmtree(dst, ignore_errors=True)
+            src = _os.path.join(stage, f"rel={t}")
+            if _os.path.isdir(src):
+                _os.replace(src, dst)
+            else:
+                # Relation absent from this batch: an empty dir keeps
+                # the read-back (eager path check) and the emptiness
+                # probes working exactly as an empty parquet write did.
+                _os.makedirs(dst, exist_ok=True)
+        shutil.rmtree(stage, ignore_errors=True)
+
         schemas = {
             "c": "c_custkey long, w_c long, bucket int",
             "o": "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz, w_o long, bucket int",
             "l": "l_orderkey long, linenumber int, w_cents long, bucket int",
         }
-
-        def spill(name: str, df: DataFrame) -> None:
-            # Align output partitions with the bucket column first: a
-            # dynamic-partition write from unaligned tasks emits one
-            # file per (task × bucket) — tens of thousands of tiny
-            # state files within a few epochs (measured 29 k at SF-1,
-            # and every later probe pays the open/footer cost). After
-            # the delta-sized repartition each bucket is exactly one
-            # task → exactly one file per bucket per epoch.
-            (
-                df.repartition(NUM_BUCKETS, "bucket")
-                .write.partitionBy("bucket")
-                .mode("overwrite")
-                .parquet(self._tmp(name))
-            )
-
-        # Independent writes → concurrent Spark jobs (one session, many
-        # scheduler threads) — epoch latency is the slowest write, not
-        # the sum of the small jobs.
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            futs = [
-                pool.submit(spill, name, df)
-                for name, df in (("c", dc), ("o", do), ("l", dl))
-            ]
-            for f in futs:
-                f.result()
         # Explicit schemas: an all-empty delta writes no part files, and
         # schema inference would fail on the bare directory.
         rdc = _selective(self.spark.read.schema(schemas["c"]).parquet(self._tmp("c")), "c_custkey")
@@ -338,13 +347,7 @@ class IncrementalQ3:
 
         sc = self.spark.sparkContext
         sc.setJobDescription(f"ivm epoch {epoch_id}: delta spill")
-        # The three relation splits each scan the micro-batch; cache it
-        # once so the concurrent spill jobs share one source read.
-        batch.persist()
-        try:
-            dc, do, dl = self._spill_deltas(*self._split(batch))
-        finally:
-            batch.unpersist()
+        dc, do, dl = self._spill_deltas(batch)
         _mark("spill")
         # Emptiness probes on the spilled deltas: the bucket-partitioned
         # write creates bucket= subdirectories only for rows that exist,
@@ -399,79 +402,114 @@ class IncrementalQ3:
 
         REKEY = _bucket(F.col("o_orderkey")).alias("bucket")
 
-        # ---- stage 1: maintain the intermediate view CO = C⋈O --------------
-        # ΔCO = ΔC·O + C·ΔO + ΔC·ΔO, computed ONCE and spilled as the
-        # `co` table's epoch delta — downstream terms then probe the
-        # spilled files instead of re-deriving the union per consumer.
-        co_parts: list[DataFrame] = []
-        if have_c:
-            # ΔC ⋈ O
-            dc_b = dc.select(F.col("bucket"), F.col("c_custkey"), F.col("w_c"))
-            dc_h, o_h = sides(dc_b, spill_bytes("c"), o_old, self.state.bytes("o"))
-            co_parts.append(
-                o_h.join(
-                    dc_h,
-                    (o_old["bucket"] == dc_b["bucket"]) & (F.col("o_custkey") == F.col("c_custkey")),
-                )
-                .select(REKEY, "o_orderkey", "o_orderdate", (F.col("w_c") * F.col("w_o")).alias("w"))
-            )
-        if have_o:
-            # C ⋈ ΔO — the segment-filtered customer state is often the
-            # smaller side here; `sides` picks per-epoch.
-            do_c = do.select(
-                F.col("bucket").alias("b_c"), "o_orderkey", "o_custkey", "o_orderdate", "w_o"
-            )
-            do_h, c_h = sides(do_c, spill_bytes("o"), c_old, self.state.bytes("c"))
-            co_parts.append(
-                c_h.join(
-                    do_h,
-                    (F.col("bucket") == F.col("b_c")) & (F.col("c_custkey") == F.col("o_custkey")),
-                )
-                .select(REKEY, "o_orderkey", "o_orderdate", (F.col("w_c") * F.col("w_o")).alias("w"))
-            )
-        if have_c and have_o:
-            # ΔC ⋈ ΔO (both tiny)
-            co_parts.append(
-                dc.select("c_custkey", "w_c")
-                .join(do, F.col("c_custkey") == F.col("o_custkey"))
-                .select(REKEY, "o_orderkey", "o_orderdate", (F.col("w_c") * F.col("w_o")).alias("w"))
-            )
+        # The r delta lands as TWO independently-written part-sets
+        # (merged below) so the CO⋈ΔL term — which depends only on the
+        # OLD co state and the ΔL spill — can run concurrently with the
+        # ΔCO spill and the ΔCO-driven terms (guide §2.6: overlap
+        # independent jobs; the state is a weight multiset, so two
+        # appended part-sets sum to exactly what the single folded
+        # write summed to). Clear both staging dirs up front so a
+        # crashed prior attempt can never leak stale rows.
+        shutil.rmtree(self._tmp("r"), ignore_errors=True)
+        shutil.rmtree(self._tmp("r2"), ignore_errors=True)
+        dl_small = (
+            dl.select(F.col("bucket").alias("b_l"), "l_orderkey", "w_cents")
+            if have_l
+            else None
+        )
 
-        if co_parts:
-            sc.setJobDescription(f"ivm epoch {epoch_id}: delta-CO join+spill")
-            dco_all = co_parts[0]
-            for part in co_parts[1:]:
-                dco_all = dco_all.unionByName(part)
+        def fold_spill_r(part: DataFrame, tmp_name: str) -> None:
+            # Pre-fold the delta before it joins the result log (many
+            # lineitems per order collapse to one row per group). The
+            # repartition keys the JOIN KEY, so the partition id equals
+            # the bucket value (see _spill_deltas) — the grouped
+            # aggregate reuses that exchange (partitioning on a subset
+            # of the grouping keys satisfies its distribution) and the
+            # write emits one file per bucket instead of the old
+            # task×bucket spray (~200 files/epoch at SF-1).
             (
-                dco_all.repartition(NUM_BUCKETS, "bucket")
+                part.repartition(NUM_BUCKETS, "l_orderkey")
+                .groupBy("bucket", "l_orderkey", "o_orderdate")
+                .agg(F.sum("cents").alias("cents"))
                 .write.partitionBy("bucket")
                 .mode("overwrite")
-                .parquet(self._tmp("co"))
+                .parquet(self._tmp(tmp_name))
             )
-        else:
-            shutil.rmtree(self._tmp("co"), ignore_errors=True)
-        _mark("co")
-        have_co = has_rows("co")
-        # Guarded: with no C/O events this epoch the co tmp dir does
-        # not exist, and spark.read.parquet fails EAGERLY on a missing
-        # path (a lineitem-only micro-batch must not kill the stream).
-        dco = None
-        if have_co:
+
+        def maintain_co_chain() -> None:
+            """Stage 1 (ΔCO = ΔC·O + C·ΔO + ΔC·ΔO, spilled once as the
+            co table's epoch delta) followed by the ΔCO-driven r terms
+            (ΔCO·L + ΔCO·ΔL) — the dependent chain, one thread."""
+            t0 = _time.time()
+            sc.setJobDescription(f"ivm epoch {epoch_id}: delta-CO join+spill")
+            co_parts: list[DataFrame] = []
+            if have_c:
+                # ΔC ⋈ O
+                dc_b = dc.select(F.col("bucket"), F.col("c_custkey"), F.col("w_c"))
+                dc_h, o_h = sides(dc_b, spill_bytes("c"), o_old, self.state.bytes("o"))
+                co_parts.append(
+                    o_h.join(
+                        dc_h,
+                        (o_old["bucket"] == dc_b["bucket"]) & (F.col("o_custkey") == F.col("c_custkey")),
+                    )
+                    .select(REKEY, "o_orderkey", "o_orderdate", (F.col("w_c") * F.col("w_o")).alias("w"))
+                )
+            if have_o:
+                # C ⋈ ΔO — the segment-filtered customer state is often
+                # the smaller side here; `sides` picks per-epoch.
+                do_c = do.select(
+                    F.col("bucket").alias("b_c"), "o_orderkey", "o_custkey", "o_orderdate", "w_o"
+                )
+                do_h, c_h = sides(do_c, spill_bytes("o"), c_old, self.state.bytes("c"))
+                co_parts.append(
+                    c_h.join(
+                        do_h,
+                        (F.col("bucket") == F.col("b_c")) & (F.col("c_custkey") == F.col("o_custkey")),
+                    )
+                    .select(REKEY, "o_orderkey", "o_orderdate", (F.col("w_c") * F.col("w_o")).alias("w"))
+                )
+            if have_c and have_o:
+                # ΔC ⋈ ΔO (both tiny)
+                co_parts.append(
+                    dc.select("c_custkey", "w_c")
+                    .join(do, F.col("c_custkey") == F.col("o_custkey"))
+                    .select(REKEY, "o_orderkey", "o_orderdate", (F.col("w_c") * F.col("w_o")).alias("w"))
+                )
+
+            if co_parts:
+                dco_all = co_parts[0]
+                for part in co_parts[1:]:
+                    dco_all = dco_all.unionByName(part)
+                # Keyed on o_orderkey → partition id == bucket value
+                # (one file per bucket, no 32-into-32 hash-collision
+                # stragglers — see _spill_deltas).
+                (
+                    dco_all.repartition(NUM_BUCKETS, "o_orderkey")
+                    .write.partitionBy("bucket")
+                    .mode("overwrite")
+                    .parquet(self._tmp("co"))
+                )
+            else:
+                shutil.rmtree(self._tmp("co"), ignore_errors=True)
+            _phases["co"] = round(_time.time() - t0, 3)
+            t0 = _time.time()
+            if not has_rows("co"):
+                # Guarded: with no ΔCO rows there are no ΔCO-driven r
+                # terms (and with no C/O events the co tmp dir does not
+                # even exist — spark.read.parquet fails EAGERLY on a
+                # missing path; a lineitem-only micro-batch must not
+                # kill the stream).
+                return
             dco = _selective(
                 self.spark.read.schema(
                     "o_orderkey long, o_orderdate timestamp_ntz, w long, bucket int"
                 ).parquet(self._tmp("co")),
                 "o_orderkey",
             )
-
-        # ---- stage 2: ΔR = ΔCO·L + CO·ΔL + ΔCO·ΔL --------------------------
-        # The bilinear expansion of R = CO⋈L; together with stage 1 this
-        # is exactly the seven-term multilinear Δ(C⋈O⋈L), each term once.
-        terms: list[DataFrame] = []
-        if have_co:
+            sc.setJobDescription(f"ivm epoch {epoch_id}: delta-R (dCO terms) join+spill")
             # ΔCO ⋈ L — the old-lineitem probe.
             dco_h, l_h = sides(dco, spill_bytes("co"), l_old, self.state.bytes("l"))
-            terms.append(
+            terms = [
                 l_h.join(
                     dco_h,
                     (l_old["bucket"] == dco["bucket"]) & (F.col("l_orderkey") == F.col("o_orderkey")),
@@ -482,15 +520,34 @@ class IncrementalQ3:
                     "o_orderdate",
                     (F.col("w") * F.col("w_cents")).alias("cents"),
                 )
-            )
-        if have_l:
-            # CO ⋈ ΔL — probe the maintained view with the lineitem
-            # delta. In a bulk epoch ΔL is millions of rows while the
-            # filtered CO view stays compact — `sides` flips the
-            # broadcast to the view.
-            dl_small = dl.select(F.col("bucket").alias("b_l"), "l_orderkey", "w_cents")
+            ]
+            if have_l:
+                # ΔCO ⋈ ΔL (both tiny)
+                terms.append(
+                    dco.join(
+                        dl_small,
+                        (dco["bucket"] == F.col("b_l")) & (F.col("o_orderkey") == F.col("l_orderkey")),
+                    )
+                    .select(
+                        F.col("b_l").alias("bucket"), "l_orderkey", "o_orderdate",
+                        (F.col("w") * F.col("w_cents")).alias("cents"),
+                    )
+                )
+            fold_spill_r(terms[0] if len(terms) == 1 else terms[0].unionByName(terms[1]), "r")
+            _phases["r_dco"] = round(_time.time() - t0, 3)
+
+        def maintain_r_dl() -> None:
+            """CO ⋈ ΔL — probe the maintained view with the lineitem
+            delta; depends only on OLD state + the ΔL spill, so it runs
+            concurrently with the whole CO chain. In a bulk epoch ΔL is
+            millions of rows while the filtered CO view stays compact —
+            `sides` flips the broadcast to the view."""
+            if not have_l:
+                return
+            t0 = _time.time()
+            sc.setJobDescription(f"ivm epoch {epoch_id}: delta-R (CO.dL term) join+spill")
             dl_h, co_h = sides(dl_small, spill_bytes("l"), co_old, self.state.bytes("co"))
-            terms.append(
+            fold_spill_r(
                 co_h.join(
                     dl_h,
                     (co_old["bucket"] == F.col("b_l")) & (F.col("o_orderkey") == F.col("l_orderkey")),
@@ -498,38 +555,34 @@ class IncrementalQ3:
                 .select(
                     F.col("b_l").alias("bucket"), "l_orderkey", "o_orderdate",
                     (F.col("w") * F.col("w_cents")).alias("cents"),
-                )
+                ),
+                "r2",
             )
-        if have_co and have_l:
-            # ΔCO ⋈ ΔL (both tiny; dl_small defined in the have_l branch)
-            terms.append(
-                dco.join(
-                    dl_small,
-                    (dco["bucket"] == F.col("b_l")) & (F.col("o_orderkey") == F.col("l_orderkey")),
-                )
-                .select(
-                    F.col("b_l").alias("bucket"), "l_orderkey", "o_orderdate",
-                    (F.col("w") * F.col("w_cents")).alias("cents"),
-                )
-            )
+            _phases["r_dl"] = round(_time.time() - t0, 3)
 
-        if terms:
-            sc.setJobDescription(f"ivm epoch {epoch_id}: delta-R join+spill")
-            delta_r = terms[0]
-            for t in terms[1:]:
-                delta_r = delta_r.unionByName(t)
-            # Pre-fold the delta before it joins the result log (many
-            # lineitems per order collapse to one row per group).
-            (
-                delta_r.groupBy("bucket", "l_orderkey", "o_orderdate")
-                .agg(F.sum("cents").alias("cents"))
-                .write.partitionBy("bucket")
-                .mode("overwrite")
-                .parquet(self._tmp("r"))
-            )
-        else:
-            shutil.rmtree(self._tmp("r"), ignore_errors=True)
-        _mark("r")
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(maintain_co_chain), pool.submit(maintain_r_dl)]
+            for f in futs:
+                f.result()
+        # Fold the CO⋈ΔL part-set into the r staging dir — pure renames
+        # (part-file names are job-UUID-unique), no Spark jobs. Both
+        # part-sets were pre-folded within themselves; cross-part
+        # netting happens where it reclaims rows: compact_state.
+        r2 = self._tmp("r2")
+        if _os.path.isdir(r2):
+            rdir = self._tmp("r")
+            for entry in _os.listdir(r2):
+                if not entry.startswith("bucket="):
+                    continue
+                ddir = _os.path.join(rdir, entry)
+                _os.makedirs(ddir, exist_ok=True)
+                sdir = _os.path.join(r2, entry)
+                for fname in _os.listdir(sdir):
+                    spath = _os.path.join(sdir, fname)
+                    if _os.path.isfile(spath):
+                        _os.replace(spath, _os.path.join(ddir, fname))
+            shutil.rmtree(r2, ignore_errors=True)
+        _mark("maintain_wall")
 
         # Per-epoch pipeline telemetry (dashboard DAG view): delta rows
         # per stage, read from the spilled files' parquet FOOTERS —

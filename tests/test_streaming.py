@@ -911,7 +911,7 @@ def test_ivm_merge_is_o_delta(spark, tmp_path):
 
     batch = _single_customer_batch(spark)
     # Plan shape check: the state restriction must be dynamic-partition-pruned.
-    dc, do, dl = pipe._spill_deltas(*pipe._split(batch))
+    dc, do, dl = pipe._spill_deltas(batch)
     restricted = pipe._restrict(pipe._read("c"), dc)
     plan = restricted._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
