@@ -357,7 +357,7 @@ def main() -> None:
             # the reference-comparable number.
             staged = os.path.join(tmp, "changelog")
             t0 = time.time()
-            build_changelog(spark, tmp, window=(n1 * 2) // 3).write.parquet(staged)
+            build_changelog(spark, tmp, window=(n1 * 2) // 3, pin=False).write.parquet(staged)
             stage_sec = round(time.time() - t0, 3)
             t0 = time.time()
             _run(q3_on_state(spark.read.parquet(staged)))
@@ -421,7 +421,7 @@ def main() -> None:
             t0 = time.time()
             # Truncate mid-drain (K = 1.5N) so the final state is
             # non-trivial and the stream==batch check is meaningful.
-            build_changelog(spark, tmp, window=10**6).filter(
+            build_changelog(spark, tmp, window=10**6, pin=False).filter(
                 F.col("seq") <= n1 + n1 // 2
             ).write.parquet(churn_staged)
             churn_stage_sec = round(time.time() - t0, 3)

@@ -56,14 +56,18 @@ def changelog_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliding-window deletes, truncated to the first K events to keep the
     comparison bounded."""
     w, k = _totals(spark, sf_dir)
-    return build_changelog(spark, sf_dir, window=w).filter(F.col("seq") <= k)
+    return build_changelog(spark, sf_dir, window=w, pin=False).filter(
+        F.col("seq") <= k
+    )
 
 
 def changelog_state_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Net state sizes after consuming the first K events — verifies
     insert/delete bookkeeping per relation."""
     w, k = _totals(spark, sf_dir)
-    log = build_changelog(spark, sf_dir, window=w).filter(F.col("seq") <= k)
+    log = build_changelog(spark, sf_dir, window=w, pin=False).filter(
+        F.col("seq") <= k
+    )
     return log.groupBy("relation").agg(
         F.count("*").alias("n_events"),
         F.sum("op").alias("net_rows"),
@@ -85,7 +89,9 @@ def changelog_windowed_churn_state(spark: SparkSession, sf_dir: str) -> DataFram
     n = sum(
         load_table(spark, sf_dir, t).count() for t in ("customer", "orders", "lineitem")
     )
-    log = build_changelog(spark, sf_dir, window=n // 4).filter(F.col("seq") <= n)
+    log = build_changelog(spark, sf_dir, window=n // 4, pin=False).filter(
+        F.col("seq") <= n
+    )
     return log.groupBy("relation").agg(
         F.count("*").alias("n_events"),
         F.sum("op").alias("net_rows"),
@@ -115,7 +121,7 @@ def changelog_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL valid_to = still live at K. History the reference's
     current-state maps discard."""
     w, k = _totals(spark, sf_dir)
-    log = build_changelog(spark, sf_dir, window=w).filter(
+    log = build_changelog(spark, sf_dir, window=w, pin=False).filter(
         (F.col("seq") <= k) & (F.col("relation") == "customer")
     )
     return scd2_from_changelog(

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from query_processing_over_streaming_data_using_flink_spark.operators.relational import global_rank
+from query_processing_over_streaming_data_using_flink_spark.pin import pin_result
 from query_processing_over_streaming_data_using_flink_spark.sources.catalog import load_table
 
 # Cost-based rank strategy cutover: a single-task sort of a few million
@@ -121,13 +122,25 @@ def _projected(spark: SparkSession, sf_dir: str, relation: str, n_rows: int) -> 
     )
 
 
-def build_changelog(spark: SparkSession, sf_dir: str, window: int | None = None) -> DataFrame:
+def build_changelog(
+    spark: SparkSession,
+    sf_dir: str,
+    window: int | None = None,
+    pin: bool = True,
+) -> DataFrame:
     """Build the interleaved insert/delete event stream.
 
     Returns schema: (seq BIGINT, op INT {+1,-1}, relation STRING,
     <PAYLOAD_COLS...>).  `window` = sliding-window capacity in rows
     (None → insert-only changelog; reference default = dataset size →
     all inserts then a full drain of deletes).
+
+    `pin` (round 14): localCheckpoint the ranked frame so consumers
+    that branch over the changelog several times (q3_on_state filters
+    it 3x, the PIT join 2x) share ONE compute of the rank machinery.
+    Callers that consume the stream exactly once (single aggregate, or
+    a write to parquet for staged replay) pass pin=False and skip the
+    materialization cost.
     """
     # Parquet row counts are metadata reads — one cheap job each, and
     # they feed both the pos arithmetic and the rank-strategy choice.
@@ -171,20 +184,36 @@ def build_changelog(spark: SparkSession, sf_dir: str, window: int | None = None)
         return ordered.select(
             F.col("g").alias("seq"), F.lit(1).alias("op"), "relation", *PAYLOAD_COLS
         )
+    # Windowed form (round 14, guide §2.4 "remove shuffles/passes
+    # outright"): the old inserts.unionByName(deletes) duplicated the
+    # ENTIRE generator subtree — 3 scans, 3 per-relation rank windows,
+    # the broadcast join and the global-rank sort ran TWICE per
+    # consumption, and a consumer that reads the changelog k times
+    # (q3_on_state filters it 3x) paid 2k recomputes (measured: the
+    # changelog_q3_current_state plan held SIX copies of the subtree).
+    # Two changes, same rows bit-for-bit:
+    #   1. Each ordered row EXPLODES into its insert+delete event pair
+    #      (a 2-element struct array), so the generator appears once
+    #      per consumer plan instead of twice.
+    #   2. The ranked frame is pinned (localCheckpoint; explain-mode
+    #      no-op, pin.py) so ALL consumer branches share ONE compute of
+    #      the rank machinery — N narrow rows materialized per build,
+    #      the explode/seq arithmetic stays a cheap map over them.
     w_lit, n_lit = F.lit(int(window)), F.lit(int(n_total))
-    inserts = ordered.select(
-        (F.col("g") + F.greatest(F.lit(0), F.col("g") - w_lit - F.lit(1))).alias("seq"),
-        F.lit(1).alias("op"),
+    if pin:
+        ordered = pin_result(ordered)
+    ins_seq = F.col("g") + F.greatest(F.lit(0), F.col("g") - w_lit - F.lit(1))
+    del_seq = F.least(F.col("g") + w_lit, n_lit) + F.col("g")
+    return ordered.select(
+        F.explode(
+            F.array(
+                F.struct(ins_seq.alias("seq"), F.lit(1).alias("op")),
+                F.struct(del_seq.alias("seq"), F.lit(-1).alias("op")),
+            )
+        ).alias("e"),
         "relation",
         *PAYLOAD_COLS,
-    )
-    deletes = ordered.select(
-        (F.least(F.col("g") + w_lit, n_lit) + F.col("g")).alias("seq"),
-        F.lit(-1).alias("op"),
-        "relation",
-        *PAYLOAD_COLS,
-    )
-    return inserts.unionByName(deletes)
+    ).select(F.col("e.seq").alias("seq"), F.col("e.op").alias("op"), "relation", *PAYLOAD_COLS)
 
 
 def changelog_sql(window: int | None = None, prefix: str = "") -> str:

@@ -60,7 +60,7 @@ def main() -> None:
     )
     staged = os.path.join(tmp, "changelog")
     t0 = time.time()
-    build_changelog(spark, tmp, window=(n1 * 2) // 3).write.parquet(staged)
+    build_changelog(spark, tmp, window=(n1 * 2) // 3, pin=False).write.parquet(staged)
     print(f"changelog_gen {round(time.time() - t0, 3)}s events={n1*2}", flush=True)
 
     nfiles = len([f for f in os.listdir(staged) if f.endswith(".parquet")])

@@ -72,7 +72,7 @@ def main() -> int:
             for t in ("customer", "orders", "lineitem")
         )
         window = (n_total * 2) // 3
-        log = build_changelog(spark, args.sf_dir, window=window)
+        log = build_changelog(spark, args.sf_dir, window=window, pin=False)
         staged = os.path.join(work, "staged")
         live = os.path.join(work, "live")
         os.makedirs(live)

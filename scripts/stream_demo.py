@@ -70,7 +70,7 @@ def main() -> None:
         )
         window = int(n_total * args.window)
         print(f"generating changelog: {n_total} inserts, window={window} → {2*n_total} events")
-        log = build_changelog(spark, args.sf_dir, window=window)
+        log = build_changelog(spark, args.sf_dir, window=window, pin=False)
         changelog_dir = os.path.join(work, "changelog")
         log.repartition(16).write.parquet(changelog_dir)
 
