@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from query_processing_over_streaming_data_using_flink_spark.operators.text import (
     doc_fingerprint,
+    shingle_hash_arrays,
     shingle_hash_rows,
     shingle_hashes,
     tokens,
@@ -84,24 +85,40 @@ def minhash_signature(text: Column) -> Column:
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """Per-doc shingle set + MinHash signature, computed the scalable
-    way: relational shingle hashing (`shingle_hash_rows` — md5 once per
-    shingle), then ONE hash-aggregate producing the shingle set and all
-    12 permutation minima together. A single shuffle on doc_id; no
-    expression-tree duplication.
+    way: map-side shingle-hash arrays (`shingle_hash_arrays` — md5 once
+    per shingle), then the 12 permutation minima as array expressions
+    over the materialized hash array. ZERO shuffles (guide §2.4): the
+    pre-r14 form exploded to (doc_id, h) rows and hash-aggregated them
+    back — a full shuffle of the shingle rows that existed only to
+    undo the explode. CollapseProject keeps the multiply-referenced
+    hash array materialized (SPARK-36718), so shingling runs once per
+    row, not once per permutation — plan-verified in plans/r14/.
+
+    `sh` element ORDER differs from the old collect_set rendering
+    (first-occurrence vs hash-table order); every consumer treats it
+    as a set (array_intersect / size — grep-verified), and collect_set
+    order was never deterministic to begin with.
 
     Returns (doc_id, sh array<long>, sig array<long>)."""
-    rows = shingle_hash_rows(docs)
-    agg = rows.groupBy("doc_id").agg(
-        F.collect_set("h").alias("sh"),
-        *[
-            F.min(_perm_expr(F.col("h"), a, b)).alias(f"m{j}")
-            for j, (a, b) in enumerate(MINHASH_PERMS)
-        ],
-    )
-    return agg.select(
+    # Docs with < 3 tokens have no 3-gram shingles — exactly the rows
+    # the old aggregate form never produced. Filtering on the TOKEN
+    # COUNT (one cheap split per row, pushed to the scan) rather than
+    # on size(hs) matters: a size(hs) > 0 filter gets pushed below the
+    # fan-out exchange with the whole shingle+md5 pipeline re-inlined
+    # into it — every row would pay the expensive expression twice,
+    # the first time on the unspread scan task.
+    eligible = docs.filter(F.size(tokens(F.col("text"))) >= 3)
+    arrays = shingle_hash_arrays(eligible)
+
+    def perm(a: int, b: int):
+        return lambda h: _perm_expr(h, a, b)
+
+    return arrays.select(
         "doc_id",
-        "sh",
-        F.array(*[F.col(f"m{j}") for j in range(len(MINHASH_PERMS))]).alias("sig"),
+        F.col("hs").alias("sh"),
+        F.array(
+            *[F.array_min(F.transform(F.col("hs"), perm(a, b))) for a, b in MINHASH_PERMS]
+        ).alias("sig"),
     )
 
 

@@ -150,34 +150,63 @@ def shingle_hashes(text: Column, k: int = 3) -> Column:
     )
 
 
+def shingle_hash_arrays(docs, k: int = 3):
+    """Per-doc distinct shingle-hash ARRAY — (doc_id, hs array<long>) —
+    computed entirely MAP-SIDE: tokenize once into a materialized array
+    column, build the k-gram strings with `transform` over index
+    `sequence`s (element_at on the materialized array — O(k) per
+    shingle, no re-tokenization), md5-hash each, array_distinct.
+
+    This replaced the round-1..13 shape (posexplode → lead() window on
+    (doc_id, pos) → md5 → DISTINCT), which paid a full shuffle of the
+    EXPLODED token rows (~k× corpus bytes) plus a distinct exchange
+    before any consumer saw a hash (guide §2.4: remove shuffles
+    outright). The two projection layers stay materialized — Catalyst's
+    CollapseProject keeps multiply-referenced non-cheap aliases (the
+    token array feeds size() + k element_at's; SPARK-36718) — so the
+    tokenizer runs once per row, plan-verified in plans/r14/.
+
+    Docs with fewer than k tokens (or NULL text) yield hs = [] —
+    `shingle_hash_rows` explodes them away, exactly as the old
+    window-form's tail filter did.
+
+    Fanned out (guide §2.5 unsplittable input): with all the hash work
+    now map-side, single-row-group local fixtures would serialize it
+    onto one core; production scans arrive wide and fanout no-ops."""
+    from query_processing_over_streaming_data_using_flink_spark.operators.layout import fanout
+
+    toks = fanout(docs.select("doc_id", "text")).select(
+        "doc_id", tokens(F.col("text")).alias("_toks")
+    )
+    return toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(shingles(F.col("_toks"), k), lambda s: md5_hash64(s))
+        ).alias("hs"),
+    )
+
+
 def shingle_hash_rows(docs, k: int = 3):
     """Relational shingle hashing: (doc_id, h) rows, one per distinct
-    k-gram shingle.
+    k-gram shingle — the map-side `shingle_hash_arrays` exploded. Zero
+    shuffles before the consumer's own join/aggregate (the pre-r14 form
+    shuffled the exploded token rows through a lead() window plus a
+    DISTINCT exchange first).
 
-    posexplode tokenizes each document exactly once; k-grams form via
-    lead() over (doc_id, pos) — a single shuffle on doc_id — and each
-    shingle is md5-hashed once. This is the scale path: at 100 TB it is
-    one narrow shuffle and a linear scan, with no quadratic expression
-    re-evaluation (see `shingle_hashes`)."""
-    from pyspark.sql.window import Window
-
-    # NOT fanned out (r14): only tokenize+posexplode run map-side here —
-    # the md5 hashing happens after the window's doc_id shuffle, which
-    # already parallelizes it. An interleaved A/B over all 11 minhash-
-    # family consumers measured the extra exchange as net-negative
-    # (e.g. minhash_estimate_quality 1.39->1.72s); contrast
-    # `dedup._span_shingles`, which hashes map-side and gains 2.5x.
-    toks = docs.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    Why the explicit token-count filter + explode_OUTER: a plain
+    explode triggers InferFiltersFromGenerate, whose size(hs)>0 &&
+    isnotnull(hs) filter gets pushed below the fan-out exchange with
+    the ENTIRE shingle+md5 pipeline re-inlined into it — measured 13.5s
+    vs 1.1s at sf0.1 (twice-per-row evaluation, serialized on the
+    unspread scan task). The rule skips outer generates; with docs
+    pre-filtered to >= k tokens (one cheap split, pushed to the scan)
+    hs is provably non-empty, so explode_outer emits exactly explode's
+    rows — and docs with < k tokens never had rows in the pre-r14 form
+    either (the lead() tail filter dropped them)."""
+    eligible = docs.filter(F.size(tokens(F.col("text"))) >= k)
+    return shingle_hash_arrays(eligible, k).select(
+        "doc_id", F.explode_outer("hs").alias("h")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
-    sh = toks.select(
-        "doc_id",
-        F.concat_ws(" ", *parts).alias("shingle"),
-        F.lead("tok", k - 1).over(w).alias("tail"),
-    ).filter(F.col("tail").isNotNull())
-    return sh.select("doc_id", md5_hash64(F.col("shingle")).alias("h")).distinct()
 
 
 def sample_hash(id_col: Column, salt: str = "smp", modulus: int = 1000) -> Column:
