@@ -287,6 +287,29 @@ def image_dhash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(op, schema="doc_id long, dh long")
 
 
+def image_dhash_meta(media: DataFrame) -> DataFrame:
+    """`image_dhash` + the raster size in ONE decode pass — (doc_id,
+    dh, n_pixel_bytes). The image keep-best pipeline needs both the
+    perceptual hash (pairing) and the decoded size (quality ranking);
+    consuming `image_dhash(media)` and `decode_media_meta(media)`
+    separately re-SYNTHESIZES and re-decodes the whole corpus twice
+    (guide §1.2: don't compute things twice). Values are bit-identical
+    to the two single-purpose operators: same `_decode_image`, same
+    `dhash64`, same `int(px.size)`."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from query_processing_over_streaming_data_using_flink_spark.operators import media_codec as mc
+
+        for pdf in batches:
+            rows = []
+            for doc_id, content, mt in zip(pdf["doc_id"], pdf["content"], pdf["media_type"]):
+                px = _decode_image(bytes(content), mt)
+                rows.append((int(doc_id), mc.dhash64(px), int(px.size)))
+            yield pd.DataFrame(rows, columns=["doc_id", "dh", "n_pixel_bytes"])
+
+    return media.mapInPandas(op, schema="doc_id long, dh long, n_pixel_bytes long")
+
+
 def synthesize_audio_corpus(docs: DataFrame, repeat: int = 101) -> DataFrame:
     """Deterministic WAV corpus WITH PLANTED NEAR-DUPLICATES: every doc
     gets a real RIFF/PCM16 blob whose base signal derives from

@@ -23,6 +23,7 @@ from query_processing_over_streaming_data_using_flink_spark.operators import mul
 from query_processing_over_streaming_data_using_flink_spark.operators import similarity as sim
 from query_processing_over_streaming_data_using_flink_spark.operators import text as tx
 from query_processing_over_streaming_data_using_flink_spark.functions.scalar import md5_hash64
+from query_processing_over_streaming_data_using_flink_spark.pin import pin_result
 from query_processing_over_streaming_data_using_flink_spark.registry import register
 from query_processing_over_streaming_data_using_flink_spark.sources.catalog import load_table
 
@@ -2663,10 +2664,16 @@ def image_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = mm.synthesize_image_corpus(docs, repeat=101)
-    pairs = dd.hamming_band_pairs(mm.image_dhash(media), "dh", 3).select(
+    # ONE synthesize+decode pass (round 14): hash and raster size come
+    # from the fused `image_dhash_meta`; the pinned narrow proxy frame
+    # (24 B/doc — the guide §8 "decide with small rows" shape) feeds
+    # both the pairing and the quality ranking, so the heavy raster
+    # work runs once instead of once per consumer.
+    feats = pin_result(mm.image_dhash_meta(media))
+    pairs = dd.hamming_band_pairs(feats.select("doc_id", "dh"), "dh", 3).select(
         "doc_a", "doc_b"
     )
-    quality = mm.decode_media_meta(media).select("doc_id", "n_pixel_bytes")
+    quality = feats.select("doc_id", "n_pixel_bytes")
     clusters = dd.dedup_clusters(docs, pairs)
     return dd.keep_best_dedup(quality, clusters, quality_col="n_pixel_bytes")
 

@@ -42,7 +42,7 @@ def run_once(cpus: int, sf_dir: str) -> tuple[float, int]:
         # Warm file listing/codegen so the sweep measures the workload.
         load_table(spark, sf_dir, "lineitem").count()
         t0 = time.time()
-        log = build_changelog(spark, sf_dir, window=(n_total * 2) // 3)
+        log = build_changelog(spark, sf_dir, window=(n_total * 2) // 3, pin=False)
         q3_on_state(log).write.mode("overwrite").format("noop").save()
         return time.time() - t0, 2 * n_total
     finally:
