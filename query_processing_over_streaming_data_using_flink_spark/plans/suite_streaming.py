@@ -299,7 +299,9 @@ def changelog_monthly_revenue_state(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     w, k = _totals(spark, sf_dir)
-    log = build_changelog(spark, sf_dir, window=w).filter(F.col("seq") <= k)
+    log = build_changelog(spark, sf_dir, window=w, pin=False).filter(
+        F.col("seq") <= k
+    )
     return present_monthly_revenue(monthly_revenue_delta(log))
 
 
