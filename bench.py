@@ -170,8 +170,21 @@ def main() -> None:
     extras_runs: dict[str, list[float]] = {}
 
     def _timed_extra(group: dict, vname: str, thunk) -> None:
+        # min-of-2, plus a TIE-BREAKER third run when the two runs
+        # disagree by >1.5x (r14 verdict ask #6): rows at the tail of
+        # this long-lived JVM jitter enough that min-of-2 alone kept
+        # manufacturing phantom round-over-round regressions in
+        # untouched code (r14: 11 extras rows read >1.1x vs r13 with
+        # zero diff in their paths, worst 2.37x). A disagreeing pair
+        # means at least one run was noise; the third run resolves
+        # which. All runs recorded in extra.extras_runs as before.
         rs = []
         for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            thunk()
+            rs.append(round(time.time() - t0, 3))
+        if max(rs) > 1.5 * min(rs):
             spark.catalog.clearCache()
             t0 = time.time()
             thunk()
@@ -658,18 +671,26 @@ def main() -> None:
                 # ContextCleaner can actually drop checkpoint/shuffle
                 # blocks before the second measurement.
                 rs = []
-                for _ in range(2):
+
+                def _soak_run(vname=vname, vfn=vfn) -> float:
                     spark.catalog.clearCache()
                     gc.collect()
                     if vname == "bpe_train_merges":
-                        # pop before EACH run: both must be cold trains
+                        # pop before EACH run: all must be cold trains
                         llm._TRAINED_MERGES.pop(tmp, None)
                     # The map-side BPE apply row runs on the VERBATIM
                     # replica fixture (see its generation comment above).
                     src = tmpv if vname == "tokenizer_fertility_report" else tmp
                     t0 = time.time()
                     _run(vfn(spark, src))
-                    rs.append(round(time.time() - t0, 3))
+                    return round(time.time() - t0, 3)
+
+                rs = [_soak_run(), _soak_run()]
+                # Same >1.5x-disagreement tie-breaker as _timed_extra
+                # (r14 verdict ask #6) — the soak rows are the scaleup
+                # numerators, so one noisy run reads as superlinearity.
+                if max(rs) > 1.5 * min(rs):
+                    rs.append(_soak_run())
                 sec = min(rs)
                 ref = sf01_ref.get(vname)
                 soak[vname] = {

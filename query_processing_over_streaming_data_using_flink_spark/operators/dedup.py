@@ -42,6 +42,11 @@ MINHASH_PERMS: tuple[tuple[int, int], ...] = (
 )
 MINHASH_BANDS = 4  # 4 bands × 3 rows
 MINHASH_ROWS = 3
+# Shingle size for the MinHash signatures. The eligibility filter in
+# `minhash_signatures` (token count >= k) and the shingle computation
+# must use the SAME k, or docs with k'-1..2 tokens would slip past the
+# filter and get a NULL sig from array_min over an empty hash array.
+MINHASH_SHINGLE_K = 3
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -100,15 +105,16 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     order was never deterministic to begin with.
 
     Returns (doc_id, sh array<long>, sig array<long>)."""
-    # Docs with < 3 tokens have no 3-gram shingles — exactly the rows
+    # Docs with < k tokens have no k-gram shingles — exactly the rows
     # the old aggregate form never produced. Filtering on the TOKEN
     # COUNT (one cheap split per row, pushed to the scan) rather than
     # on size(hs) matters: a size(hs) > 0 filter gets pushed below the
     # fan-out exchange with the whole shingle+md5 pipeline re-inlined
     # into it — every row would pay the expensive expression twice,
-    # the first time on the unspread scan task.
-    eligible = docs.filter(F.size(tokens(F.col("text"))) >= 3)
-    arrays = shingle_hash_arrays(eligible)
+    # the first time on the unspread scan task. The filter and the
+    # shingle computation share MINHASH_SHINGLE_K by construction.
+    eligible = docs.filter(F.size(tokens(F.col("text"))) >= MINHASH_SHINGLE_K)
+    arrays = shingle_hash_arrays(eligible, k=MINHASH_SHINGLE_K)
 
     def perm(a: int, b: int):
         return lambda h: _perm_expr(h, a, b)
@@ -441,11 +447,16 @@ def dedup_clusters(
         )
         # hopped feeds BOTH sides of the pointer-jump self-join below;
         # persisting it keeps the neighbor_min join+aggregate from
-        # being evaluated twice inside one plan.
+        # being evaluated twice inside one plan. The round's START
+        # label rides along as `prev` (r15): the convergence probe
+        # below then needs no join against the old labels — labels can
+        # be any orderable type (er_resolve_part_names clusters on
+        # strings), so a change-counting column beats arithmetic tricks.
         hopped = labels.join(
             neighbor_min, labels["doc_id"] == neighbor_min["src"], "left"
         ).select(
             "doc_id",
+            F.col("label").alias("prev"),
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
@@ -462,26 +473,33 @@ def dedup_clusters(
             hopped.join(lab, hopped["label"] == lab["l_id"], "left")
             .select(
                 "doc_id",
+                "prev",
                 F.least(
                     F.col("label"), F.coalesce(F.col("l_lab"), F.col("label"))
                 ).alias("label"),
             )
         )
         if rnd % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint()
+            # Lazy: the change probe below is the round's ONE action
+            # and materializes the checkpoint in the same job (an eager
+            # checkpoint here would pay a second full pass per
+            # checkpoint round).
+            new_labels = new_labels.localCheckpoint(eager=False)
         else:
             new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        # One action per round: materializes new_labels (persist or
+        # checkpoint) AND answers "did anything change?" in the same
+        # 2-stage aggregate — replacing the old probe (join new-vs-old
+        # labels + filter + limit(1).count()), which paid two extra
+        # exchanges and a second scan of the old labels every round,
+        # in every clusters consumer (guide §2.4).
+        changed = new_labels.agg(
+            F.sum(F.when(F.col("label") != F.col("prev"), 1).otherwise(0)).alias("n")
+        ).collect()[0]["n"]
         labels.unpersist()
         hopped.unpersist()
         labels = new_labels
-        if changed == 0:
+        if not changed:
             break
     else:
         raise RuntimeError(

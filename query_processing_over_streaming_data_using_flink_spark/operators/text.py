@@ -166,9 +166,14 @@ def shingle_hash_arrays(docs, k: int = 3):
     token array feeds size() + k element_at's; SPARK-36718) — so the
     tokenizer runs once per row, plan-verified in plans/r14/.
 
-    Docs with fewer than k tokens (or NULL text) yield hs = [] —
-    `shingle_hash_rows` explodes them away, exactly as the old
-    window-form's tail filter did.
+    Docs with fewer than k tokens yield hs = []; NULL text yields
+    hs = NULL (size(NULL) < k is NULL, so the short-doc guard inside
+    `shingles` falls through to the otherwise branch and the transform
+    chain propagates the NULL). Callers must pre-filter NULL text —
+    both in-repo callers do, via the >= k token-count precondition
+    (size of a NULL token array is never >= k). `shingle_hash_rows`'s
+    explode_outer would otherwise emit a spurious h = NULL row per
+    NULL-text doc.
 
     Fanned out (guide §2.5 unsplittable input): with all the hash work
     now map-side, single-row-group local fixtures would serialize it

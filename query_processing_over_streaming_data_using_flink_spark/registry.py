@@ -32,82 +32,16 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # fully verified by scripts/verify_contract.py every round). Names not
 # listed keep registration order after the priority block.
 _PRIORITY_FIRST = [
-    # Round-14 prefix (positions 1-50). Policy: staleness counted in
-    # LANDED CORRECTNESS files (on disk: r1-r6, r8-r13), dynamic bound
-    # ceil(197/50)+1 = 5; see
+    # Round-15 prefix (positions 1-50). Policy: staleness counted in
+    # LANDED CORRECTNESS files (on disk: r1-r6, r8-r14), dynamic bound
+    # ceil(199/50)+1 = 5; see
     # tests/test_entry_contract.py::test_registry_rotation_covers_stalest_queries.
-    # With CORRECTNESS_r13 landed the histogram is {stale-4: 47,
+    # With CORRECTNESS_r14 landed the histogram is {stale-4: 49,
     # stale-3: 50, stale-2: 50, stale-1: 50} and nothing is forced
-    # (bound 5), so the fill rule alone decides: the whole 47-query
-    # stale-4 cohort (last green r10 -- round 13's overflow queue) plus
-    # the 3 stalest stale-3 entries (last green r11), queue-order-first.
-    # New round-14 queries are inserted at the TOP as they land (never-
-    # checked = infinitely stale = forced), each displacing the last
-    # stale-3 filler into the front of the overflow queue in _PUSH_LAST.
-    # --- new in round 14 (never driver-checked), uncommented as each
-    # lands with its oracle + dual-scale sweep MATCH:
-    "decontaminate_eval_semantic",
-    "decontaminate_semantic_recall_vs_exact",
-    # --- stale-4 cohort (last driver-green round 10, all 47):
-    "decontaminate_eval_minhash",
-    "export_shard_manifest",
-    "tokenizer_fertility_report",
-    "mixture_ppl_tilted",
-    "split_leakage_safe",
-    "embedding_covariance",
-    "embedding_pca_power_iter",
-    "changelog_monthly_revenue_state",
-    "mixture_temperature_sampling",
-    "embedding_top_pc_projection",
-    "corpus_quality_report",
-    "dedup_cross_snapshot",
-    "q17_small_quantity_revenue",
-    "join_range_price_tiers",
-    "topk_orders_per_segment",
-    "agg_median_order_price",
-    "agg_rollup_orders",
-    "agg_cube_lineitem",
-    "join_semi_anti",
-    "join_outer_order_counts",
-    "join_snowflake_dims",
-    "multimodal_meta",
-    "curation_pipeline",
-    "token_frequencies",
-    "text_repetition",
-    "dedup_clusters_ngram",
-    "decontaminate_eval_overlap",
-    "sample_stratified_lang",
-    "dedup_cross_snapshot_minhash",
-    "image_phash_near_dup",
-    "image_dedup_keep_best",
-    "audio_ahash_near_dup",
-    "ann_pq",
-    "ann_recall_pq_vs_exact",
-    "ann_ivfpq",
-    "ann_recall_ivfpq_vs_exact",
-    "zorder_events_clusters",
-    "text_boilerplate_strip",
-    "changelog_windowed_churn_state",
-    "topk_orders",
-    "set_ops_active_keys",
-    "q3_shipping_priority_sql",
-    "ann_bruteforce_pandas",
-    "join_customer_orders",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q8_national_market_share",
-    # --- stale-3 fill (last driver-green round 11; 3 names, the head
-    # of round 13's r11-green queue, taken in queue order):
-    "curation_pipeline_full",
-]
-_PUSH_LAST = [
-    # Position 51+: the OVERFLOW QUEUE, stalest-first. Head = the two
-    # stale-3 fillers the round-14 registrations displaced from the
-    # prefix, then the rest of the stale-3 (r11-green) cohort —
-    # contiguous and first in line for the round-15 prefix; all remain
-    # verified by the local dual-scale sweep every round meanwhile. The
-    # queue rule requires non-increasing staleness, so the r12-green
-    # (stale-2) and r13-green (stale-1) cohorts follow.
+    # (bound 5), so the fill rule decides: the whole 49-query stale-4
+    # cohort (last green r11 -- round 14 overflow queue head) plus the
+    # single stalest stale-3 entry (last green r12), queue-order-first.
+    # --- stale-4 cohort (last driver-green round 11, all 49):
     "decontaminate_eval_ngram13",
     "doc_length_histogram",
     "sample_moore_lewis",
@@ -157,8 +91,17 @@ _PUSH_LAST = [
     "ann_recall_ivfpq_rerank_vs_exact",
     "ann_recall_ivf_nprobe_curve",
     "agg_corr_regression",
-    # Driver-green in round 12 (staleness 2):
+    # --- stale-3 fill (last driver-green round 12; 1 name, the head
+    # of round 14's r12-green queue):
     "dedup_embedding_cosine_planted",
+]
+_PUSH_LAST = [
+    # Position 51+: the OVERFLOW QUEUE, stalest-first. Head = the rest
+    # of the stale-3 (r12-green) cohort -- contiguous and first in line
+    # for the round-16 prefix; all remain verified by the local
+    # dual-scale sweep every round meanwhile. The queue rule requires
+    # non-increasing staleness, so the r13-green (stale-2) and
+    # r14-green (stale-1) cohorts follow.
     "decontaminate_eval_substring",
     "text_unigram_entropy",
     "tokenizer_compression_by_source",
@@ -208,8 +151,6 @@ _PUSH_LAST = [
     "text_token_count_trained",
     "text_perplexity_filter",
     "classify_naive_bayes_lang",
-    # Driver-green in round 13 (the full r13 prefix came back 50/50 --
-    # freshest cohort, staleness 1, so it sits at the very tail):
     "dedup_lsh_recall_vs_exact",
     "decontaminate_eval_substring_rewrite",
     "dedup_rate_by_source",
@@ -260,6 +201,56 @@ _PUSH_LAST = [
     "dsir_importance_weights",
     "sample_dsir_resample",
     "dedup_keep_best_quality",
+    "decontaminate_eval_semantic",
+    "decontaminate_semantic_recall_vs_exact",
+    "decontaminate_eval_minhash",
+    "export_shard_manifest",
+    "tokenizer_fertility_report",
+    "mixture_ppl_tilted",
+    "split_leakage_safe",
+    "embedding_covariance",
+    "embedding_pca_power_iter",
+    "changelog_monthly_revenue_state",
+    "mixture_temperature_sampling",
+    "embedding_top_pc_projection",
+    "corpus_quality_report",
+    "dedup_cross_snapshot",
+    "q17_small_quantity_revenue",
+    "join_range_price_tiers",
+    "topk_orders_per_segment",
+    "agg_median_order_price",
+    "agg_rollup_orders",
+    "agg_cube_lineitem",
+    "join_semi_anti",
+    "join_outer_order_counts",
+    "join_snowflake_dims",
+    "multimodal_meta",
+    "curation_pipeline",
+    "token_frequencies",
+    "text_repetition",
+    "dedup_clusters_ngram",
+    "decontaminate_eval_overlap",
+    "sample_stratified_lang",
+    "dedup_cross_snapshot_minhash",
+    "image_phash_near_dup",
+    "image_dedup_keep_best",
+    "audio_ahash_near_dup",
+    "ann_pq",
+    "ann_recall_pq_vs_exact",
+    "ann_ivfpq",
+    "ann_recall_ivfpq_vs_exact",
+    "zorder_events_clusters",
+    "text_boilerplate_strip",
+    "changelog_windowed_churn_state",
+    "topk_orders",
+    "set_ops_active_keys",
+    "q3_shipping_priority_sql",
+    "ann_bruteforce_pandas",
+    "join_customer_orders",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q8_national_market_share",
+    "curation_pipeline_full",
 ]
 
 
