@@ -226,18 +226,19 @@ def test_complex_column_lint_catches_planted_offender(spark):
     assert complex_toplevel_columns(clean.schema) == []
 
 
-def test_registered_queries_have_flat_schemas(spark):
+def test_registered_queries_have_flat_schemas(built_queries):
     """Every registered query must emit a driver-hashable (flat) result
     schema — the same lint scripts/verify_contract.py applies, checked
-    here schema-only (no execution) so it runs fast in CI."""
+    schema-only. Result schemas are SF-independent, so the queries come
+    from the shared SF_SMOKE `built_queries` fixture (building all 199
+    again at sf0.01 — eager pins and iterative operators run real jobs
+    — cost this test ~4.5 min solo)."""
     from query_processing_over_streaming_data_using_flink_spark.registry import (
-        all_queries,
         complex_toplevel_columns,
     )
 
     bad = {}
-    for name, fn in all_queries().items():
-        df = fn(spark, SF_ORACLE)
+    for name, df in built_queries.items():
         cols = complex_toplevel_columns(df.schema)
         if cols:
             bad[name] = cols

@@ -250,21 +250,19 @@ _BNLJ_ALLOWED = {
 }
 
 
-def test_all_registered_plans_free_of_red_flags(spark):
+def test_all_registered_plans_free_of_red_flags(built_queries):
     """Every registered query's executed plan must contain no
     CartesianProduct (non-broadcast all-pairs), no row-at-a-time
     Python UDF (BatchEvalPython), and BroadcastNestedLoopJoin only
-    where a tiny broadcast side makes it the right plan."""
-    import importlib.util
+    where a tiny broadcast side makes it the right plan.
 
-    spec = importlib.util.spec_from_file_location(
-        "__spark_entry__", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py")
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
+    Queries come pre-built from the shared `built_queries` session
+    fixture (same set: `__spark_entry__.queries()` returns
+    `registry.all_queries()` verbatim) — building all 199 separately
+    here doubled ~4 min of suite wall-clock."""
     bad = {}
-    for name, fn in sorted(mod.queries().items()):
-        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    for name, df in built_queries.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
         flags = []
         if "CartesianProduct" in plan:
             flags.append("CartesianProduct")
