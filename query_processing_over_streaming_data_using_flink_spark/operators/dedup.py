@@ -495,7 +495,7 @@ def dedup_clusters(
         # in every clusters consumer (guide §2.4).
         changed = new_labels.agg(
             F.sum(F.when(F.col("label") != F.col("prev"), 1).otherwise(0)).alias("n")
-        ).collect()[0]["n"]
+        ).first()["n"]
         labels.unpersist()
         hopped.unpersist()
         labels = new_labels

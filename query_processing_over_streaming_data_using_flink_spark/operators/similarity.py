@@ -697,6 +697,16 @@ def knn_ivfpq(
     holds at 10^9 vectors. Returns (q_id, n_id, rank, score)."""
     cents = ivf_centroids(embeddings, cells).persist()
     books = pq_codebooks(embeddings, m).persist()
+    # The two quantizer trainings are INDEPENDENT (coarse cells from
+    # raw vectors; codebooks from subvectors) — materialize them as
+    # concurrent jobs so one chain's Lloyd-round straggler tails
+    # back-fill with the other's tasks (guide §2.6). No-op in explain
+    # mode; identical centroid/codebook math either way.
+    from query_processing_over_streaming_data_using_flink_spark.pin import (
+        materialize_concurrently,
+    )
+
+    materialize_concurrently([cents, books])
     corpus = embeddings.select(
         F.col("vec_id").alias("id"), _as_double(F.col("embedding")).alias("vec")
     )

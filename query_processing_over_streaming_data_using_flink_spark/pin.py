@@ -49,6 +49,73 @@ def pin_result(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def materialize_concurrently(dfs: list[DataFrame]) -> None:
+    """Force-materialize several INDEPENDENT persisted subtrees at once
+    — noop writes submitted from a small driver thread pool (guide
+    §2.6: actions are only sequential because driver code calls them
+    sequentially). Used by training chains whose sub-models don't
+    depend on each other (e.g. the IVF coarse quantizer and the PQ
+    codebooks inside IVF-PQ): the straggler tail of one training job
+    back-fills with the other's tasks instead of idling the cluster.
+
+    Per-run only — the caller persists, this materializes, downstream
+    consumers read the cached blocks within the same query invocation;
+    nothing survives the run (bench clears the cache between runs).
+    No-op inside ``unpinned_for_explain()`` (plan dumps must stay
+    job-free) and for fewer than two frames (a single frame would
+    materialize in the composed query anyway).
+    ``SPARK_GRAFT_OVERLAP=0`` disables it — the interleaved A/B switch
+    (the composed query then materializes the persists sequentially,
+    exactly the pre-r15 shape)."""
+    import os
+
+    if _EXPLAIN_MODE or len(dfs) < 2 or os.environ.get("SPARK_GRAFT_OVERLAP", "1") == "0":
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _force(df: DataFrame) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
+        # list() propagates the first worker exception to the caller.
+        list(pool.map(_force, dfs))
+
+
+def materialize(df: DataFrame) -> None:
+    """Force one persisted frame NOW on the calling thread (noop
+    write); no-op in explain mode / SPARK_GRAFT_OVERLAP=0. Pairs with
+    `materialize_async`: start one subtree in the background, force the
+    other here, join."""
+    import os
+
+    if _EXPLAIN_MODE or os.environ.get("SPARK_GRAFT_OVERLAP", "1") == "0":
+        return
+    df.write.format("noop").mode("overwrite").save()
+
+
+def materialize_async(df: DataFrame):
+    """Start materializing a persisted frame on a background driver
+    thread (noop write) and return a join() callable. Lets a caller
+    overlap one subtree's execution with the CONSTRUCTION of another
+    that runs its own jobs eagerly — e.g. a recall cert's exact
+    brute-force side computing while the index side trains its
+    quantizers (guide §2.6). In explain mode / SPARK_GRAFT_OVERLAP=0
+    returns a no-op join (the composed query materializes the persist
+    sequentially, the pre-r15 shape)."""
+    import os
+
+    if _EXPLAIN_MODE or os.environ.get("SPARK_GRAFT_OVERLAP", "1") == "0":
+        return lambda: None
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    fut = pool.submit(
+        lambda: df.write.format("noop").mode("overwrite").save()
+    )
+    pool.shutdown(wait=False)
+    return fut.result
+
+
 @contextmanager
 def unpinned_for_explain():
     """Context manager for plan-dump tooling: while active,

@@ -71,7 +71,9 @@ like the reference's keyBy(0) TopN.
 
 from __future__ import annotations
 
+import os
 import shutil
+import threading
 from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
@@ -324,6 +326,119 @@ class IncrementalQ3:
         rdl = _selective(self.spark.read.schema(schemas["l"]).parquet(self._tmp("l")), "l_orderkey")
         return rdc, rdo, rdl
 
+    # Read-back schemas for the spilled deltas (explicit: an all-empty
+    # delta writes no part files and schema inference would fail on the
+    # bare directory).
+    _SPILL_SCHEMAS = {
+        "c": "c_custkey long, w_c long, bucket int",
+        "o": "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz, w_o long, bucket int",
+        "l": "l_orderkey long, linenumber int, w_cents long, bucket int",
+    }
+
+    def _read_spill(self, name: str) -> DataFrame:
+        return _selective(
+            self.spark.read.schema(self._SPILL_SCHEMAS[name]).parquet(self._tmp(name)),
+            {"c": "c_custkey", "o": "o_orderkey", "l": "l_orderkey"}[name],
+        )
+
+    def _spill_l(self, batch: DataFrame) -> DataFrame:
+        """Spill the lineitem delta alone (r15 split-lane spill): filter
+        → NARROW pre-shuffle projection (guide §2.3 — the shuffle
+        carries (l_orderkey, linenumber, w_cents), ~3 of the wire
+        schema's 11 columns; w_cents is computed map-side BEFORE the
+        exchange so two doubles collapse to one long) → repartition on
+        the join key (partition id == bucket, see _spill_deltas) → one
+        file per bucket, moved into the l table's tmp name. Runs in its
+        own lane so the CO⋈ΔL maintenance term can start the moment the
+        L delta lands, instead of waiting for the whole unified spill
+        (guide §2.6). Returns the selective read-back."""
+        cut = ts_lit(self.cutoff)
+        stage = self._tmp("lspill")
+        shutil.rmtree(stage, ignore_errors=True)
+        (
+            batch.filter(
+                (F.col("relation") == "lineitem") & (F.col("shipdate") > cut)
+            )
+            .select(
+                F.col("orderkey").alias("l_orderkey"),
+                "linenumber",
+                (
+                    F.col("op")
+                    * F.round(
+                        F.col("extendedprice") * (F.lit(1.0) - F.col("discount")) * 10000, 0
+                    ).cast("long")
+                ).alias("w_cents"),
+            )
+            .repartition(NUM_BUCKETS, "l_orderkey")
+            .select(
+                _bucket(F.col("l_orderkey")).alias("bucket"),
+                "l_orderkey",
+                "linenumber",
+                "w_cents",
+            )
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(stage)
+        )
+        dst = self._tmp("l")
+        shutil.rmtree(dst, ignore_errors=True)
+        os.replace(stage, dst)
+        return self._read_spill("l")
+
+    def _spill_co(self, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Spill the customer+orders deltas together (r15 split-lane
+        spill): both relations key on CUSTKEY for their state buckets,
+        so one shuffle places both; the pre-shuffle projection is the
+        narrow (rel, k, o_orderkey, o_orderdate, w) instead of the
+        11-column padded wire row (guide §2.3). Partition dirs move 1:1
+        into the c and o tmp names exactly as the unified spill did;
+        per-relation columns the other relation never reads are NULL.
+        Returns the selective read-backs (dc, do)."""
+        cut = ts_lit(self.cutoff)
+        keep = (
+            (F.col("relation") == "customer") & (F.col("mktsegment") == self.segment)
+        ) | ((F.col("relation") == "orders") & (F.col("orderdate") < cut))
+        key = F.when(
+            F.col("relation") == "customer", F.col("custkey")
+        ).otherwise(F.col("o_custkey"))
+        stage = self._tmp("cospill")
+        shutil.rmtree(stage, ignore_errors=True)
+        is_c = F.col("rel") == "c"
+        (
+            batch.filter(keep)
+            .select(
+                F.col("relation").substr(1, 1).alias("rel"),
+                key.alias("k"),
+                F.col("orderkey").alias("o_orderkey"),
+                F.col("orderdate").alias("o_orderdate"),
+                F.col("op").cast("long").alias("w"),
+            )
+            .repartition(NUM_BUCKETS, "k")
+            .select(
+                "rel",
+                _bucket(F.col("k")).alias("bucket"),
+                F.when(is_c, F.col("k")).alias("c_custkey"),
+                F.when(is_c, F.col("w")).alias("w_c"),
+                "o_orderkey",
+                F.when(~is_c, F.col("k")).alias("o_custkey"),
+                "o_orderdate",
+                F.when(~is_c, F.col("w")).alias("w_o"),
+            )
+            .write.partitionBy("rel", "bucket")
+            .mode("overwrite")
+            .parquet(stage)
+        )
+        for t in ("c", "o"):
+            dst = self._tmp(t)
+            shutil.rmtree(dst, ignore_errors=True)
+            src = os.path.join(stage, f"rel={t}")
+            if os.path.isdir(src):
+                os.replace(src, dst)
+            else:
+                os.makedirs(dst, exist_ok=True)
+        shutil.rmtree(stage, ignore_errors=True)
+        return self._read_spill("c"), self._read_spill("o")
+
     # -- the foreachBatch hook ----------------------------------------------
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
@@ -346,9 +461,6 @@ class IncrementalQ3:
             _phase_t0 = now
 
         sc = self.spark.sparkContext
-        sc.setJobDescription(f"ivm epoch {epoch_id}: delta spill")
-        dc, do, dl = self._spill_deltas(batch)
-        _mark("spill")
         # Emptiness probes on the spilled deltas: the bucket-partitioned
         # write creates bucket= subdirectories only for rows that exist,
         # so a directory listing answers "any rows?" with zero Spark
@@ -393,8 +505,6 @@ class IncrementalQ3:
                 return delta_df, F.broadcast(state_df)
             return delta_df, state_df
 
-        have_c, have_o, have_l = has_rows("c"), has_rows("o"), has_rows("l")
-
         c_old = self._read("c")
         o_old = self._read("o")      # bucketed by o_custkey
         co_old = self._read("co")    # maintained C⋈O view, bucketed by o_orderkey
@@ -412,11 +522,22 @@ class IncrementalQ3:
         # crashed prior attempt can never leak stale rows.
         shutil.rmtree(self._tmp("r"), ignore_errors=True)
         shutil.rmtree(self._tmp("r2"), ignore_errors=True)
-        dl_small = (
-            dl.select(F.col("bucket").alias("b_l"), "l_orderkey", "w_cents")
-            if have_l
-            else None
-        )
+
+        # Lane handshake (r15 split-lane spill, guide §2.6): the L lane
+        # publishes its spilled delta here and sets the event; the CO
+        # lane waits on it only at the point it builds the ΔCO⋈ΔL term
+        # — by which time the (faster) L spill has long landed. In the
+        # unified fallback path the event is pre-set before the
+        # maintenance threads start.
+        l_spilled = threading.Event()
+        _dl_box: dict[str, DataFrame] = {}
+
+        def _prep_dl(dl: DataFrame) -> None:
+            if has_rows("l"):
+                _dl_box["dl_small"] = dl.select(
+                    F.col("bucket").alias("b_l"), "l_orderkey", "w_cents"
+                )
+            l_spilled.set()
 
         def fold_spill_r(part: DataFrame, tmp_name: str) -> None:
             # Pre-fold the delta before it joins the result log (many
@@ -436,11 +557,12 @@ class IncrementalQ3:
                 .parquet(self._tmp(tmp_name))
             )
 
-        def maintain_co_chain() -> None:
+        def maintain_co_chain(dc: DataFrame, do: DataFrame) -> None:
             """Stage 1 (ΔCO = ΔC·O + C·ΔO + ΔC·ΔO, spilled once as the
             co table's epoch delta) followed by the ΔCO-driven r terms
             (ΔCO·L + ΔCO·ΔL) — the dependent chain, one thread."""
             t0 = _time.time()
+            have_c, have_o = has_rows("c"), has_rows("o")
             sc.setJobDescription(f"ivm epoch {epoch_id}: delta-CO join+spill")
             co_parts: list[DataFrame] = []
             if have_c:
@@ -507,6 +629,11 @@ class IncrementalQ3:
                 "o_orderkey",
             )
             sc.setJobDescription(f"ivm epoch {epoch_id}: delta-R (dCO terms) join+spill")
+            # The ΔCO⋈ΔL term needs the L lane's spill on disk; the ΔCO
+            # spill above takes longer than the L spill, so this wait is
+            # effectively free (split-lane mode; pre-set otherwise).
+            l_spilled.wait()
+            dl_small = _dl_box.get("dl_small")
             # ΔCO ⋈ L — the old-lineitem probe.
             dco_h, l_h = sides(dco, spill_bytes("co"), l_old, self.state.bytes("l"))
             terms = [
@@ -521,7 +648,7 @@ class IncrementalQ3:
                     (F.col("w") * F.col("w_cents")).alias("cents"),
                 )
             ]
-            if have_l:
+            if dl_small is not None:
                 # ΔCO ⋈ ΔL (both tiny)
                 terms.append(
                     dco.join(
@@ -539,10 +666,13 @@ class IncrementalQ3:
         def maintain_r_dl() -> None:
             """CO ⋈ ΔL — probe the maintained view with the lineitem
             delta; depends only on OLD state + the ΔL spill, so it runs
-            concurrently with the whole CO chain. In a bulk epoch ΔL is
-            millions of rows while the filtered CO view stays compact —
-            `sides` flips the broadcast to the view."""
-            if not have_l:
+            concurrently with the whole CO chain (and, in split-lane
+            mode, starts the moment the L spill lands — before the C/O
+            spill has even finished). In a bulk epoch ΔL is millions of
+            rows while the filtered CO view stays compact — `sides`
+            flips the broadcast to the view."""
+            dl_small = _dl_box.get("dl_small")
+            if dl_small is None:
                 return
             t0 = _time.time()
             sc.setJobDescription(f"ivm epoch {epoch_id}: delta-R (CO.dL term) join+spill")
@@ -560,10 +690,49 @@ class IncrementalQ3:
             )
             _phases["r_dl"] = round(_time.time() - t0, 3)
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            futs = [pool.submit(maintain_co_chain), pool.submit(maintain_r_dl)]
-            for f in futs:
-                f.result()
+        # Two lanes (r15, guide §2.6): each relation's spill feeds only
+        # its own maintenance chain, so the spills themselves overlap
+        # too — lane L (ΔL spill → CO⋈ΔL probe) runs entirely inside
+        # the shadow of lane CO's critical path (ΔC/ΔO spill → ΔCO
+        # spill → ΔCO-driven R terms), where the r14 shape serialized
+        # ONE unified spill before any maintenance could start.
+        # SPARK_GRAFT_IVM_SPLIT=0 restores the unified shape (the
+        # interleaved A/B switch; numbers in OPTIMIZATION_r15.md).
+        if os.environ.get("SPARK_GRAFT_IVM_SPLIT", "1") != "0":
+
+            def lane_l() -> None:
+                t0 = _time.time()
+                sc.setJobDescription(f"ivm epoch {epoch_id}: delta-L spill")
+                try:
+                    _prep_dl(self._spill_l(batch))
+                finally:
+                    l_spilled.set()  # never deadlock lane CO on a failed spill
+                _phases["spill_l"] = round(_time.time() - t0, 3)
+                maintain_r_dl()
+
+            def lane_co() -> None:
+                t0 = _time.time()
+                sc.setJobDescription(f"ivm epoch {epoch_id}: delta-C/O spill")
+                dc, do = self._spill_co(batch)
+                _phases["spill_co"] = round(_time.time() - t0, 3)
+                maintain_co_chain(dc, do)
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [pool.submit(lane_l), pool.submit(lane_co)]
+                for f in futs:
+                    f.result()
+        else:
+            sc.setJobDescription(f"ivm epoch {epoch_id}: delta spill")
+            dc, do, dl = self._spill_deltas(batch)
+            _mark("spill")
+            _prep_dl(dl)
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [
+                    pool.submit(maintain_co_chain, dc, do),
+                    pool.submit(maintain_r_dl),
+                ]
+                for f in futs:
+                    f.result()
         # Fold the CO⋈ΔL part-set into the r staging dir — pure renames
         # (part-file names are job-UUID-unique), no Spark jobs. Both
         # part-sets were pre-folded within themselves; cross-part
@@ -582,6 +751,9 @@ class IncrementalQ3:
                     if _os.path.isfile(spath):
                         _os.replace(spath, _os.path.join(ddir, fname))
             shutil.rmtree(r2, ignore_errors=True)
+        # In split-lane mode this wall covers the spills TOO (they live
+        # inside the lanes); in unified mode it matches the r14 meaning
+        # (maintenance only, spill marked separately above).
         _mark("maintain_wall")
 
         # Per-epoch pipeline telemetry (dashboard DAG view): delta rows
