@@ -1928,8 +1928,13 @@ def ann_recall_ivf_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per query plus one summary row)."""
     e = load_table(spark, sf_dir, "embeddings")
     q = _queries_df(spark, sf_dir)
-    exact = sim.knn_bruteforce(e, q, k=5).select("q_id", "n_id")
-    approx = sim.knn_ivf(e, q, k=5).select("q_id", "n_id")
+    # Exact side overlaps the index side (see ann_recall_pq_vs_exact;
+    # guide 2.6): background exact scan, main-thread index force.
+    exact = sim.knn_bruteforce(e, q, k=5).select("q_id", "n_id").persist()
+    wait_exact = materialize_async(exact)
+    approx = sim.knn_ivf(e, q, k=5).select("q_id", "n_id").persist()
+    materialize(approx)
+    wait_exact()
     per_q = (
         exact.join(approx, ["q_id", "n_id"], "left_semi")
         .groupBy("q_id")
@@ -1977,8 +1982,13 @@ def ann_recall_lsh_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     small at any corpus size."""
     e = load_table(spark, sf_dir, "embeddings")
     q = _queries_df(spark, sf_dir)
-    exact = sim.knn_bruteforce(e, q, k=5).select("q_id", "n_id")
-    approx = sim.knn_lsh(e, q, k=5).select("q_id", "n_id")
+    # Exact side overlaps the index side (see ann_recall_pq_vs_exact;
+    # guide 2.6): background exact scan, main-thread index force.
+    exact = sim.knn_bruteforce(e, q, k=5).select("q_id", "n_id").persist()
+    wait_exact = materialize_async(exact)
+    approx = sim.knn_lsh(e, q, k=5).select("q_id", "n_id").persist()
+    materialize(approx)
+    wait_exact()
     per_q = (
         exact.join(approx, ["q_id", "n_id"], "left_semi")
         .groupBy("q_id")
@@ -4200,8 +4210,13 @@ def ann_recall_sq8_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor (≈1.0 on these fixtures)."""
     e = load_table(spark, sf_dir, "embeddings")
     qdf = _queries_df(spark, sf_dir)
-    exact = sim.knn_bruteforce_dot(e, qdf, k=5).select("q_id", "n_id")
-    approx = sim.knn_sq8(e, qdf, k=5).select("q_id", "n_id")
+    # Exact side overlaps the index side (see ann_recall_pq_vs_exact;
+    # guide 2.6): background exact scan, main-thread index force.
+    exact = sim.knn_bruteforce_dot(e, qdf, k=5).select("q_id", "n_id").persist()
+    wait_exact = materialize_async(exact)
+    approx = sim.knn_sq8(e, qdf, k=5).select("q_id", "n_id").persist()
+    materialize(approx)
+    wait_exact()
     per_q = (
         exact.join(approx, ["q_id", "n_id"], "left_semi")
         .groupBy("q_id")
@@ -4948,8 +4963,16 @@ def dedup_lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     test scale as ground truth; at 100 TB you certify on a sampled
     stratum, the LSH side itself stays linear."""
     docs = load_table(spark, sf_dir, "documents")
-    exact = dd.ngram_jaccard_pairs(docs, threshold=0.35)
-    lsh = dd.minhash_lsh_pairs(docs, threshold=0.35)
+    # The quadratic exact baseline and the banded-LSH generator are
+    # independent until the audit join: overlap them (guide 2.6;
+    # background exact, main-thread LSH force) — the baselines
+    # themselves stay intentionally quadratic (their certification
+    # role; the r14 verdict's do-not-touch list).
+    exact = dd.ngram_jaccard_pairs(docs, threshold=0.35).persist()
+    wait_exact = materialize_async(exact)
+    lsh = dd.minhash_lsh_pairs(docs, threshold=0.35).persist()
+    materialize(lsh)
+    wait_exact()
     marked = exact.join(
         lsh.select("doc_a", "doc_b", F.lit(1).alias("found")),
         ["doc_a", "doc_b"],
@@ -5357,7 +5380,16 @@ def decontaminate_semantic_recall_vs_exact(
         )
         .filter(F.col("sim") >= SEM_DECONTAM_THRESHOLD)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+        .persist()
     )
+    # Overlap the brute-force exact side with the two bucketed passes
+    # (guide 2.6; see ann_recall_pq_vs_exact).
+    wait_exact = materialize_async(exact)
+    single = single.persist()
+    multi = multi.persist()
+    materialize(single)
+    materialize(multi)
+    wait_exact()
     marked = exact.join(
         single.select("id_a", "id_b", F.lit(1).alias("f_s")),
         ["id_a", "id_b"],

@@ -7,6 +7,8 @@ the shared drain harness.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import sys
 
@@ -102,6 +104,9 @@ def test_same_batch_version_update_lands(spark, tmp_path):
     assert [r["doc_id"] for r in hits] == [2], "updated version not registered"
 
 
+@pytest.mark.slow  # harness plumbing soak: gate equality stays attested by
+# test_streamed_gate_equals_batch_query; the drain harness itself by
+# the export-manifest and streaming suites
 def test_streamed_gate_through_drain_harness(spark, tmp_path):
     """End-to-end through drain_file_source (the face production runs):
     eval docs written as a multi-file directory, drained as

@@ -95,6 +95,9 @@ def test_ivm_stream_matches_batch_state(spark, tmp_path):
     assert _rows(result) == _rows(q3_on_state(log))
 
 
+@pytest.mark.slow  # soak variant: compaction correctness stays attested by
+# test_ivm_compaction_reclaims_cancelled_keys, stream==batch by
+# test_ivm_stream_matches_batch_state
 def test_ivm_stream_with_interleaved_compaction(spark, tmp_path):
     """Scheduled compaction (`compact_every`) folding the log-structured
     state mid-stream must not change any result: same Top-20 as the
@@ -163,6 +166,9 @@ def test_ivm_progress_stats_telemetry(spark, tmp_path):
         assert s["state_rows_appended"] >= s["events"]
 
 
+@pytest.mark.slow  # soak variant: checkpoint-resume stays attested by
+# test_ivm_checkpoint_restart_end_to_end; heavy churn by the bench's
+# SF-1 churn gate (sf1_churn_matches_batch)
 def test_ivm_windowed_churn_checkpoints(spark, tmp_path):
     """Heavy churn: window = N/4, so deletes interleave with inserts
     from a quarter of the way in — the log-structured commit's worst
@@ -671,6 +677,8 @@ def _planted_vectors(spark, ids, components, amp=0.05, dim=24):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
+@pytest.mark.slow  # drift soak: index stream==batch equality stays attested by
+# test_incremental_ivf_index_matches_batch (+ restart test)
 def test_ivf_refresh_recovers_drifted_recall(spark, tmp_path):
     """The drifting-stream story: centroids frozen on the bootstrap
     distribution (all vectors along e0) scatter later out-of-
@@ -1294,6 +1302,8 @@ def test_ivm_crash_at_pointer_flip_recovers(spark, tmp_path, monkeypatch):
     assert _cust_weight(pipe) == [(NEW_CUST_KEY, 1)]
 
 
+@pytest.mark.slow  # re-run soak: dedup verdicts/state correctness stays attested by
+# test_streaming_near_dedup_across_batches and the restart tests
 def test_near_dedup_is_deterministic_across_runs(spark, tmp_path):
     """Two independent runs over the same batch sequence must produce
     identical verdicts and identical final ownership state — the
@@ -1601,6 +1611,8 @@ def test_state_layout_mismatch_hard_fails(spark, tmp_path):
         )
 
 
+@pytest.mark.slow  # drift soak: index stream==batch equality stays attested by
+# test_incremental_ivfpq_index_matches_batch (+ restart test)
 def test_ivfpq_rebuild_recovers_drifted_recall(spark, tmp_path):
     """The codes-only index's drift story (r6 verdict ask #8):
     quantizers frozen on the bootstrap distribution mis-assign AND

@@ -4,6 +4,8 @@ entity-resolution pairs."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from query_processing_over_streaming_data_using_flink_spark.operators.relational import (
@@ -81,6 +83,8 @@ def test_blocked_fuzzy_pairs_respects_block_and_threshold(spark):
     assert row["distance"] == 3 and row["block"] == "gear"
 
 
+@pytest.mark.slow  # property sweep: MERGE + diff stay attested by the oracle-backed
+# merge_upsert_customer / snapshot_diff_customer rows
 def test_merge_diff_round_trip_property(spark):
     """Property (hypothesis): for arbitrary small target/source tables,
     applying the diff of (old -> merge(old, src)) to a pure-Python
